@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines (SURVEY 2.7 X1/X2).
+
+Four families, each designed so the heavy work is a keyed shuffle that
+scales linearly and the pairwise work only ever happens inside small
+candidate buckets:
+
+- exact:   groupBy(text) with a deterministic representative (min doc_id).
+           At 100 TB: shuffle on md5(text) (64-hex key, uniform) - never
+           on the raw text bytes.
+- MinHash+LSH: shingle -> k independent min-hashes -> band buckets ->
+           candidate pairs only within buckets. Cost: O(corpus) for
+           signatures (explode + groupBy), O(sum bucket^2) for pairs.
+- SimHash: per-token hash bits, weighted sum per bit position, sign ->
+           fingerprint; near-dups share fingerprints (or low Hamming
+           distance). Linear, single shuffle.
+- n-gram Jaccard: exact verify step - intersection counts via a
+           shingle-equi-join restricted to plausible pairs, never a
+           cross join.
+
+Hashing uses md5 (cross-engine stable) so every operator has an exact
+DuckDB oracle. Spark's murmur3 ``hash()`` / ``xxhash64`` would be ~2x
+faster JVM-side; at production scale swap `_hash_str` to xxhash64 and
+drop oracle parity - the topology is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col, word_shingles
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_ROWS = 2  # bands = num_hashes / band_rows
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X1: exact dedup with deterministic representatives.
+
+    ``dropDuplicates`` keeps an arbitrary row per key; for reproducible
+    output (and a deterministic oracle) we keep min(doc_id) per text
+    and report the copy count. Grouping key is md5(text) so the shuffle
+    moves 32-byte keys, not document bodies.
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 stage 1: k-permutation MinHash signatures.
+
+    hash_j(shingle) = md5(j || '|' || shingle); sig_j = min over
+    shingles. Computed as explode(shingles) x explode(seeds) ->
+    groupBy(doc_id, seed).min - a single shuffle keyed on
+    (doc_id, seed), fully map-side combinable.
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = word_shingles(toks, shingle_n)
+    exploded = docs.select(
+        "doc_id", F.explode(sh).alias("shingle")
+    ).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    return (
+        exploded.withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_buckets(
+    signatures: DataFrame, band_rows: int = DEFAULT_BAND_ROWS
+) -> DataFrame:
+    """X2 stage 2: band the signature matrix into LSH buckets.
+
+    band = seed div band_rows; bucket = md5(band || concat of its sigs
+    in seed order). Docs sharing any (band, bucket) are candidates.
+    """
+    banded = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("sig")))
+                    ),
+                    lambda s: s["sig"],
+                ),
+            ).alias("band_sig")
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat(F.col("band").cast("string"), F.lit("|"), F.col("band_sig"))
+            ).alias("bucket"),
+        )
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """X2 stage 3: candidate pairs = docs sharing any band bucket.
+
+    Self-equi-join on (band, bucket) with doc_a < doc_b, distinct.
+    The join key is the bucket hash, so pair generation is local to
+    each bucket's partition - the cross product never materializes.
+    """
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """X2 (SimHash family): 32-bit SimHash fingerprint per document.
+
+    token hash = first 8 hex chars of md5 (32-bit, engine-portable via
+    ``conv``); bit_j contributes +1 if set else -1, summed over token
+    occurrences; fingerprint bit_j = (sum > 0). Linear in corpus size:
+    explode(tokens) x bits is a projection, and the only shuffle is
+    groupBy(doc_id, bit) with partial aggregation.
+    """
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
+    hashed = tok.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    )
+    per_bit = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        # shiftright's Python wrapper wants a literal int; the SQL
+        # function accepts a column operand
+        "w",
+        F.expr(
+            "CASE WHEN shiftright(h, CAST(bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END"
+        ),
+    )
+    votes = per_bit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    top_k: int | None = 20,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """X2 (verify): n-gram Jaccard similarity for co-shingled pairs.
+
+    |A intersect B| via a distinct-(doc, shingle) self-join on shingle;
+    |A union B| = |A| + |B| - |A intersect B|. Pairs with zero shared
+    shingles never appear (the equi-join prunes them), so the pairwise
+    stage is bounded by shingle co-occurrence, not by n^2. At 100 TB a
+    hot shingle is a skew key: cap or salt ultra-frequent shingles
+    (stopword shingles) before the join - here document-frequency
+    pruning is represented by the distinct() step.
+    """
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                word_shingles(tokens_col(F.col(text_col)), shingle_n)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard is not None:
+        jac = jac.where(F.col("jaccard") >= min_jaccard)
+    if top_k is not None:
+        jac = jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_k)
+    return jac
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float | None = None,
+    top_k: int | None = 20,
+) -> DataFrame:
+    """X2 (embedding family): cosine near-dup pairs within blocking keys.
+
+    Blocked self-join (here on ``label``; in production on a coarse
+    quantization/IVF cell id) keeps the pair count at
+    sum(block^2) rather than n^2. Cosine is computed with built-in
+    higher-order functions - sequential fold, engine-portable.
+    """
+    from .similarity import cosine_sim
+
+    e = embeddings.select(
+        F.col("vec_id"), F.col(block_col).alias("_blk"), F.col("embedding")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, on="_blk")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+    )
+    if threshold is not None:
+        pairs = pairs.where(F.col("cosine") >= threshold)
+    if top_k is not None:
+        pairs = pairs.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(top_k)
+    return pairs

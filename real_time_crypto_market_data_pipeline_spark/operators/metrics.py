@@ -1,0 +1,215 @@
+"""Rolling-metrics operators (SURVEY.md section 2.3, A1-A10).
+
+Re-expression of the reference's deque-based rolling statistics
+(``metrics/rolling.py`` in yluoc/real-time-crypto-market-data-pipeline)
+as declarative Spark aggregations:
+
+- A2 percentiles: the reference uses the *nearest-rank-lower* rule
+  ``idx = int(p * (n - 1))`` over the sorted window
+  (reference ``metrics/rolling.py:99-111``). Spark's ``percentile``
+  interpolates, so we implement the exact index rule with a
+  row_number/count window pair - one shuffle per key, no collect.
+- A5/A7 grouped stats: count / mean / SAMPLE std (n-1, reference
+  ``rolling.py:180``) / min / max, empty -> 0.0 fallback
+  (``rolling.py:183-184``).
+- A6 staleness: consecutive-diff via ``lag`` over a keyed window
+  (``rolling.py:85-94``); the first event per key yields no row
+  (``rolling.py:87``). Negative diffs pass through unclamped
+  (``rolling.py:88``).
+- A8 min-sample gate: ``HAVING count >= n`` (``rolling.py:125``).
+- K5 snapshot: full-outer join of latency and staleness stat frames,
+  sorted by key (``rolling.py:147-212``).
+
+Scale notes (100 TB): every operator here is a single hash-shuffle on
+its grouping key followed by map-side-combinable aggregates; the
+percentile operator adds one sort within key partitions (Spark sorts
+window partitions, it does not globally sort). Metric keys
+(symbol x channel) are low-cardinality, so the shuffled state is tiny
+regardless of input volume; skew on a hot symbol is handled by AQE
+skew-join/partition splitting which stays enabled in the session
+factory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    prefix: str = "",
+) -> DataFrame:
+    """A5/A7: count / mean / sample-std / min / max per key.
+
+    Sample std uses the n-1 denominator (``stddev_samp``) to match the
+    reference (``rolling.py:180``); single-row and empty groups fall
+    back to 0.0 (``rolling.py:183-184,192,195-196``).
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).cast("long").alias(f"{prefix}count"),
+        F.coalesce(F.avg(v), F.lit(0.0)).alias(f"{prefix}mean"),
+        F.coalesce(F.stddev_samp(v), F.lit(0.0)).alias(f"{prefix}std"),
+        F.coalesce(F.min(v).cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
+        F.coalesce(F.max(v).cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
+    )
+
+
+def lag_diff(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    out_col: str = "stale_ms",
+) -> DataFrame:
+    """A6: staleness = ts - lag(ts) per key; first row per key dropped.
+
+    The ordering carries a total tiebreak because parquet does not
+    guarantee arrival order (the reference relies on it). Negative
+    diffs are passed through, matching ``rolling.py:88``.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .where(F.col("_prev_ts").isNotNull())
+        .withColumn(out_col, (F.col(ts_col) - F.col("_prev_ts")).cast("long"))
+        .drop("_prev_ts")
+    )
+
+
+def percentiles_lower(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[tuple[str, float]] = (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)),
+) -> DataFrame:
+    """A2: exact nearest-rank-lower percentiles per key.
+
+    Reference rule (``rolling.py:99-111``): sort the window, take the
+    element at ``int(p * (n - 1))``. Implemented with a row_number +
+    count(*) window pair, then a conditional-max rollup - a single
+    shuffle on the key, sort local to each key partition. This is the
+    same arithmetic in ANSI SQL, so the DuckDB oracle matches bit-wise
+    (no interpolation anywhere).
+    """
+    v = F.col(value_col)
+    w_rank = Window.partitionBy(*keys).orderBy(v)
+    w_all = Window.partitionBy(*keys)
+    ranked = (
+        df.where(v.isNotNull())
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn") - 1 == F.floor(F.lit(p) * (F.col("_n") - 1)),
+                v,
+            )
+        ).alias(name)
+        for name, p in percentiles
+    ]
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def conditional_rate(
+    df: DataFrame,
+    keys: Sequence[str],
+    cond: Column,
+    hit_alias: str = "zero_n",
+    total_alias: str = "total",
+    rate_alias: str = "zero_rate_pct",
+) -> DataFrame:
+    """A3: cumulative conditional-rate percentage per key.
+
+    ``sum(cond) / count(*) * 100`` - the reference keeps these counters
+    cumulative since process start (``rolling.py:41-43,136,141``), so in
+    batch this is a plain (un-windowed) aggregate.
+    """
+    return df.groupBy(*keys).agg(
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(hit_alias),
+        F.count(F.lit(1)).cast("long").alias(total_alias),
+        (
+            F.sum(F.when(cond, 1).otherwise(0)) * 100.0 / F.count(F.lit(1))
+        ).alias(rate_alias),
+    )
+
+
+def sliding_range_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_ms_col: str,
+    value_col: str,
+    window_ms: int = 5000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """A1 (batch analog): per-row stats over the trailing ``window_ms``.
+
+    ``Window.orderBy(ts_ms).rangeBetween(-window_ms, 0)`` reproduces the
+    reference's deque eviction rule ``t < now - window_ms`` with
+    *inclusive* cutoff semantics on the current row (``rolling.py:67-73``
+    evicts strictly-older entries). One shuffle on the key; the range
+    frame is evaluated with a single sort per key partition.
+    """
+    order = [F.col(ts_ms_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_ms_col))
+        .rangeBetween(-window_ms, 0)
+    )
+    v = F.col(value_col)
+    out = df.select(
+        *keys,
+        *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+        F.col(ts_ms_col),
+        F.count(v).over(w).cast("long").alias("w_count"),
+        F.avg(v).over(w).alias("w_mean"),
+        F.min(v).over(w).cast("double").alias("w_min"),
+        F.max(v).over(w).cast("double").alias("w_max"),
+    )
+    _ = order
+    return out
+
+
+def snapshot(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    ts_ms_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """K5: the 13-column CSV metrics snapshot as one DataFrame.
+
+    Latency stats (A5) full-outer-joined with staleness stats (A7 over
+    the A6 lag-diff), all-0.0 for missing sides, ordered by key
+    (``rolling.py:147-212``; sorted keys at ``rolling.py:152``).
+    """
+    lat = grouped_stats(df, keys, value_col, prefix="lat_")
+    stale_src = lag_diff(df, keys, ts_ms_col, tiebreak_col, out_col="stale_ms")
+    stale = grouped_stats(stale_src, keys, "stale_ms", prefix="stale_")
+    joined = lat.join(stale, on=list(keys), how="full_outer")
+    fills = {}
+    for p in ("lat_", "stale_"):
+        fills[f"{p}count"] = F.coalesce(F.col(f"{p}count"), F.lit(0)).cast("long")
+        for s in ("mean", "std", "min", "max"):
+            fills[f"{p}{s}"] = F.coalesce(F.col(f"{p}{s}"), F.lit(0.0))
+    return joined.withColumns(fills).orderBy(*keys)
+
+
+def having_gate(
+    df: DataFrame, keys: Sequence[str], min_samples: int = 20
+) -> DataFrame:
+    """A8: emit per-key counts only for keys holding >= min_samples.
+
+    Reference gate at ``rolling.py:125,130,134,139`` (>= 20 samples).
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= min_samples)
+    )

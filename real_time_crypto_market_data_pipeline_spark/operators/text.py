@@ -1,0 +1,153 @@
+"""Text-analysis operators for large-scale training-data pipelines (SURVEY 2.7 X4).
+
+Tokenization, shingling, language-ID heuristics, quality scoring,
+token counting, and document fingerprinting over a ``documents`` table
+(doc_id, text, ...). All operators are built-in column expressions -
+no Python UDFs - so at 100 TB they run entirely inside whole-stage
+codegen on the scan stage, shuffling only the (token -> count) style
+aggregates, which are map-side combined before the exchange.
+
+Portability: hashing uses ``md5`` (identical across Spark / DuckDB /
+every engine) rather than Spark's murmur3 ``hash``, so every operator
+here has an exact cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny embedded English stopword list - enough for ratio features and
+# the language vote; deliberately small so the SQL oracle can inline it.
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+
+
+def tokens_col(text_col: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: tokens[i..i+n-1] joined by spaces.
+
+    Expressed as ``transform(sequence(...))`` so the whole shingle set
+    materializes as one array column - no explode until the consumer
+    needs rows. Documents shorter than n yield an empty array.
+    """
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4: global token frequency + document frequency.
+
+    explode -> groupBy(token) is the canonical word-count; partial
+    aggregation makes the shuffle proportional to vocabulary size, not
+    corpus size - the right shape at 100 TB.
+    """
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def bpe_ish_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4: regex token counting (BPE-ish: letter runs / digit runs / other).
+
+    ``regexp_extract_all`` with a class-based pattern approximates a
+    byte-pair tokenizer's pre-tokenization split; counting happens on
+    the array length, no explode needed.
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+|[0-9]+"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4: stopword-vote language heuristic.
+
+    Real LID uses char n-gram profiles; the deterministic, SQL-portable
+    core is the same shape: per-doc feature ratios -> threshold vote.
+    Emits the predicted label and the stopword ratio evidence.
+    """
+    toks = tokens_col(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n = F.size(toks)
+    ratio = F.when(n > 0, stop_hits.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4: heuristic document-quality features + composite score.
+
+    Features mirror the standard pretraining-data filters: length,
+    mean token length, stopword ratio, non-alpha character ratio.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha_chars = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_tok.cast("double") / 64.0, F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """X4: document fingerprints - whole-text hash + min-shingle hash.
+
+    ``fp_text`` is the exact-dup fingerprint (md5 of the
+    whitespace-normalized lowercased text); ``fp_min_shingle`` is a
+    1-permutation MinHash (the winnowing-style representative shingle),
+    stable under content reordering-free edits.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    toks = tokens_col(F.col(text_col))
+    sh = word_shingles(toks, shingle_n)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_text"),
+        F.coalesce(min_sh, F.md5(norm)).alias("fp_min_shingle"),
+    )

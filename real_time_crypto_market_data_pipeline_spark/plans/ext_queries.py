@@ -1,0 +1,360 @@
+"""SURVEY section 2.7 extension operators: LLM-training-data pipeline queries.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + IVF), and text analysis over
+the driver's ``documents`` / ``embeddings`` tables - each with an
+exact DuckDB oracle. See operators/{dedup,similarity,text}.py for the
+scale design notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..tables import load
+from .registry import query
+
+# Shared oracle CTE fragments (DuckDB dialect). Tokenization and
+# shingling must match operators/text.py exactly: lowercase, split on
+# single space, drop empties, word-3-gram shingles.
+_TOKS = (
+    "SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks "
+    "FROM documents"
+)
+_SHINGLES = f"""
+    tok AS ({_TOKS}),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(0, len(toks) - 3),
+                                      i -> array_to_string(toks[i+1:i+3], ' '))
+                  ELSE []::VARCHAR[] END AS shingles
+      FROM tok
+    )
+"""
+_MINHASH = f"""
+    WITH {_SHINGLES},
+    expl AS (
+      SELECT doc_id, seed, shingle
+      FROM sh, UNNEST(shingles) AS u(shingle), UNNEST(generate_series(0, 7)) AS s(seed)
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+      FROM expl GROUP BY doc_id, seed
+    ),
+    band AS (
+      SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+             string_agg(sig, '' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY doc_id, CAST(seed // 2 AS INTEGER)
+    ),
+    buck AS (
+      SELECT doc_id, band,
+             md5(CAST(band AS VARCHAR) || '|' || band_sig) AS bucket
+      FROM band
+    )
+"""
+_COS = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+# ---------------------------------------------------------------- X1
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup, deterministic min-doc_id representative."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- X2 (MinHash LSH)
+@query(
+    "q_dedup_near",
+    oracle=_MINHASH + "SELECT doc_id, band, bucket FROM buck",
+    bench=True,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash(8 perms) + LSH banding (4 bands x 2 rows) -> bucket table.
+
+    The bucket table IS the LSH index: docs sharing a (band, bucket)
+    are near-dup candidates. Signature pass is one keyed shuffle.
+    """
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.lsh_buckets(sigs)
+
+
+@query(
+    "q_dedup_near_pairs",
+    oracle=_MINHASH
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buck a JOIN buck b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: LSH candidate pairs (bucket-local self-join, never a cross join)."""
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs(D.lsh_buckets(sigs))
+
+
+# ---------------------------------------------------------------- X2 (SimHash)
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS ({_TOKS}),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM t
+    ),
+    per_bit AS (
+      SELECT doc_id, bit,
+             CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS w
+      FROM hashed, UNNEST(generate_series(0, 31)) AS b(bit)
+    ),
+    votes AS (SELECT doc_id, bit, SUM(w) AS s FROM per_bit GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 32-bit SimHash fingerprints (token-hash bit voting)."""
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- X2 (Jaccard verify)
+@query(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES},
+    dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+    bench=True,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: top-20 trigram-Jaccard pairs; equi-join on shingles prunes disjoint pairs."""
+    return D.jaccard_pairs(load(spark, sf_dir, "documents"), top_k=20)
+
+
+# ---------------------------------------------------------------- X2 (embedding near-dup)
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {_COS.format(a='ea', b='eb')} AS cosine
+    FROM pairs ORDER BY cosine DESC, vec_a, vec_b LIMIT 20
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: embedding-cosine near-dup pairs, blocked on label (IVF-cell analog)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("label") == 0)
+    return D.embedding_near_dup(emb, block_col="label", top_k=20)
+
+
+# ---------------------------------------------------------------- X3 (brute force)
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qe')} AS cosine
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+    bench=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact brute-force cosine top-10 (broadcast query, TakeOrdered top-k)."""
+    return S.cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+# ---------------------------------------------------------------- X3 (IVF scale path)
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             {_COS.format(a='e.embedding', b='c.cvec')} AS csim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cell_id) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qcell AS (SELECT cell_id AS qc FROM best WHERE vec_id = 0)
+    SELECT b.vec_id, CAST(b.cell_id AS INTEGER) AS cell_id,
+           {_COS.format(a='b.embedding', b='q.qe')} AS cosine
+    FROM best b CROSS JOIN q CROSS JOIN qcell
+    WHERE b.cell_id = qcell.qc
+    ORDER BY cosine DESC, b.vec_id LIMIT 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF-style ANN - assign to nearest of 8 deterministic centroids, probe one cell."""
+    return S.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+# ---------------------------------------------------------------- X4 (token stats)
+@query(
+    "q_token_stats",
+    oracle=f"""
+    WITH tok AS ({_TOKS}),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM t GROUP BY token
+    """,
+    bench=True,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token frequency + document frequency (the word-count shuffle)."""
+    return T.token_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_pieces,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: regex (BPE-ish pre-tokenizer) token counting."""
+    return T.bpe_ish_token_count(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH tok AS ({_TOKS}),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> list_contains(
+                         ['the','a','an','of','to','and','in','is','on','for'], x)))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM tok
+    )
+    SELECT doc_id, stopword_ratio,
+           CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM r
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: stopword-vote language-ID heuristic."""
+    return T.language_id(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','of','to','and','in','is','on','for'], x))) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS mean_token_len
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           mean_token_len,
+           CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END
+             AS stopword_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END
+             AS alpha_ratio,
+           LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.4
+             + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END) * 0.4
+             + LEAST((CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END) * 10.0, 1.0) * 0.2
+             AS quality
+    FROM feat
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: pretraining-data quality features + composite score."""
+    return T.quality_score(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_fingerprint",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, norm,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(0, len(toks) - 3),
+                                      i -> array_to_string(toks[i+1:i+3], ' '))
+                  ELSE []::VARCHAR[] END AS sh
+      FROM t
+    )
+    SELECT doc_id, md5(norm) AS fp_text,
+           COALESCE(list_min(list_transform(sh, x -> md5(x))), md5(norm)) AS fp_min_shingle
+    FROM s
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: document fingerprints - normalized-text md5 + 1-perm MinHash."""
+    return T.fingerprint(load(spark, sf_dir, "documents"))

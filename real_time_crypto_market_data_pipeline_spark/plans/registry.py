@@ -1,0 +1,59 @@
+"""Query registry: every SURVEY.md section-2 operator as a named query.
+
+Each entry pairs a PySpark builder ``(spark, sf_dir) -> DataFrame``
+with the ANSI-SQL oracle string DuckDB runs on the same parquet
+tables. The driver compares row-count + schema + order-insensitive
+value-hash, so:
+
+- every computed column is aliased identically on both sides;
+- orderings always carry a total tiebreak;
+- hashing uses md5 (engine-portable), never engine-private hashes;
+- percentiles use the reference's exact nearest-rank-lower rule on
+  both sides (no interpolation -> no float drift).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+BENCH_KEYS: list[str] = []
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs that correctness depends on.
+
+    - ``nanosAsLong``: the driver's ``events.ts`` is parquet
+      TIMESTAMP(NANOS), which Spark 4 refuses by default; reading it as
+      a raw LONG of nanoseconds also matches the engine's clock-domain
+      contract (integer ns stays integer - reference
+      ``time_helpers.py:12-23``).
+    - UTC session timezone: DuckDB treats naive timestamps as UTC; all
+      date/hour rendering must agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def query(
+    name: str, oracle: str | None = None, bench: bool = False
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = f"q_{name}" if not name.startswith("q_") else name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        if bench:
+            BENCH_KEYS.append(name)
+        return wrapped
+
+    return deco

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the local[32] test rig.
+
+The production target is a multi-executor cluster over ~100 TB; every
+knob here has a scale rationale:
+
+- AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  partition counts when data volume varies by 1000x between runs.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescing makes the static number a ceiling, not a
+  constant.
+- UTC session timezone: the engine's clock-domain contract (reference
+  ``time_helpers.py:12-23``) keeps epoch-ms integers unambiguous; all
+  timestamp rendering is pinned to UTC so results are
+  cluster-placement-independent.
+- Arrow enabled: every Pandas-UDF path (multimodal decode, stateful
+  lag) rides vectorized Arrow batches instead of per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "real_time_crypto_market_data_pipeline_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_oracle_parity_conf(spark: SparkSession) -> SparkSession:
+    """Pin the session-level runtime confs that oracle parity depends on.
+
+    Safe to call on a session we did not create (the driver passes its
+    own): these are runtime confs, not cluster confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

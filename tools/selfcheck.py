@@ -1,0 +1,133 @@
+"""Self-check: run every registered query on Spark AND its DuckDB oracle,
+compare row count / schema shape / values (order-insensitive), mimicking
+the driver's correctness gate.
+
+Usage:
+    python tools/selfcheck.py [sf_dir] [query ...]
+
+Exit code 0 iff every checked query matches.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from real_time_crypto_market_data_pipeline_spark.plans import ORACLES, QUERIES  # noqa: E402
+from real_time_crypto_market_data_pipeline_spark.session import get_spark  # noqa: E402
+from real_time_crypto_market_data_pipeline_spark.tables import TABLES  # noqa: E402
+
+
+def canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        # round to 6 significant digits (driver rounds floats before hashing)
+        from decimal import Decimal
+
+        return float(f"{v:.6g}")
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon_value(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def max_float_dev(a_rows, b_rows):
+    dev = 0.0
+    for ra, rb in zip(a_rows, b_rows):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                denom = max(abs(va), abs(vb), 1e-300)
+                dev = max(dev, abs(va - vb) / denom)
+    return dev
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = only or sorted(QUERIES)
+    failed = []
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if name not in ORACLES:
+            print(f"ok    {name:24s} rows={len(s_rows):7d} (no oracle - rows-only)")
+            continue
+        try:
+            o = con.sql(ORACLES[name])
+            o_cols = [c for c in o.columns]
+            o_rows = o.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:24s} duckdb error: {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        dt = time.time() - t0
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
+        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(o_cols)}")
+        if not problems:
+            sc, s_canon = canon_rows(s_cols, s_rows)
+            oc, o_canon = canon_rows(o_cols, o_rows)
+            if s_canon != o_canon:
+                n_bad = sum(1 for a, b in zip(s_canon, o_canon) if a != b)
+                dev = max_float_dev(s_canon, o_canon)
+                problems.append(f"values: {n_bad}/{len(s_canon)} rows differ, max_rel_dev={dev:.2e}")
+                for a, b in list(zip(s_canon, o_canon))[:2000]:
+                    if a != b:
+                        problems.append(f"  spark={a}")
+                        problems.append(f"  duck ={b}")
+                        break
+        if problems:
+            print(f"FAIL  {name:24s} " + "; ".join(problems[:3]))
+            failed.append(name)
+        else:
+            print(f"PASS  {name:24s} rows={len(s_rows):7d} {dt:6.1f}s")
+
+    print()
+    if failed:
+        print(f"{len(failed)}/{len(names)} FAILED: {failed}")
+        return 1
+    print(f"all {len(names)} queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
