@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens_col, word_shingles
+from .text import spread_for_fanout, tokens_col, word_shingles
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_ROWS = 2  # bands = num_hashes / band_rows
@@ -67,7 +67,7 @@ def minhash_signatures(
     """
     toks = tokens_col(F.col(text_col))
     sh = word_shingles(toks, shingle_n)
-    exploded = docs.select(
+    exploded = spread_for_fanout(docs).select(
         "doc_id", F.explode(sh).alias("shingle")
     ).select(
         "doc_id",
@@ -145,7 +145,9 @@ def simhash(
     explode(tokens) x bits is a projection, and the only shuffle is
     groupBy(doc_id, bit) with partial aggregation.
     """
-    tok = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
+    tok = spread_for_fanout(docs).select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
     hashed = tok.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
     )
@@ -192,7 +194,7 @@ def jaccard_pairs(
     pruning is represented by the distinct() step.
     """
     sh = (
-        docs.select(
+        spread_for_fanout(docs).select(
             "doc_id",
             F.explode(
                 word_shingles(tokens_col(F.col(text_col)), shingle_n)

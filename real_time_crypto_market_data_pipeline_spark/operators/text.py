@@ -17,6 +17,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def spread_for_fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition a compact table before a high-fanout explode.
+
+    A small parquet file arrives as one partition; exploding shingles x
+    seeds multiplies rows ~100-400x, so whatever parallelism the scan
+    had is what the fan-out is stuck with. Hash-repartitioning the
+    compact side first costs a tiny shuffle and sizes partitions for
+    the post-explode volume - the same sizing rule that matters at
+    100 TB (partition for output volume of a fan-out, not input).
+    Skipped when the input is already wider than the shuffle width.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
 # A tiny embedded English stopword list - enough for ratio features and
 # the language vote; deliberately small so the SQL oracle can inline it.
 STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
@@ -50,7 +67,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     aggregation makes the shuffle proportional to vocabulary size, not
     corpus size - the right shape at 100 TB.
     """
-    toks = docs.select(
+    toks = spread_for_fanout(docs).select(
         F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     return toks.groupBy("token").agg(
