@@ -66,14 +66,23 @@ def lag_diff(
     ts_col: str,
     tiebreak_col: str,
     out_col: str = "stale_ms",
+    order_col: str | None = None,
 ) -> DataFrame:
     """A6: staleness = ts - lag(ts) per key; first row per key dropped.
 
-    The ordering carries a total tiebreak because parquet does not
-    guarantee arrival order (the reference relies on it). Negative
-    diffs are passed through, matching ``rolling.py:88``.
+    The reference iterates in *arrival* order and diffs the exchange
+    timestamp, so staleness can go negative on reordered frames and is
+    passed through unclamped (``rolling.py:88``). Pass ``order_col``
+    (e.g. an arrival sequence) to reproduce that; by default rows are
+    ordered by the diffed column itself with a total tiebreak, because
+    parquet does not guarantee arrival order.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    order = (
+        [F.col(order_col)]
+        if order_col is not None
+        else [F.col(ts_col), F.col(tiebreak_col)]
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_prev_ts", F.lag(ts_col).over(w))
         .where(F.col("_prev_ts").isNotNull())

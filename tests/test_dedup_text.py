@@ -1,0 +1,105 @@
+"""Dedup + text operator semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+from real_time_crypto_market_data_pipeline_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near dup of 0
+        (3, "completely different content about spark engines and parquet files"),
+        (4, "tiny"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_representatives(corpus):
+    rows = {r.doc_id: r.n_copies for r in D.exact_dedup(corpus).collect()}
+    assert rows[0] == 2  # doc 1 collapsed into doc 0 (min doc_id kept)
+    assert 1 not in rows
+    assert rows[2] == 1 and rows[3] == 1 and rows[4] == 1
+
+
+def test_minhash_identical_docs_identical_signatures(corpus):
+    sigs = D.minhash_signatures(corpus).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r.doc_id, {})[r.seed] = r.sig
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[3]
+    assert 4 not in by_doc  # no shingles -> no signature rows
+
+
+def test_lsh_candidates_catch_exact_and_near_dups(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(
+            D.lsh_buckets(D.minhash_signatures(corpus))
+        ).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprints(corpus):
+    fps = {r.doc_id: r.simhash for r in D.simhash(corpus).collect()}
+    assert fps[0] == fps[1]
+    assert 0 <= fps[0] < 2**32
+    # near-dup shares most bits; unrelated doc differs more
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[0], fps[2]) <= ham(fps[0], fps[3])
+
+
+def test_jaccard_exact_dup_is_one(corpus):
+    rows = D.jaccard_pairs(corpus, top_k=None).collect()
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert jac[(0, 1)] == 1.0
+    assert 0.0 < jac[(0, 2)] < 1.0
+    assert (0, 3) not in jac  # no shared shingles -> pruned by the equi-join
+
+
+def test_token_stats_counts(corpus):
+    rows = {r.token: (r.n, r.n_docs) for r in T.token_stats(corpus).collect()}
+    assert rows["the"] == (6, 3)  # 2 per doc in docs 0,1,2
+    assert rows["tiny"] == (1, 1)
+
+
+def test_fingerprint_whitespace_normalization(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b  c"), (1, "a b c"), (2, "a b d")], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in T.fingerprint(docs).collect()}
+    assert rows[0].fp_text == rows[1].fp_text  # runs of whitespace collapse
+    assert rows[0].fp_text != rows[2].fp_text
+
+
+def test_quality_score_monotone_in_length(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat and then it ran away home"), (1, "x")],
+        "doc_id LONG, text STRING",
+    )
+    q = {r.doc_id: r.quality for r in T.quality_score(docs).collect()}
+    assert q[0] > q[1]
+
+
+def test_embedding_near_dup_blocked(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.001], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [1.0, 0.0], 1),  # other block: never paired with 0
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_near_dup(emb).collect()}
+    assert pairs[(0, 1)] > 0.999
+    assert (0, 3) not in pairs
+    assert pairs[(0, 2)] < 0.01

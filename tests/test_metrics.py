@@ -1,0 +1,139 @@
+"""Unit tests for metrics operators against the reference's exact rules
+(rolling.py): percentile index rule, sample std, lag suppression,
+min-sample gate, range-window eviction."""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.operators import metrics as M
+
+
+def ref_percentile(sorted_vals, p):
+    """The reference's nearest-rank-lower rule (rolling.py:107-109)."""
+    if not sorted_vals:
+        return None
+    idx = int(p * (len(sorted_vals) - 1))
+    return sorted_vals[idx]
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    return spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "key STRING, i LONG, v DOUBLE"
+    ), vals
+
+
+def test_percentile_matches_reference_rule(series_df):
+    df, vals = series_df
+    got = {
+        r["key"]: (r.p50, r.p95, r.p99)
+        for r in M.percentiles_lower(df, ["key"], "v").collect()
+    }
+    s = sorted(vals)
+    assert got["k"] == (
+        ref_percentile(s, 0.5),
+        ref_percentile(s, 0.95),
+        ref_percentile(s, 0.99),
+    )
+
+
+def test_percentile_rule_differs_from_interpolation(series_df):
+    """Guard: our rule is nearest-rank-lower, NOT Spark's interpolating
+    percentile(); with an even count they disagree, proving we
+    implemented the reference rule rather than delegating."""
+    df, _ = series_df
+    even = df.where("i < 10")  # 10 values
+    ours = M.percentiles_lower(even, ["key"], "v").first().p50
+    spark_interp = even.selectExpr("percentile(v, 0.5) AS p").first().p
+    vals = sorted([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0])
+    assert ours == vals[int(0.5 * 9)]
+    assert spark_interp != ours  # interpolated midpoint differs
+
+
+def test_grouped_stats_sample_std(series_df):
+    df, vals = series_df
+    r = M.grouped_stats(df, ["key"], "v", "s_").first()
+    assert r.s_count == len(vals)
+    assert math.isclose(r.s_mean, statistics.fmean(vals))
+    assert math.isclose(r.s_std, statistics.stdev(vals))  # n-1, rolling.py:180
+    assert (r.s_min, r.s_max) == (min(vals), max(vals))
+
+
+def test_grouped_stats_single_row_std_is_zero(spark):
+    df = spark.createDataFrame([("k", 5.0)], "key STRING, v DOUBLE")
+    r = M.grouped_stats(df, ["key"], "v", "s_").first()
+    assert r.s_std == 0.0  # rolling.py:192 fallback
+
+
+def test_lag_diff_drops_first_row_and_allows_negative(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 250), ("a", 3, 200), ("b", 4, 7)],
+        "key STRING, i LONG, ms LONG",
+    )
+    # arrival order (order_col=i), diffing the exchange ts - the
+    # reference's semantics where staleness can go negative
+    rows = M.lag_diff(df, ["key"], "ms", "i", order_col="i").orderBy("i").collect()
+    # first row of each key suppressed (rolling.py:87); b has only one event
+    assert [(r.key, r.stale_ms) for r in rows] == [("a", 150), ("a", -50)]
+    # negative staleness passes through unclamped (rolling.py:88)
+
+    # deterministic batch ordering by (ts, tiebreak): diffs over sorted ts
+    rows2 = M.lag_diff(df, ["key"], "ms", "i").orderBy("i").collect()
+    assert sorted(r.stale_ms for r in rows2 if r.key == "a") == [50, 100]
+
+
+def test_having_gate(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(25)] + [("b", i) for i in range(5)],
+        "key STRING, i LONG",
+    )
+    rows = M.having_gate(df, ["key"], min_samples=20).collect()
+    assert [(r.key, r.n) for r in rows] == [("a", 25)]
+
+
+def test_sliding_range_window_eviction(spark):
+    """Window holds only elements within window_ms of the current row
+    (deque eviction rule rolling.py:67-73)."""
+    df = spark.createDataFrame(
+        [("k", 1, 0, 1.0), ("k", 2, 4000, 2.0), ("k", 3, 5000, 3.0), ("k", 4, 12000, 4.0)],
+        "key STRING, i LONG, ms LONG, v DOUBLE",
+    )
+    rows = (
+        M.sliding_range_stats(df, ["key"], "ms", "v", window_ms=5000, tiebreak_col="i")
+        .orderBy("ms")
+        .collect()
+    )
+    assert [r.w_count for r in rows] == [1, 2, 3, 1]  # t=12000 evicted all others
+    assert rows[2].w_mean == 2.0  # (1+2+3)/3
+    assert rows[3].w_min == 4.0
+
+
+def test_snapshot_composition(spark):
+    df = spark.createDataFrame(
+        [("u", "c", 1, 100, 10.0), ("u", "c", 2, 300, 20.0), ("u", "d", 3, 50, 5.0)],
+        "user STRING, chan STRING, i LONG, ms LONG, v DOUBLE",
+    )
+    rows = M.snapshot(df, ["user", "chan"], "v", "ms", "i").collect()
+    by_key = {(r.user, r.chan): r for r in rows}
+    uc = by_key[("u", "c")]
+    assert uc.lat_count == 2 and uc.stale_count == 1
+    assert uc.stale_mean == 200.0
+    ud = by_key[("u", "d")]
+    # single event: no staleness rows -> all-zero stale side (rolling.py:183-184)
+    assert ud.stale_count == 0 and ud.stale_mean == 0.0 and ud.stale_std == 0.0
+
+
+def test_conditional_rate(spark):
+    df = spark.createDataFrame(
+        [("k", 0.0), ("k", 0.0), ("k", 5.0), ("k", 7.0)], "key STRING, v DOUBLE"
+    )
+    from pyspark.sql import functions as F
+
+    r = M.conditional_rate(df, ["key"], F.col("v") == 0.0).first()
+    assert (r.zero_n, r.total) == (2, 4)
+    assert r.zero_rate_pct == 50.0

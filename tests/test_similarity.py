@@ -1,0 +1,59 @@
+"""Similarity search: brute-force cosine top-k and IVF probe semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)], i % 3) for i in range(64)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+
+def test_self_similarity_is_top_hit(emb):
+    top = S.cosine_topk(emb, query_vec_id=5, k=3).collect()
+    assert top[0].vec_id == 5
+    assert math.isclose(top[0].cosine, 1.0, rel_tol=1e-9)
+    assert top[0].cosine >= top[1].cosine >= top[2].cosine
+
+
+def test_topk_matches_numpy_bruteforce(emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[5]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items()
+    }
+    expect = sorted(sims, key=lambda i: (-sims[i], i))[:10]
+    got = [r.vec_id for r in S.cosine_topk(emb, query_vec_id=5, k=10).collect()]
+    assert got == expect
+
+
+def test_ivf_assign_every_vector_once(emb):
+    a = S.ivf_assign(emb, num_cells=4)
+    assert a.count() == 64
+    assert a.select("vec_id").distinct().count() == 64
+    cells = {r.cell_id for r in a.collect()}
+    assert cells <= {0, 1, 2, 3}
+    # centroids assign to themselves
+    own = {r.vec_id: r.cell_id for r in a.collect() if r.vec_id < 4}
+    assert own == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ivf_topk_subset_of_cell(emb):
+    res = S.ivf_topk(emb, query_vec_id=5, k=5, num_cells=4)
+    rows = res.collect()
+    assert len(rows) == 5
+    assert len({r.cell_id for r in rows}) == 1  # single probed cell
+    assert rows[0].vec_id == 5  # query finds itself in its own cell
