@@ -1,0 +1,169 @@
+"""Streaming sinks (SURVEY 2.4 K1-K7).
+
+The reference's sink surface re-expressed on DataStreamWriter:
+
+- K2 stdout sink        -> ``format('console')`` over the F15 render
+- K3 partitioned JSONL  -> text writer + ``partitionBy`` (Hive-style
+                           layout exchange=okx/channel=../dt=../symbol=..,
+                           the scalable analog of jsonl.py:20-29)
+- K4 buffered flush     -> the microbatch trigger IS the flush; the
+                           reference's 100-event count trigger has no
+                           Spark analog (documented semantic delta)
+- K5 CSV metrics export -> ``foreachBatch`` overwrite on its own
+                           trigger cadence (rolling.py:147-212)
+- K6 multi-sink fan-out -> one source, N checkpointed queries; a
+                           failing query doesn't kill its siblings
+- K7 graceful shutdown  -> ``stop_all`` (query.stop flushes the
+                           in-flight microbatch; app.py:122-147)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.normalize import jsonl_encode, render_stdout_line
+
+CSV_COLUMNS = [
+    "generated_at_utc",
+    "symbol",
+    "channel",
+    "lat_count",
+    "lat_mean_ms",
+    "lat_std_ms",
+    "lat_min_ms",
+    "lat_max_ms",
+    "stale_count",
+    "stale_mean_ms",
+    "stale_std_ms",
+    "stale_min_ms",
+    "stale_max_ms",
+]
+
+
+def start_console_sink(
+    events: DataFrame, checkpoint: str, trigger_seconds: float = 1.0
+) -> StreamingQuery:
+    """K2: formatted one-liner per event (stdout.py:9-36)."""
+    return (
+        render_stdout_line(events)
+        .select("line")
+        .writeStream.outputMode("append")
+        .format("console")
+        .option("truncate", "false")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def start_jsonl_sink(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """K3/K4: append compact-JSON lines partitioned by
+    (exchange, channel, dt, symbol).
+
+    The text writer emits exactly the encoded line per row; partition
+    pruning on dt/symbol makes downstream replay reads cheap. Flush
+    cadence = trigger interval (K4 delta: no 100-count flush).
+    """
+    lines = jsonl_encode(events).withColumnRenamed("jsonl", "value")
+    return (
+        lines.writeStream.outputMode("append")
+        .format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("exchange", "channel", "dt", "symbol")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def snapshot_to_csv_rows(snapshot: DataFrame, generated_at_utc: str) -> DataFrame:
+    """K5: 13-column CSV schema with %.3f float rendering at the edge
+    (rolling.py:156-170,203-211), rows sorted by (symbol, channel)."""
+    fmt = lambda c: F.format_string("%.3f", F.col(c))  # noqa: E731
+    return snapshot.select(
+        F.lit(generated_at_utc).alias("generated_at_utc"),
+        F.col("symbol"),
+        F.col("channel"),
+        F.col("lat_count"),
+        fmt("lat_mean").alias("lat_mean_ms"),
+        fmt("lat_std").alias("lat_std_ms"),
+        fmt("lat_min").alias("lat_min_ms"),
+        fmt("lat_max").alias("lat_max_ms"),
+        F.col("stale_count"),
+        fmt("stale_mean").alias("stale_mean_ms"),
+        fmt("stale_std").alias("stale_std_ms"),
+        fmt("stale_min").alias("stale_min_ms"),
+        fmt("stale_max").alias("stale_max_ms"),
+    ).orderBy("symbol", "channel")
+
+
+def start_csv_snapshot_sink(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger_seconds: float = 30.0,
+) -> StreamingQuery:
+    """K5: whole-file overwrite of current per-key stats each trigger.
+
+    ``foreachBatch`` recomputes the snapshot over the microbatch and
+    overwrites - the streaming analog of export_csv's full rewrite
+    (rolling.py:154). Default 30 s cadence (app.py:174-179).
+    """
+    from datetime import datetime, timezone
+
+    from ..operators.metrics import snapshot as batch_snapshot
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        lat_src = batch_df.withColumn(
+            "lat_ms",
+            (F.col("ts_recv_epoch_ms") - F.col("ts_exchange_ms")).cast("double"),
+        )
+        snap = batch_snapshot(
+            lat_src,
+            keys=["symbol", "channel"],
+            value_col="lat_ms",
+            ts_ms_col="ts_exchange_ms",
+            tiebreak_col="ts_recv_mono_ns",
+        )
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        (
+            snapshot_to_csv_rows(snap, now)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(out_dir)
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def stop_all(queries: list[StreamingQuery]) -> None:
+    """K7: graceful shutdown - stop() flushes the in-flight microbatch;
+    per-query isolation means one failure doesn't abort the rest
+    (app.py:93-98 error isolation)."""
+    errors = []
+    for q in queries:
+        try:
+            q.stop()
+        except Exception as exc:  # noqa: BLE001 - per-sink isolation
+            errors.append(exc)
+    for q in queries:
+        try:
+            q.awaitTermination(30)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+    if errors:
+        raise RuntimeError(f"{len(errors)} sink(s) failed during shutdown: {errors}")

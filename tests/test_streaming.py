@@ -1,0 +1,174 @@
+"""Streaming tests: replay source, normalize-on-stream, stateful lag,
+windowed stats, sink layout (SURVEY section 5 streaming strategy)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import (
+    BackoffPolicy,
+    subscribe_payload,
+    write_replay_file,
+)
+from real_time_crypto_market_data_pipeline_spark.streaming import pipeline as P
+from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+    streaming_staleness,
+)
+
+FRAMES = [
+    '{"arg": {"channel": "books5", "instId": "BTC-USDT"},'
+    ' "data": [{"ts": "1000", "bids": [["10", "1", "0", "1"]], "asks": [["11", "1", "0", "1"]]}]}',
+    '{"arg": {"channel": "books5", "instId": "BTC-USDT"},'
+    ' "data": [{"ts": "1600", "bids": [["10", "1", "0", "1"]], "asks": [["11", "1", "0", "1"]]}]}',
+    '{"event": "subscribe", "arg": {"channel": "books5", "instId": "BTC-USDT"}}',
+    '{"arg": {"channel": "trades", "instId": "ETH-USDT"},'
+    ' "data": [{"ts": "1200", "px": "5", "sz": "2", "side": "buy", "tradeId": "t1"},'
+    '          {"ts": "1500", "px": "6", "sz": "1", "side": "sell", "tradeId": "t2"}]}',
+    "pong",
+    '{"arg": {"channel": "books5", "instId": "BTC-USDT"},'
+    ' "data": [{"ts": "2600", "bids": [["12", "1", "0", "1"]], "asks": [["13", "1", "0", "1"]]}]}',
+]
+
+
+@pytest.fixture()
+def replay_path(tmp_path):
+    return write_replay_file(str(tmp_path / "frames.jsonl"), FRAMES)
+
+
+def test_subscribe_cross_product():
+    payload = json.loads(subscribe_payload(["A", "B"], ["books5", "trades"]))
+    assert payload["op"] == "subscribe"
+    assert {(a["channel"], a["instId"]) for a in payload["args"]} == {
+        ("books5", "A"),
+        ("books5", "B"),
+        ("trades", "A"),
+        ("trades", "B"),
+    }
+
+
+def test_backoff_exponential_capped_jittered():
+    b = BackoffPolicy()
+    d0 = b.delay(0, now=100.25)  # jitter = 0.8 + 0.4*0.25 = 0.9
+    assert d0 == pytest.approx(0.25 * 0.9)
+    assert b.delay(10, now=100.0) == pytest.approx(30.0 * 0.8)  # capped
+    assert b.delay(3, now=7.5) == pytest.approx(2.0 * 1.0)
+
+
+def test_replay_source_to_normalized_memory_sink(spark, replay_path, tmp_path):
+    raw = P.read_raw_stream(spark, mode="replay", path=replay_path, batch_size=3)
+    events = P.normalized_stream(raw)
+    q = (
+        events.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("norm_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM norm_out ORDER BY ts_exchange_ms"
+        ).collect()
+    finally:
+        q.stop()
+    # 3 books + 2 trades survive; control + pong dropped
+    assert [r.event_type for r in rows] == [
+        "book_topn",
+        "trade",
+        "trade",
+        "book_topn",
+        "book_topn",
+    ]
+    assert rows[0].book.best_bid == 10.0
+    # receive stamps flow through from the source's deterministic clock
+    assert rows[0].ts_recv_epoch_ms == 1_735_689_600_000
+
+
+def test_streaming_staleness_state_across_batches(spark, replay_path, tmp_path):
+    # batch_size=2 forces multiple microbatches -> state must persist
+    raw = P.read_raw_stream(spark, mode="replay", path=replay_path, batch_size=2)
+    stale = streaming_staleness(P.normalized_stream(raw))
+    q = (
+        stale.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stale_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stale"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM stale_out ORDER BY symbol, ts_exchange_ms"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r.symbol, r.ts_exchange_ms): r.stale_ms for r in rows}
+    # BTC books5: 1000 -> 1600 -> 2600 ; first event suppressed
+    assert got[("BTC-USDT", 1600)] == 600
+    assert got[("BTC-USDT", 2600)] == 1000
+    # ETH trades: 1200 -> 1500
+    assert got[("ETH-USDT", 1500)] == 300
+    assert ("BTC-USDT", 1000) not in got
+
+
+def test_windowed_latency_stats_stream(spark, replay_path, tmp_path):
+    raw = P.read_raw_stream(spark, mode="replay", path=replay_path, batch_size=10)
+    stats = P.windowed_latency_stats(
+        P.normalized_stream(raw), window="5 seconds", slide="5 seconds"
+    )
+    # complete mode: append would hold rows until the watermark passes
+    # each window, which never happens when the replay file is finite
+    q = (
+        stats.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_out").collect()
+    finally:
+        q.stop()
+    by_key = {(r.symbol, r.channel): r for r in rows}
+    btc = by_key[("BTC-USDT", "books5")]
+    assert btc.lat_count == 3
+    assert btc.lat_min > 0
+
+
+def test_full_pipeline_jsonl_layout_and_csv(spark, replay_path, tmp_path):
+    """K3 layout + K5 csv through the composed pipeline (P2)."""
+    work = str(tmp_path / "work")
+    handles = P.start_pipeline(spark, replay_path, work, enable_console=False)
+    try:
+        handles.process_all_available()
+    finally:
+        handles.stop()
+    # Hive-style partition layout: exchange=okx/channel=../dt=../symbol=..
+    found = []
+    for root, _dirs, files in os.walk(f"{work}/data"):
+        for f in files:
+            if f.endswith(".txt"):
+                found.append(os.path.join(root, f))
+    assert any("exchange=okx" in p and "channel=books5" in p and "symbol=BTC-USDT" in p for p in found)
+    # every written line is valid compact JSON with the payload envelope
+    with open(next(p for p in found if "channel=books5" in p)) as fh:
+        rec = json.loads(fh.readline())
+    assert rec["exchange"] == "okx" and "payload" in rec
+    # CSV snapshot: header + 13 columns
+    csv_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{work}/metrics_csv")
+        for f in fs
+        if f.endswith(".csv")
+    ]
+    assert csv_files
+    header = open(csv_files[0]).readline().strip().split(",")
+    assert header == [
+        "generated_at_utc", "symbol", "channel",
+        "lat_count", "lat_mean_ms", "lat_std_ms", "lat_min_ms", "lat_max_ms",
+        "stale_count", "stale_mean_ms", "stale_std_ms", "stale_min_ms", "stale_max_ms",
+    ]
