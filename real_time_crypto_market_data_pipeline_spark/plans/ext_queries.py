@@ -358,3 +358,38 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: document fingerprints - normalized-text md5 + 1-perm MinHash."""
     return T.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- X5
+@query(
+    "q_media_summary",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           AVG(CAST(doc_id % 64 + 1 AS DOUBLE)) AS avg_width
+    FROM documents GROUP BY 1
+    """,
+)
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: metadata-only rollup over the multimodal table.
+
+    The binary payload column must be pruned out of the scan (check
+    ReadSchema); the oracle recomputes the deterministic metadata
+    directly from documents.
+    """
+    from ..operators import multimodal as MM
+
+    media = MM.documents_as_media(load(spark, sf_dir, "documents"))
+    return MM.media_summary(media)
+
+
+@query("q_media_features")  # rows-only: mapInPandas stage, not SQL-expressible
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: Arrow-batched feature extraction over binary payloads
+    (deterministic fake embedding; codec boundary stubbed)."""
+    from ..operators import multimodal as MM
+
+    media = MM.documents_as_media(load(spark, sf_dir, "documents"))
+    return MM.extract_features(media)

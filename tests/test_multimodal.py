@@ -1,0 +1,82 @@
+"""Multimodal column plumbing: binary payloads + typed metadata through
+Arrow-batched mapInPandas (X5). Codecs are stubbed; the Spark-side
+schema/batch/pruning behavior is what's under test."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some payload text") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    return MM.documents_as_media(docs)
+
+
+def test_media_schema_and_parquet_roundtrip(media, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("media") / "media.parquet")
+    media.write.mode("overwrite").parquet(out)
+    back = media.sparkSession.read.parquet(out)
+    # parquet reads back nullable; compare names+types, not nullability
+    assert back.schema.simpleString() == media.schema.simpleString()
+    assert back.count() == 30
+    row = back.where("media_id = 3").first()
+    assert bytes(row.payload) == b"document number 3 with some payload text"
+    assert row.meta.n_bytes == len(row.payload)
+    assert row.kind in ("image", "audio", "video")
+
+
+def test_decode_stub_is_explicit(media):
+    with pytest.raises(NotImplementedError, match="no codec"):
+        MM.decode_stub(b"bytes", "image")
+
+
+def test_feature_extraction_deterministic_and_normalized(media):
+    feats = MM.extract_features(media, dims=8)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 30
+    r = rows[7]
+    assert len(r.feat) == 8
+    assert sum(v * v for v in r.feat) == pytest.approx(1.0)
+    payload = b"document number 7 with some payload text"
+    assert r.sha256 == hashlib.sha256(payload).hexdigest()
+    assert r.n_bytes == len(payload)
+    # repartitioning must not change features (pure function of payload)
+    rows2 = {x.media_id: x.feat for x in MM.extract_features(media.repartition(7), dims=8).collect()}
+    assert rows2[7] == r.feat
+    # payload column is gone after the feature stage
+    assert "payload" not in feats.columns
+
+
+def test_thumbnails_truncate(media):
+    t = {r.media_id: r for r in MM.resize_thumbnails(media, max_bytes=10).collect()}
+    assert bytes(t[3].thumb) == b"document n"
+    assert t[3].thumb_w <= 16 and t[3].thumb_h <= 16
+
+
+def test_frame_sampling_only_video(media):
+    frames = MM.sample_frames(media, every_n=10)
+    rows = frames.collect()
+    assert rows, "expected at least one video with sampled frames"
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    kinds = {r.kind for r in media.join(frames, "media_id").select("kind").collect()}
+    assert kinds == {"video"}
+
+
+def test_metadata_rollup_prunes_payload(media, tmp_path_factory):
+    # from parquet, the metadata-only agg must not read the payload col
+    out = str(tmp_path_factory.mktemp("media2") / "m.parquet")
+    media.write.mode("overwrite").parquet(out)
+    back = media.sparkSession.read.parquet(out)
+    summary = MM.media_summary(back)
+    plan = summary._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[-1][:400]
+    counts = {r.kind: r.n for r in summary.collect()}
+    assert sum(counts.values()) == 30
