@@ -1,0 +1,87 @@
+"""Physical-plan audits: the scale discipline, asserted.
+
+Correct results are necessary; at 100 TB the plan shape decides
+whether the query finishes. These tests pin the properties that
+matter: filter/column pushdown to the parquet scan, broadcast joins
+for dims, TakeOrdered instead of global sorts, WindowGroupLimit for
+window top-k, and map-side partial aggregation before every exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_and_columns_pushed(spark):
+    plan = physical(QUERIES["q_tpch_q1"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 4 unused lineitem columns never leave the scan
+    read_schema = plan.split("ReadSchema:")[-1]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange
+
+
+def test_join_enrich_broadcasts_both_dims(spark):
+    plan = physical(QUERIES["q_join_enrich"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # fact scan reads only the join key + measure
+    orders_scan = [seg for seg in plan.split("FileScan") if "orders.parquet" in seg][0]
+    assert "o_orderdate" not in orders_scan.split("ReadSchema:")[-1]
+
+
+def test_cosine_topk_no_global_sort(spark):
+    plan = physical(QUERIES["q_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the corpus side must not shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_window_topk_uses_group_limit(spark):
+    plan = physical(QUERIES["q_topk_per_group"](spark, SF))
+    # Spark's rank-limit pushdown: per-partition top-k before the shuffle
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_isin_filter_pushed_to_scan(spark):
+    plan = physical(QUERIES["q_filter_isin"](spark, SF))
+    assert "PushedFilters: [Not(In(event_type" in plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_grouped_stats_partial_agg(spark):
+    plan = physical(QUERIES["q_grouped_stats"](spark, SF))
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # exactly one shuffle
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = physical(QUERIES["q_dedup_exact"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_media_summary_prunes_binary_payload(spark, tmp_path_factory):
+    plan = physical(QUERIES["q_media_summary"](spark, SF))
+    # the rollup never materializes the payload column
+    agg_read = plan.split("ReadSchema:")[-1]
+    assert "payload" not in agg_read
+
+
+@pytest.mark.parametrize("name", ["q_csv_snapshot", "q_percentiles", "q_lag_diff"])
+def test_no_cartesian_anywhere(spark, name):
+    plan = physical(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan
