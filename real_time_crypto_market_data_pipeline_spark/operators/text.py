@@ -168,3 +168,39 @@ def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> 
         F.md5(norm).alias("fp_text"),
         F.coalesce(min_sh, F.md5(norm)).alias("fp_min_shingle"),
     )
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text", top_per_doc: int = 5) -> DataFrame:
+    """X4: TF-IDF via joins/aggs - the canonical two-pass text weighting.
+
+    tf(d, t) = count of t in d; idf(t) = ln(N / df(t)); top terms per
+    doc via WindowGroupLimit. Both shuffles (by token for df, by doc
+    for top-k) are map-side combined; the doc-count N rides along as a
+    broadcast-sized cross join.
+    """
+    from pyspark.sql import Window
+
+    toks = spread_for_fanout(docs).select(
+        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_per_doc)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

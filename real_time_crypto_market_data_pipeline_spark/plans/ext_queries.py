@@ -393,3 +393,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.documents_as_media(load(spark, sf_dir, "documents"))
     return MM.extract_features(media)
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+    WITH tok AS ({_TOKS}),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: TF-IDF top-5 terms per document (join/agg two-pass weighting)."""
+    return T.tf_idf(load(spark, sf_dir, "documents"), top_per_doc=5)
