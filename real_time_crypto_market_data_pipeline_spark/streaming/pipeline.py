@@ -130,3 +130,21 @@ def start_pipeline(
             events, f"{work_dir}/metrics_csv", f"{work_dir}/ckpt_csv"
         )
     return handles
+
+
+def streaming_exact_dedup(
+    events: DataFrame, watermark: str = "10 seconds"
+) -> DataFrame:
+    """X1 (streaming): exact dedup within an event-time watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes - bounded state for an unbounded stream, the
+    scalable form of streaming dedup. Key = (symbol, channel,
+    ts_exchange_ms) - the natural identity of a market event.
+    """
+    keyed = events.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_exchange_ms"))
+    ).withWatermark("event_time", watermark)
+    return keyed.dropDuplicatesWithinWatermark(
+        ["symbol", "channel", "ts_exchange_ms"]
+    )

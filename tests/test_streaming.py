@@ -172,3 +172,26 @@ def test_full_pipeline_jsonl_layout_and_csv(spark, replay_path, tmp_path):
         "lat_count", "lat_mean_ms", "lat_std_ms", "lat_min_ms", "lat_max_ms",
         "stale_count", "stale_mean_ms", "stale_std_ms", "stale_min_ms", "stale_max_ms",
     ]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """X1 streaming: duplicate frames collapse within the watermark."""
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+
+    dup_frames = [FRAMES[0], FRAMES[0], FRAMES[1], FRAMES[0]]
+    path = write_replay_file(str(tmp_path / "dups.jsonl"), dup_frames)
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    deduped = P.streaming_exact_dedup(P.normalized_stream(raw))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT ts_exchange_ms FROM dedup_out").collect()
+    finally:
+        q.stop()
+    assert sorted(r.ts_exchange_ms for r in rows) == [1000, 1600]
