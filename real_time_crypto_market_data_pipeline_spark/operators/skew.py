@@ -1,0 +1,99 @@
+"""Skew-handling operators: salting patterns for hot keys.
+
+At 100 TB a handful of symbols (BTC, ETH) dominate the event volume;
+a plain ``groupBy(symbol)`` sends every BTC row to one reducer. Two
+mitigations, in preference order:
+
+1. AQE skew handling (on in session.py): splits oversized shuffle
+   partitions at runtime - free, but only helps joins/sort-merge
+   stages, not a single hot aggregation key.
+2. Two-stage salted aggregation (here): burst each key into
+   ``num_salts`` sub-keys, pre-aggregate, then merge. Works for any
+   algebraic aggregate (sum/count/min/max) and for mean/std when
+   decomposed into (count, sum, sum-of-squares).
+
+Sample-std merge uses the textbook sum-of-squares identity:
+``var = (ssq - sum^2/n) / (n - 1)`` - algebraically identical to
+stddev_samp, so results match the unsalted operator exactly (up to
+float associativity, which groupBy does not guarantee either).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_grouped_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    prefix: str = "",
+    num_salts: int = 16,
+) -> DataFrame:
+    """A5-equivalent grouped stats with a two-stage salted shuffle.
+
+    Stage 1 groups on (keys..., salt) - hot keys spread over
+    ``num_salts`` reducers; stage 2 merges the per-salt partials on
+    the true keys. The second shuffle moves only
+    |keys| x num_salts rows, regardless of input volume.
+    """
+    v = F.col(value_col)
+    salted = df.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(v).alias("_n"),
+        F.sum(v).alias("_sum"),
+        F.sum(v * v).alias("_ssq"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+    )
+    merged = partial.groupBy(*keys).agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum("_sum").alias("_S"),
+        F.sum("_ssq").alias("_Q"),
+        F.min("_min").alias("_MIN"),
+        F.max("_max").alias("_MAX"),
+    )
+    n = F.col("_N")
+    s = F.col("_S")
+    q = F.col("_Q")
+    var = F.when(n > 1, (q - s * s / n) / (n - 1)).otherwise(F.lit(0.0))
+    return merged.select(
+        *keys,
+        n.alias(f"{prefix}count"),
+        F.coalesce(s / n, F.lit(0.0)).alias(f"{prefix}mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias(f"{prefix}std"),
+        F.coalesce(F.col("_MIN").cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
+        F.coalesce(F.col("_MAX").cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
+    )
+
+
+def salted_top_values(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 10,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Top-k values per hot key without a single-reducer sort.
+
+    Stage 1: top-k within each (key, salt) slice (WindowGroupLimit
+    keeps the partial sort bounded); stage 2: top-k of the
+    num_salts * k survivors. Output: key cols + value + rank.
+    """
+    from pyspark.sql import Window
+
+    salted = df.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(F.col(value_col).desc())
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(value_col).desc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
