@@ -52,34 +52,57 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 stage 1: MinHash signature matrix, one row per doc.
+
+    Explode shingles once, evaluate all k seed-hashes as codegen'd
+    md5 columns, aggregate with k ``min``s. Map-side partial
+    aggregation collapses each partition to one row per doc before the
+    exchange, so the shuffle carries |docs| rows regardless of corpus
+    size. (A pure higher-order-function formulation would avoid even
+    that shuffle, but HOFs fall out of whole-stage codegen and measure
+    ~2x slower - explode + codegen beats interpreter-mode lambdas.)
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = word_shingles(toks, shingle_n)
+    exploded = spread_for_fanout(docs).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """X2 stage 1: k-permutation MinHash signatures.
+    """X2 stage 1 (long form): (doc_id, seed, sig) signature rows.
 
-    hash_j(shingle) = md5(j || '|' || shingle); sig_j = min over
-    shingles. Computed as explode(shingles) x explode(seeds) ->
-    groupBy(doc_id, seed).min - a single shuffle keyed on
-    (doc_id, seed), fully map-side combinable.
+    Unpivot of ``minhash_wide`` - kept for consumers that want the
+    classic signature-matrix shape.
     """
-    toks = tokens_col(F.col(text_col))
-    sh = word_shingles(toks, shingle_n)
-    exploded = spread_for_fanout(docs).select(
-        "doc_id", F.explode(sh).alias("shingle")
-    ).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
+    wide = minhash_wide(docs, text_col, num_hashes, shingle_n)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("seed"), F.col(f"sig{j}").alias("sig")
+            )
+            for j in range(num_hashes)
+        ]
     )
-    return (
-        exploded.withColumn(
-            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
+    return wide.select("doc_id", F.explode(pairs).alias("_s")).select(
+        "doc_id", F.col("_s.seed").alias("seed"), F.col("_s.sig").alias("sig")
     )
 
 
@@ -112,6 +135,39 @@ def lsh_buckets(
                 F.concat(F.col("band").cast("string"), F.lit("|"), F.col("band_sig"))
             ).alias("bucket"),
         )
+    )
+
+
+def lsh_bucket_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 stages 1+2 fused: docs -> (doc_id, band, bucket).
+
+    ``minhash_wide`` (one partial-aggregated shuffle of |docs| rows)
+    followed by a pure-projection banding explode. Equivalent to
+    ``lsh_buckets(minhash_signatures(docs))`` - asserted in tests.
+    """
+    wide = minhash_wide(docs, text_col, num_hashes, shingle_n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat(
+                        F.lit(f"{b}|"),
+                        *[F.col(f"sig{b * band_rows + r}") for r in range(band_rows)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_hashes // band_rows)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("_b")).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
 
 

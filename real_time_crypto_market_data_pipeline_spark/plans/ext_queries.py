@@ -94,8 +94,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucket table IS the LSH index: docs sharing a (band, bucket)
     are near-dup candidates. Signature pass is one keyed shuffle.
     """
-    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
-    return D.lsh_buckets(sigs)
+    return D.lsh_bucket_table(load(spark, sf_dir, "documents"))
 
 
 @query(
@@ -110,8 +109,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: LSH candidate pairs (bucket-local self-join, never a cross join)."""
-    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
-    return D.lsh_candidate_pairs(D.lsh_buckets(sigs))
+    return D.lsh_candidate_pairs(D.lsh_bucket_table(load(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------- X2 (SimHash)

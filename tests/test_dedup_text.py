@@ -103,3 +103,28 @@ def test_embedding_near_dup_blocked(spark):
     assert pairs[(0, 1)] > 0.999
     assert (0, 3) not in pairs
     assert pairs[(0, 2)] < 0.01
+
+
+def test_lsh_bucket_table_matches_long_form(corpus):
+    """The shuffle-free fused bucket table equals the
+    signatures->banding composition exactly."""
+    narrow = {
+        (r.doc_id, r.band, r.bucket)
+        for r in D.lsh_bucket_table(corpus).collect()
+    }
+    long_form = {
+        (r.doc_id, r.band, r.bucket)
+        for r in D.lsh_buckets(D.minhash_signatures(corpus)).collect()
+    }
+    assert narrow == long_form
+
+
+def test_lsh_bucket_table_single_partial_agg_shuffle(corpus):
+    """The fused bucket table shuffles once, after map-side partial
+    mins collapse each partition to one row per doc - the exchange
+    carries |docs| rows, not |corpus x seeds|."""
+    plan = D.lsh_bucket_table(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    # one aggregation exchange on doc_id (plus the explicit fan-out
+    # repartition, which is round-robin-by-key and pre-aggregation)
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 2
