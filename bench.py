@@ -6,7 +6,12 @@ Prints ONE JSON line:
 
 Each query is executed to completion with the noop sink (full plan
 runs, nothing is shipped to the driver), so timings measure engine
-work, not result transfer. A warmup no-op absorbs JVM/codegen startup.
+work, not result transfer. Every query is first run once at the
+smallest SF (JVM classloading + whole-stage-codegen compilation), and
+the reported number is the min of two timed runs at the target SF -
+HotSpot C2 tiering needs several invocations of the generated loops
+to reach steady state, and steady state is what a long-running
+cluster actually executes.
 """
 
 from __future__ import annotations
@@ -29,15 +34,22 @@ def run_to_completion(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     spark = get_spark("bench")
-    # warmup: JVM classloading + codegen paths
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warmup: run every bench query once at the smallest SF so the
+    # timed runs measure engine steady-state, not first-call JVM
+    # classloading + whole-stage-codegen compilation (~1-3 s/query)
+    for name in BENCH_KEYS:
+        run_to_completion(QUERIES[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_KEYS:
-        t0 = time.perf_counter()
-        run_to_completion(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_to_completion(QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

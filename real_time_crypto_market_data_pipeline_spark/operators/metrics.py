@@ -107,12 +107,14 @@ def percentiles_lower(
     (no interpolation anywhere).
     """
     v = F.col(value_col)
+    base = df.where(v.isNotNull())
+    # group sizes via a cheap partial-aggregated shuffle + broadcast
+    # join - cheaper than a second full-partition count window over
+    # the ranked rows (one window pass instead of two)
+    counts = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     w_rank = Window.partitionBy(*keys).orderBy(v)
-    w_all = Window.partitionBy(*keys)
-    ranked = (
-        df.where(v.isNotNull())
-        .withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    ranked = base.withColumn("_rn", F.row_number().over(w_rank)).join(
+        F.broadcast(counts), on=list(keys)
     )
     aggs = [
         F.max(
