@@ -167,24 +167,21 @@ def sliding_range_stats(
     evicts strictly-older entries). One shuffle on the key; the range
     frame is evaluated with a single sort per key partition.
     """
-    order = [F.col(ts_ms_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(ts_ms_col))
         .rangeBetween(-window_ms, 0)
     )
     v = F.col(value_col)
-    out = df.select(
+    return df.select(
         *keys,
-        *( [F.col(tiebreak_col)] if tiebreak_col else [] ),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
         F.col(ts_ms_col),
         F.count(v).over(w).cast("long").alias("w_count"),
         F.avg(v).over(w).alias("w_mean"),
         F.min(v).over(w).cast("double").alias("w_min"),
         F.max(v).over(w).cast("double").alias("w_max"),
     )
-    _ = order
-    return out
 
 
 def snapshot(

@@ -167,3 +167,51 @@ def stop_all(queries: list[StreamingQuery]) -> None:
             errors.append(exc)
     if errors:
         raise RuntimeError(f"{len(errors)} sink(s) failed during shutdown: {errors}")
+
+
+def metrics_line(stats: DataFrame, min_samples: int = 20) -> DataFrame:
+    """A9/A2 render: the reference's one-line stats print
+    (rolling.py:121-145) over the windowed-stats stream.
+
+    Applies the >= min_samples gate (rolling.py:125) and renders the
+    fixed-precision line; one row per (symbol, channel, window).
+    """
+    gated = stats.where(F.col("lat_count") >= min_samples)
+    return gated.select(
+        F.format_string(
+            "%s %s | n=%d | Ex→Recv p50=%.1fms p95=%.1fms p99=%.1fms | "
+            "mean=%.1f std=%.1f min=%.1f max=%.1f",
+            F.col("symbol"),
+            F.col("channel"),
+            F.col("lat_count"),
+            F.col("p50"),
+            F.col("p95"),
+            F.col("p99"),
+            F.col("lat_mean"),
+            F.col("lat_std"),
+            F.col("lat_min"),
+            F.col("lat_max"),
+        ).alias("line")
+    )
+
+
+def start_metrics_console_sink(
+    events: DataFrame,
+    checkpoint: str,
+    trigger_seconds: float = 1.0,
+    min_samples: int = 20,
+) -> StreamingQuery:
+    """A9: throttled metrics printer - the reference's 1 s stats loop
+    (app.py:63-66) as a windowed-agg query on its own trigger."""
+    from .pipeline import windowed_latency_stats
+
+    stats = windowed_latency_stats(events)
+    return (
+        metrics_line(stats, min_samples)
+        .writeStream.outputMode("complete")
+        .format("console")
+        .option("truncate", "false")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -195,3 +195,63 @@ def test_streaming_exact_dedup(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r.ts_exchange_ms for r in rows) == [1000, 1600]
+
+
+def test_metrics_line_gate_and_format(spark, tmp_path):
+    """A9: stats line renders only for keys with >= min_samples (gate
+    at rolling.py:125), with the fixed-precision format."""
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import metrics_line
+
+    stats = spark.createDataFrame(
+        [
+            ("BTC-USDT", "books5", 25, 300.0, 10.0, 280.0, 330.0, 299.5, 320.0, 328.0),
+            ("ETH-USDT", "books5", 3, 1.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+        ],
+        "symbol STRING, channel STRING, lat_count LONG, lat_mean DOUBLE,"
+        " lat_std DOUBLE, lat_min DOUBLE, lat_max DOUBLE, p50 DOUBLE,"
+        " p95 DOUBLE, p99 DOUBLE",
+    )
+    lines = [r.line for r in metrics_line(stats, min_samples=20).collect()]
+    assert len(lines) == 1  # ETH gated out
+    assert lines[0] == (
+        "BTC-USDT books5 | n=25 | Ex→Recv p50=299.5ms p95=320.0ms p99=328.0ms"
+        " | mean=300.0 std=10.0 min=280.0 max=330.0"
+    )
+
+
+def test_sink_error_isolation(spark, replay_path, tmp_path):
+    """K6: one failing sink must not take down its siblings
+    (app.py:93-98 per-sink error swallowing -> per-query isolation)."""
+    import pytest as _pytest
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    raw = P.read_raw_stream(spark, mode="replay", path=replay_path, batch_size=10)
+    events = P.normalized_stream(raw)
+
+    def exploding_batch(df, epoch_id):
+        raise RuntimeError("sink boom")
+
+    bad = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(exploding_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+        .start()
+    )
+    good = (
+        events.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("iso_good")
+        .option("checkpointLocation", str(tmp_path / "ckpt_good"))
+        .start()
+    )
+    try:
+        good.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM iso_good").first().n == 5
+    finally:
+        with _pytest.raises(Exception, match="sink boom|Terminated with exception"):
+            bad.processAllAvailable()
+            bad.stop()
+            if bad.exception() is not None:
+                raise bad.exception()
+        good.stop()

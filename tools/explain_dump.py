@@ -1,0 +1,64 @@
+"""Regenerate EXPLAIN.md: formatted physical plans of the headline
+queries with the scale-relevant properties called out.
+
+Usage: python tools/explain_dump.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from real_time_crypto_market_data_pipeline_spark.plans import QUERIES  # noqa: E402
+from real_time_crypto_market_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+COMMENTARY = {
+    "q_tpch_q1": "Filter + all 7 needed columns pushed to the scan; partial aggregation before the single exchange carries only the group keys.",
+    "q_tpch_q6": "All four predicates in PushedFilters; global agg = one partial/final pair, no grouping shuffle.",
+    "q_join_enrich": "Both dims broadcast (no SortMergeJoin anywhere); the fact scan reads 3 columns and never shuffles.",
+    "q_order_revenue_topk": "Filtered orders side broadcast into the lineitem scan; final top-10 is TakeOrderedAndProject (per-partition heap), not a global sort.",
+    "q_topk_per_group": "WindowGroupLimit runs partial top-k per input partition BEFORE the shuffle, then final after - the rank-limit pushdown.",
+    "q_cosine_topk": "One-row query side broadcast (BroadcastNestedLoopJoin); corpus scan shuffle-free; top-k via TakeOrderedAndProject.",
+    "q_percentiles": "Nearest-rank-lower rule: one window sort per key + broadcast-joined group counts; no interpolation, no collect.",
+    "q_csv_snapshot": "The flagship composition: scan -> lag window -> two grouped aggs -> full-outer join -> order, each aggregate map-side combined.",
+    "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
+    "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
+    "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
+}
+
+
+def main() -> None:
+    spark = get_spark("explain-dump")
+    out = [
+        "# EXPLAIN — physical plans of the headline queries",
+        "",
+        "Regenerate with `python tools/explain_dump.py` (runs at sf0.01).",
+        "Each plan is the AQE-initial physical plan; the property that",
+        "makes it scale is noted above the plan.",
+        "",
+    ]
+    for name, note in COMMENTARY.items():
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = re.sub(r"#\d+L?", "", plan)  # strip expr ids for readable diffs
+        plan = re.sub(r", \[plan_id=\d+\]", "", plan)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Why it scales:** {note}")
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    with open("EXPLAIN.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote EXPLAIN.md ({len(COMMENTARY)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
