@@ -184,3 +184,53 @@ def q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "q_supplier_region",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           SUM(s_acctbal) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain join: supplier -> nation -> region rollup (all broadcast)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_part_brand_stats",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           AVG(p_retailprice) AS avg_price,
+           CAST(MAX(p_size) AS INTEGER) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part catalog rollup by brand (completes per-table coverage)."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.avg("p_retailprice").alias("avg_price"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+    )

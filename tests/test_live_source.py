@@ -1,0 +1,122 @@
+"""Live WebSocket reader logic up to the socket boundary (S1-S4).
+
+The real ``websockets`` package is absent in this environment; a fake
+module injected into sys.modules drives LiveOkxStreamReader through
+connect -> subscribe -> recv -> timeout -> reconnect, verifying the
+reference-parity behaviors: one subscribe op with the cross product,
+receive-before-decode stamping, offset advancement, and backoff-driven
+reconnect on connection errors."""
+
+from __future__ import annotations
+
+import json
+import sys
+import types
+
+import pytest
+
+from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import (
+    LiveOkxStreamReader,
+)
+
+
+class FakeSocket:
+    def __init__(self, frames):
+        self.frames = list(frames)
+        self.sent = []
+        self.closed = False
+
+    def send(self, payload):
+        self.sent.append(payload)
+
+    def recv(self, timeout=None):
+        if not self.frames:
+            raise TimeoutError
+        item = self.frames.pop(0)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+
+@pytest.fixture()
+def fake_ws(monkeypatch):
+    sockets = []
+
+    def connect(url, **kwargs):
+        sock = FakeSocket(connect.frames_per_socket.pop(0))
+        sock.url = url
+        sock.kwargs = kwargs
+        sockets.append(sock)
+        return sock
+
+    connect.frames_per_socket = []
+    mod = types.ModuleType("websockets")
+    client = types.ModuleType("websockets.sync.client")
+    client.connect = connect
+    sync = types.ModuleType("websockets.sync")
+    sync.client = client
+    mod.sync = sync
+    monkeypatch.setitem(sys.modules, "websockets", mod)
+    monkeypatch.setitem(sys.modules, "websockets.sync", sync)
+    monkeypatch.setitem(sys.modules, "websockets.sync.client", client)
+    return connect, sockets
+
+
+def make_reader(**opts):
+    defaults = {"symbols": "BTC-USDT,ETH-USDT", "channels": "books5,trades"}
+    defaults.update(opts)
+    return LiveOkxStreamReader(defaults)
+
+
+def test_connect_sends_single_subscribe_cross_product(fake_ws):
+    connect, sockets = fake_ws
+    connect.frames_per_socket = [['{"a": 1}']]
+    reader = make_reader()
+    rows, offset = reader.read({"frame": 0})
+    rows = list(rows)
+    assert len(sockets) == 1
+    subscribe = json.loads(sockets[0].sent[0])
+    assert subscribe["op"] == "subscribe"
+    assert len(subscribe["args"]) == 4  # 2 symbols x 2 channels
+    assert offset == {"frame": 1}
+    assert rows[0][0] == '{"a": 1}'
+
+
+def test_stamps_are_monotone_per_frame(fake_ws):
+    connect, _ = fake_ws
+    connect.frames_per_socket = [['{"a":1}', b'{"b":2}']]
+    rows, _ = make_reader().read({"frame": 0})
+    for raw, recv_epoch_ms, recv_mono_ns, decoded_mono_ns in rows:
+        assert isinstance(raw, str)  # bytes decoded to str
+        assert decoded_mono_ns >= recv_mono_ns  # S6 invariant at source
+        assert recv_epoch_ms > 1_600_000_000_000
+
+
+def test_timeout_ends_batch_and_offset_advances(fake_ws):
+    connect, _ = fake_ws
+    connect.frames_per_socket = [["f1", "f2"]]  # then TimeoutError
+    reader = make_reader(maxframespertrigger="10")
+    rows, offset = reader.read({"frame": 5})
+    assert len(list(rows)) == 2
+    assert offset == {"frame": 7}
+
+
+def test_reconnects_after_connection_error(fake_ws, monkeypatch):
+    connect, sockets = fake_ws
+    # first socket dies mid-read; reader reconnects and drains socket 2
+    connect.frames_per_socket = [["f1", OSError("gone")], ["f2"]]
+    monkeypatch.setattr("time.sleep", lambda s: None)  # skip backoff wait
+    reader = make_reader()
+    rows, offset = reader.read({"frame": 0})
+    assert [r[0] for r in rows] == ["f1", "f2"]
+    assert len(sockets) == 2  # reconnected
+    assert json.loads(sockets[1].sent[0])["op"] == "subscribe"  # re-subscribed
+
+
+def test_max_frames_per_trigger_caps_batch(fake_ws):
+    connect, _ = fake_ws
+    connect.frames_per_socket = [["a", "b", "c", "d"]]
+    reader = make_reader(maxframespertrigger="2")
+    rows, offset = reader.read({"frame": 0})
+    assert len(list(rows)) == 2  # S3 backpressure cap
+    assert offset == {"frame": 2}

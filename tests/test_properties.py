@@ -77,3 +77,44 @@ def test_token_count_conservation(spark, texts):
     total_tokens = sum(len([w for w in t.lower().split(" ") if w]) for t in texts)
     stats = T.token_stats(df).collect()
     assert sum(r.n for r in stats) == total_tokens
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_slow
+def test_minhash_matches_pure_python_reference(spark, token_lists):
+    """Spark MinHash signatures equal an independent pure-Python
+    implementation of the same definition (md5(seed|shingle) min)."""
+    import hashlib
+
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    texts = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {}
+    for r in D.minhash_signatures(df).collect():
+        got.setdefault(r.doc_id, {})[r.seed] = r.sig
+
+    for i, toks in enumerate(token_lists):
+        shingles = [
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        ] if len(toks) >= 3 else []
+        if not shingles:
+            assert i not in got
+            continue
+        for seed in range(8):
+            expect = min(
+                hashlib.md5(f"{seed}|{s}".encode()).hexdigest() for s in shingles
+            )
+            assert got[i][seed] == expect
