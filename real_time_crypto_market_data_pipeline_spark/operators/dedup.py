@@ -320,3 +320,58 @@ def embedding_near_dup(
     if top_k is not None:
         pairs = pairs.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(top_k)
     return pairs
+
+
+def lsh_jaccard_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 end-to-end: LSH candidates -> exact Jaccard verify -> dup pairs.
+
+    The production near-dup pipeline: pairwise work only on LSH
+    candidates (sum of bucket^2), with the exact trigram Jaccard as
+    the verifier. Returns pairs at or above ``min_jaccard`` - at scale
+    the survivors feed a connected-components pass to pick cluster
+    representatives.
+    """
+    cands = lsh_candidate_pairs(lsh_bucket_table(docs, text_col, shingle_n=shingle_n))
+    sh = (
+        spread_for_fanout(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                word_shingles(tokens_col(F.col(text_col)), shingle_n)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

@@ -416,3 +416,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: TF-IDF top-5 terms per document (join/agg two-pass weighting)."""
     return T.tf_idf(load(spark, sf_dir, "documents"), top_per_doc=5)
+
+
+@query(
+    "q_dedup_lsh_jaccard",
+    oracle=_MINHASH
+    + f""",
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buck a JOIN buck b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN dsh a ON a.doc_id = c.doc_a
+      JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+            / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
+    """,
+    bench=True,
+)
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 production pipeline: LSH candidates verified by exact Jaccard.
+
+    Pairwise cost bounded by LSH bucket co-membership instead of
+    shingle co-occurrence - the scalable two-stage near-dup dedup.
+    """
+    return D.lsh_jaccard_dedup(load(spark, sf_dir, "documents"), min_jaccard=0.5)
