@@ -1,0 +1,71 @@
+"""As-of join: match each left row to the latest right row at-or-before it.
+
+The canonical market-data operation (trade -> prevailing quote) that
+Spark has no native operator for. Implemented with the union+window
+trick, which is the scalable form:
+
+    1. tag both sides and union them on (key, ts)
+    2. one window pass per key ordered by (ts, side-tag):
+       ``last_value(right_payload) IGNORE NULLS`` carries the most
+       recent right row forward
+    3. keep only left rows
+
+Cost: ONE shuffle + sort on the key - identical to the sort-merge
+join Spark would do anyway, with no range-condition explosion. The
+alternative (inequality join + per-left-row max) plans as a
+broadcast-nested-loop or cartesian range join: O(left x right) per
+key. At 100 TB, union+window is the difference between feasible and
+not. Right-side ties on (key, ts) resolve to the greatest tiebreak
+(deterministic); a left row at the same ts as a right row sees that
+right row (at-or-before semantics, matching DuckDB ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    right_cols: Sequence[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Left as-of join: all left columns + latest-at-or-before right_cols.
+
+    ``tiebreak_col`` must exist on both sides and totally order rows
+    within (key, ts); right rows sort before left rows at equal ts so
+    a same-timestamp quote is visible to the trade.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols, F.lit(1).alias("_side"), *[F.lit(None).alias(f"_r_{c}") for c in right_cols]
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in (*keys, ts_col, tiebreak_col) else F.lit(None).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")

@@ -1,0 +1,192 @@
+"""Capability queries beyond the reference surface (SURVEY 2.6).
+
+Operators every production event-analytics engine needs that the
+reference lacks entirely: as-of joins (trade -> prevailing quote),
+sessionization, pivot, rollup, and set operations. Each is
+oracle-checked; the as-of oracle uses DuckDB's native ASOF JOIN
+against our union+window implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..tables import load
+from .registry import query
+
+_MS = "ts DIV 1000000"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").withColumn("ms", F.expr(_MS))
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, epoch_ms(ts) AS qms, MAX(value) AS qvalue
+      FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_ms(ts)
+    )
+    SELECT l.user_id, l.event_id, l.ms, l.value,
+           r.qms AS asof_qms, r.qvalue AS asof_qvalue
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ms >= r.qms
+    """,
+    bench=True,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest at-or-before view.
+
+    The trade->prevailing-quote operation. Union+window implementation
+    (operators/asof.py): one shuffle+sort per key, no range-join blowup;
+    verified against DuckDB's native ASOF JOIN.
+    """
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ms", "value"
+    )
+    right = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ms")
+        .agg(F.max("value").alias("qvalue"))
+        .select(
+            "user_id",
+            "ms",
+            F.col("ms").alias("qms"),
+            "qvalue",
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+    )
+    return asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        ts_col="ms",
+        right_cols=["qms", "qvalue"],
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ms(ts), event_id) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ms,
+             CASE WHEN prev IS NULL OR ms - prev > 86400000 THEN 1 ELSE 0 END AS is_new
+      FROM d
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM marked
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap marking + running sum (24 h inactivity gap).
+
+    The batch form of session_window - one keyed sort serves both
+    window passes. Explicit ROWS frame so tie handling matches the
+    oracle exactly.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    marked = ev.withColumn("prev", F.lag("ms").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull() | (F.col("ms") - F.col("prev") > 86_400_000), 1
+        ).otherwise(0),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new").over(w_run).cast("long").alias("session_id"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (explicit value list so
+    the output schema is static - required for a deterministic plan)."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select("user_id", *[F.col(k).cast("long").alias(k) for k in kinds])
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: subtotal hierarchy (flag, flag+status, grand total) -
+    grouping-set nulls mark the subtotal rows identically in both engines."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ) t
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    GROUP BY user_id HAVING COUNT(*) >= 17
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: clickers ∩ purchasers − heavy-error users."""
+    ev = load(spark, sf_dir, "events")
+    ids = lambda t: ev.where(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
+    heavy_err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 17)
+        .select("user_id")
+    )
+    return ids("click").intersect(ids("purchase")).exceptAll(heavy_err).distinct()
