@@ -162,3 +162,27 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.sum("meta.n_bytes").cast("long").alias("total_bytes"),
         F.avg("meta.width").alias("avg_width"),
     )
+
+
+def read_binary_files(spark, path: str, kind: str = "image") -> DataFrame:
+    """Ingestion adapter: a directory of media files -> the MEDIA schema.
+
+    ``binaryFile`` format reads (path, modificationTime, length,
+    content) with content as BinaryType - the real 100 TB entry point
+    (object-store listings partition by prefix). Metadata fields that
+    need codec probing are left 0 for the decode stage to fill.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.abs(F.xxhash64(F.col("path"))).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.element_at(F.split(F.col("path"), "\\."), -1).alias("format"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -137,3 +137,29 @@ def test_conditional_rate(spark):
     r = M.conditional_rate(df, ["key"], F.col("v") == 0.0).first()
     assert (r.zero_n, r.total) == (2, 4)
     assert r.zero_rate_pct == 50.0
+
+
+def test_asof_join_semantics(spark):
+    """As-of edge cases: at-or-before match, same-ts visibility,
+    no-earlier-quote -> null, key isolation."""
+    from real_time_crypto_market_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", 1, 100, 9.0), ("A", 2, 200, 9.5), ("A", 3, 50, 8.0), ("B", 4, 100, 1.0)],
+        "key STRING, event_id LONG, ms LONG, px DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [("A", -1, 100, 99.0), ("A", -2, 150, 98.0), ("B", -3, 500, 7.0)],
+        "key STRING, event_id LONG, ms LONG, quote DOUBLE",
+    )
+    out = {
+        r.event_id: r.asof_quote
+        for r in asof_join(
+            left, right, keys=["key"], ts_col="ms",
+            right_cols=["quote"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1] == 99.0  # same-ts quote visible (at-or-before)
+    assert out[2] == 98.0  # latest of the two earlier quotes
+    assert out[3] is None  # no quote at-or-before ms=50
+    assert out[4] is None  # B's only quote is later; A's quotes invisible

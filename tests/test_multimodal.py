@@ -80,3 +80,19 @@ def test_metadata_rollup_prunes_payload(media, tmp_path_factory):
     assert "payload" not in plan.split("ReadSchema")[-1][:400]
     counts = {r.kind: r.n for r in summary.collect()}
     assert sum(counts.values()) == 30
+
+
+def test_binary_file_ingestion_adapter(spark, tmp_path_factory):
+    """X5 ingestion: a directory of files -> MEDIA schema via binaryFile."""
+    d = tmp_path_factory.mktemp("blobs")
+    (d / "a.png").write_bytes(b"\x89PNG fake payload")
+    (d / "b.png").write_bytes(b"\x89PNG other")
+    media = MM.read_binary_files(spark, str(d), kind="image")
+    rows = sorted(media.collect(), key=lambda r: r.meta.n_bytes)
+    assert len(rows) == 2
+    assert rows[1].meta.n_bytes == len(b"\x89PNG fake payload")
+    assert rows[0].meta["format"] == "png"
+    assert rows[0].kind == "image"
+    # adapter output feeds the feature stage unchanged
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 2 and all(len(f.feat) == 8 for f in feats)
