@@ -173,10 +173,15 @@ class LiveOkxStreamReader(SimpleDataSourceStreamReader):
         attempt = 0
         while self._ws is None:  # pragma: no cover - network path
             try:
+                # S3 keepalive/flow control, okx_ws.py:50-57 parity:
+                # ping every 20 s, ping timeout 10 s, open 10 s,
+                # close 5 s, bounded recv queue of 1024 frames
                 self._ws = ws_client.connect(
                     self.url,
                     open_timeout=10,
                     close_timeout=5,
+                    ping_interval=20,
+                    ping_timeout=10,
                     max_queue=1024,
                 )
                 self._ws.send(subscribe_payload(self.symbols, self.channels))

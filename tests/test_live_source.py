@@ -120,3 +120,16 @@ def test_max_frames_per_trigger_caps_batch(fake_ws):
     rows, offset = reader.read({"frame": 0})
     assert len(list(rows)) == 2  # S3 backpressure cap
     assert offset == {"frame": 2}
+
+
+def test_connection_options_match_reference(fake_ws):
+    """S3: keepalive/flow-control parameters (okx_ws.py:50-57 parity)."""
+    connect, sockets = fake_ws
+    connect.frames_per_socket = [["x"]]
+    make_reader().read({"frame": 0})
+    kw = sockets[0].kwargs
+    assert kw["ping_interval"] == 20
+    assert kw["ping_timeout"] == 10
+    assert kw["open_timeout"] == 10
+    assert kw["close_timeout"] == 5
+    assert kw["max_queue"] == 1024
