@@ -238,6 +238,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     top_k: int | None = 20,
     min_jaccard: float | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """X2 (verify): n-gram Jaccard similarity for co-shingled pairs.
 
@@ -259,6 +260,19 @@ def jaccard_pairs(
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        # df-pruning: a shingle appearing in >max_df docs contributes
+        # df^2 join rows while carrying ~no similarity signal (it's the
+        # stopword-shingle skew key); drop it before the self-join.
+        # NOTE: |A| and |B| keep the full shingle sets, so pruned
+        # jaccard is a LOWER bound of the exact value.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -140,3 +140,40 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 high-dim path: brute-force cosine via Arrow-batched numpy.
+
+    Above a few hundred dimensions the per-element expression fold
+    loses to one BLAS matmul per Arrow batch; this mapInPandas
+    formulation computes sims for a whole batch in a single
+    ``stack @ q`` and keeps the same TakeOrdered top-k plan shape.
+    The query vector travels in the closure (broadcast-equivalent for
+    a single vector).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ q) / (norms * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": sims})
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(score, schema=f"{id_col} LONG, cosine DOUBLE")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

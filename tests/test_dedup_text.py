@@ -128,3 +128,24 @@ def test_lsh_bucket_table_single_partial_agg_shuffle(corpus):
     # one aggregation exchange on doc_id (plus the explicit fan-out
     # repartition, which is round-robin-by-key and pre-aggregation)
     assert plan.count("Exchange hashpartitioning(doc_id") <= 2
+
+
+def test_jaccard_df_pruning_drops_hot_shingles(spark):
+    """max_df prunes stopword-shingle skew keys: pairs connected only
+    through hot shingles disappear; cold-shingle pairs survive."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the of and common tail alpha beta gamma"),
+            (1, "the of and common tail delta epsilon zeta"),
+            (2, "the of and common tail eta theta iota"),
+            (3, "the of and common tail kappa lam mu"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    full = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(docs, top_k=None).collect()}
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, top_k=None, max_df=3).collect()
+    }
+    # every pair shares the hot prefix shingles (df=4 > 3) and nothing else
+    assert full and pruned == set()

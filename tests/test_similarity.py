@@ -57,3 +57,17 @@ def test_ivf_topk_subset_of_cell(emb):
     assert len(rows) == 5
     assert len({r.cell_id for r in rows}) == 1  # single probed cell
     assert rows[0].vec_id == 5  # query finds itself in its own cell
+
+
+def test_arrow_cosine_matches_expression_path(emb):
+    """The numpy-matmul mapInPandas path returns the same top-k as the
+    expression-fold path (high-dim production form vs oracle form)."""
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") == 5).first().embedding
+    expr_top = [(r.vec_id, round(r.cosine, 9)) for r in S.cosine_topk(emb, 5, k=10).collect()]
+    arrow_top = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in S.cosine_topk_arrow(emb, [float(x) for x in q], k=10).collect()
+    ]
+    assert arrow_top == expr_top

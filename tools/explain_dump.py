@@ -28,6 +28,8 @@ COMMENTARY = {
     "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
+    "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
+    "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
 }
 
 
