@@ -204,3 +204,75 @@ def tf_idf(docs: DataFrame, text_col: str = "text", top_per_doc: int = 5) -> Dat
         .where(F.col("rank") <= top_per_doc)
         .select("doc_id", "token", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Training-data chunking: split docs into overlapping token windows.
+
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens); stride =
+    chunk_tokens - overlap. All array expressions - the explode is the
+    only row-count change, and chunk text is re-materialized from the
+    token slice (no O(n^2) substring scanning).
+    """
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, 0).otherwise(
+        F.floor((F.greatest(n - chunk_tokens, F.lit(0)).cast("double")) / stride).cast("int") + 1
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    chunked = docs.where(n > 0).select(
+        "doc_id", toks.alias("_toks"), idx.alias("chunk_id")
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_len"),
+    )
+
+
+def corpus_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/validation split by content hash.
+
+    split = 'val' iff the first 6 hex digits of md5(text) mod 100 fall
+    below val_pct - reproducible across runs, engines, and cluster
+    sizes, and duplicate documents always land in the same split
+    (leakage-safe by construction). No RNG state, no seed plumbing.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("hash_bucket"),
+        F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+    )
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-style scrubbing: emails, long digit runs, URLs -> typed tags.
+
+    Standard pretraining hygiene pass as pure regexp_replace chains
+    (codegen'd, zero Python). Patterns are deliberately simple and
+    portable; production would extend the list, not the mechanism.
+    """
+    t = F.col(text_col)
+    t = F.regexp_replace(t, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>")
+    t = F.regexp_replace(t, "https?://[^ ]+", "<URL>")
+    t = F.regexp_replace(t, "[0-9]{6,}", "<NUM>")
+    return docs.select(
+        "doc_id",
+        t.alias("clean_text"),
+        (F.length(F.col(text_col)) - F.length(t)).cast("long").alias("bytes_removed"),
+    )

@@ -457,3 +457,65 @@ def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle co-occurrence - the scalable two-stage near-dup dedup.
     """
     return D.lsh_jaccard_dedup(load(spark, sf_dir, "documents"), min_jaccard=0.5)
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH tok AS ({_TOKS}),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(floor(CAST(greatest(len(toks) - 32, 0) AS DOUBLE) / 24) AS INTEGER) + 1 AS n_chunks
+      FROM tok WHERE len(toks) > 0
+    ),
+    expl AS (
+      SELECT doc_id, toks, CAST(cid AS INTEGER) AS chunk_id
+      FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS c(cid)
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+           CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS chunk_len
+    FROM expl
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 32-token windows, 8-token overlap."""
+    return T.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_corpus_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 AS INTEGER)
+             AS hash_bucket,
+           CASE WHEN CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split (leakage-safe for dups)."""
+    return T.corpus_split(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_scrub_text",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 'https?://[^ ]+', '<URL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+      FROM documents
+    )
+    SELECT doc_id, clean_text,
+           CAST(length(text) - length(clean_text) AS BIGINT) AS bytes_removed
+    FROM s
+    """,
+)
+def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass (emails / URLs / long digit runs)."""
+    return T.scrub_text(load(spark, sf_dir, "documents"))

@@ -149,3 +149,46 @@ def test_jaccard_df_pruning_drops_hot_shingles(spark):
     }
     # every pair shares the hot prefix shingles (df=4 > 3) and nothing else
     assert full and pruned == set()
+
+
+def test_chunking_overlap_and_coverage(spark):
+    """Chunks cover every token; consecutive chunks overlap by 8."""
+    text = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame([(0, text), (1, "short doc")], "doc_id LONG, text STRING")
+    rows = sorted(
+        T.chunk_documents(docs).where("doc_id = 0").collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # 80 tokens, window 32, stride 24 -> ceil((80-32)/24)+1 = 3 chunks
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    assert rows[0].chunk_text.split(" ")[:2] == ["w0", "w1"]
+    assert rows[1].chunk_text.split(" ")[0] == "w24"  # stride 24
+    assert rows[0].chunk_text.split(" ")[-8:] == rows[1].chunk_text.split(" ")[:8]
+    covered = {t for r in rows for t in r.chunk_text.split(" ")}
+    assert covered == {f"w{i}" for i in range(80)}
+    # short doc -> single truncated chunk
+    short = T.chunk_documents(docs).where("doc_id = 1").collect()
+    assert len(short) == 1 and short[0].chunk_len == 2
+
+
+def test_corpus_split_dups_land_together(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i % 7}") for i in range(50)], "doc_id LONG, text STRING"
+    )
+    rows = T.corpus_split(docs).collect()
+    # identical texts always share a split (leakage-safe)
+    by_text = {}
+    texts = {r.doc_id: f"doc body {r.doc_id % 7}" for r in rows}
+    for r in rows:
+        by_text.setdefault(texts[r.doc_id], set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())
+
+
+def test_scrub_text_patterns(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail me at a.b@example.com or visit https://x.io/page id 1234567890")],
+        "doc_id LONG, text STRING",
+    )
+    r = T.scrub_text(docs).first()
+    assert r.clean_text == "mail me at <EMAIL> or visit <URL> id <NUM>"
+    assert r.bytes_removed > 0
