@@ -389,3 +389,61 @@ def lsh_jaccard_dedup(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Dedup clustering: connected components over near-dup pairs.
+
+    Iterative min-label propagation (the standard large-graph CC on a
+    relational engine): every node starts labeled with itself; each
+    round joins labels across edges and keeps the minimum; stop when a
+    round changes nothing. Rounds needed = graph diameter (dup
+    clusters are near-cliques, so 2-3 in practice). Each round is two
+    shuffles (edge join + min agg); intermediates are cached and
+    materialized per round so lineage does not grow unboundedly -
+    the standard iterative-algorithm discipline on Spark.
+
+    Returns (doc_id, component) with component = min doc_id reachable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own label plus every neighbor's label
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("doc_id", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "doc_id"
+            )
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -519,3 +519,36 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style scrubbing pass (emails / URLs / long digit runs)."""
     return T.scrub_text(load(spark, sf_dir, "documents"))
+
+
+@query("q_dedup_clusters")  # rows-only: iterative algorithm, not SQL-expressible
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 final stage: connected components over LSH candidate pairs.
+
+    Iterative min-label propagation with per-round localCheckpoint
+    (verified against a union-find reference in pytest); the canonical
+    representative of every near-dup cluster.
+    """
+    pairs = D.lsh_candidate_pairs(D.lsh_bucket_table(load(spark, sf_dir, "documents")))
+    return D.connected_components(pairs)
+
+
+@query(
+    "q_corpus_sample",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100
+          < CASE WHEN source IN ('src0', 'src1') THEN 80 ELSE 30 END
+    """,
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: deterministic hash sampling per source.
+
+    High-quality sources keep 80%, the rest 30% - the mixing knob of a
+    training-data pipeline, reproducible with no RNG state and stable
+    under repartitioning (the sample is a pure function of content).
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast("bigint") % 100
+    weight = F.when(F.col("source").isin("src0", "src1"), 80).otherwise(30)
+    return docs.where(bucket < weight).select("doc_id", "source")

@@ -192,3 +192,53 @@ def test_scrub_text_patterns(spark):
     r = T.scrub_text(docs).first()
     assert r.clean_text == "mail me at <EMAIL> or visit <URL> id <NUM>"
     assert r.bytes_removed > 0
+
+
+def test_connected_components_matches_python(spark):
+    """CC over near-dup pairs equals a pure-Python union-find."""
+    import random
+
+    rnd = random.Random(3)
+    edges = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(35)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # canonicalize: component = min node in each set
+    comp = {}
+    for node in parent:
+        root = find(node)
+        comp.setdefault(root, []).append(node)
+    expect = {}
+    for root, members in comp.items():
+        m = min(members + [root])
+        for node in members:
+            expect[node] = m
+
+    got = {
+        r.doc_id: r.component
+        for r in D.connected_components(df).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_chain(spark):
+    """A path graph (worst-case diameter) still converges to one component."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a LONG, doc_b LONG"
+    )
+    got = {r.doc_id: r.component for r in D.connected_components(chain).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
