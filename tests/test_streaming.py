@@ -255,3 +255,93 @@ def test_sink_error_isolation(spark, replay_path, tmp_path):
             if bad.exception() is not None:
                 raise bad.exception()
         good.stop()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy (absent in the reference, SURVEY 2.6): an event
+    arriving after the watermark passed its window is dropped from the
+    aggregate in append mode."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+
+    def frame(ts):
+        return (
+            '{"arg": {"channel": "trades", "instId": "BTC-USDT"},'
+            f' "data": [{{"ts": "{ts}", "px": "1", "sz": "1", "side": "buy", "tradeId": "t{ts}"}}]}}'
+        )
+
+    # batch 1: events at t=1s and t=100s (advances watermark to 90s);
+    # the file then GROWS with a late t=2s event - a separate microbatch
+    # (the prefetching reader coalesces everything already available
+    # into one batch, so the late row must arrive after the first
+    # processAllAvailable)
+    path = str(tmp_path / "late.jsonl")
+    write_replay_file(path, [frame(1_000), frame(100_000)])
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    agg = (
+        P.normalized_stream(raw)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_exchange_ms")))
+        .withWatermark("event_time", "10 seconds")
+        .groupBy(F.window("event_time", "5 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_replay_file(path, [frame(1_000), frame(100_000), frame(2_000)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT window.start, n FROM late_out").collect()
+    finally:
+        q.stop()
+    emitted = {(r.start.second, r.n) for r in rows}
+    # the 0-5s window closed with ONE event; the late t=2s arrival did
+    # not reopen it or bump the count
+    assert (0, 1) in emitted
+    assert (0, 2) not in emitted
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window: native streaming sessionization (gap merge)."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+
+    def frame(ts):
+        return (
+            '{"arg": {"channel": "trades", "instId": "BTC-USDT"},'
+            f' "data": [{{"ts": "{ts}", "px": "1", "sz": "1", "side": "buy", "tradeId": "t{ts}"}}]}}'
+        )
+
+    # two bursts separated by > 5s gap -> two sessions
+    path = str(tmp_path / "sess.jsonl")
+    write_replay_file(
+        path, [frame(1_000), frame(2_000), frame(3_000), frame(20_000), frame(21_000)]
+    )
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    agg = (
+        P.normalized_stream(raw)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_exchange_ms")))
+        .withWatermark("event_time", "1 second")
+        .groupBy("symbol", F.session_window("event_time", "5 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT n FROM sess_out ORDER BY n DESC").collect()
+    finally:
+        q.stop()
+    assert [r.n for r in rows] == [3, 2]
