@@ -597,3 +597,48 @@ def q_csv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_ms_col="ms",
         tiebreak_col="event_id",
     )
+
+
+# ---------------------------------------------------------------- A2 (multi-series)
+@query(
+    "q_unpivot_percentiles",
+    oracle="""
+    WITH series AS (
+      SELECT 'value' AS series, value AS v FROM events
+      UNION ALL
+      SELECT 'ms_of_day', CAST(epoch_ms(ts) % 86400000 AS DOUBLE) FROM events
+      UNION ALL
+      SELECT 'k', CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE)
+      FROM events
+    ),
+    ranked AS (
+      SELECT series, v,
+             row_number() OVER (PARTITION BY series ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY series) AS n
+      FROM series WHERE v IS NOT NULL
+    )
+    SELECT series,
+           MAX(CASE WHEN rn - 1 = FLOOR(0.5 * (n - 1)) THEN v END) AS p50,
+           MAX(CASE WHEN rn - 1 = FLOOR(0.95 * (n - 1)) THEN v END) AS p95,
+           MAX(CASE WHEN rn - 1 = FLOOR(0.99 * (n - 1)) THEN v END) AS p99
+    FROM ranked GROUP BY series
+    """,
+)
+def q_unpivot_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 full shape: percentiles over three series at once.
+
+    The reference tracks three latency series (ex->recv, recv->decode,
+    decode->proc) through one metrics object (rolling.py:30-32); here
+    three derived series unpivot via ``stack`` into (series, v) rows
+    and one percentile pass covers all of them - the multi-measure
+    form scales with measures x keys, not with extra passes.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").try_cast("int")
+    )
+    series = ev.selectExpr(
+        "stack(3, 'value', value,"
+        " 'ms_of_day', CAST(ms % 86400000 AS DOUBLE),"
+        " 'k', CAST(k AS DOUBLE)) AS (series, v)"
+    )
+    return M.percentiles_lower(series, ["series"], "v")
