@@ -118,3 +118,78 @@ def test_minhash_matches_pure_python_reference(spark, token_lists):
                 hashlib.md5(f"{seed}|{s}".encode()).hexdigest() for s in shingles
             )
             assert got[i][seed] == expect
+
+
+# --- normalizer fuzz: random garbage never throws; survivors are well-formed
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.text(max_size=8),
+)
+level_strategy = st.lists(
+    st.one_of(st.text(max_size=6), st.from_regex(r"[0-9]{1,5}\.[0-9]{1,2}", fullmatch=True)),
+    max_size=5,
+)
+item_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "ts": st.one_of(json_scalars, st.from_regex(r"[0-9]{1,13}", fullmatch=True)),
+        "px": st.one_of(json_scalars),
+        "sz": st.one_of(json_scalars),
+        "side": st.sampled_from(["buy", "sell", "", "x"]),
+        "tradeId": st.text(max_size=6),
+        "bids": st.lists(level_strategy, max_size=3),
+        "asks": st.lists(level_strategy, max_size=3),
+    },
+)
+frame_strategy = st.one_of(
+    st.text(max_size=20),  # raw garbage
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "event": st.sampled_from(["subscribe", "unsubscribe", "error", "data", ""]),
+            "arg": st.one_of(
+                json_scalars,
+                st.fixed_dictionaries(
+                    {},
+                    optional={
+                        "channel": st.sampled_from(["books5", "trades", "tickers", ""]),
+                        "instId": st.one_of(st.none(), st.text(max_size=8)),
+                    },
+                ),
+            ),
+            "data": st.one_of(json_scalars, st.lists(item_strategy, max_size=3)),
+        },
+    ).map(lambda d: __import__("json").dumps(d)),
+)
+
+
+@given(st.lists(frame_strategy, min_size=1, max_size=15))
+@_slow
+def test_normalizer_never_throws_on_garbage(spark, frames):
+    """Fuzz: arbitrary frame bytes produce a valid (possibly empty)
+    event table - no exceptions, and every survivor satisfies the
+    union-payload and field-presence invariants (FIXTURES.md A4)."""
+    from real_time_crypto_market_data_pipeline_spark.operators import normalize as N
+
+    df = spark.createDataFrame(
+        [(f, 1735689600000 + i, 10**9 + i, 10**9 + 500 + i) for i, f in enumerate(frames)],
+        "raw STRING, ts_recv_epoch_ms LONG, ts_recv_mono_ns LONG, ts_decoded_mono_ns LONG",
+    )
+    events = N.normalize_frames(df).collect()  # must not raise
+    for ev in events:
+        assert ev.exchange == "okx"
+        assert ev.channel in ("books5", "trades")
+        assert ev.symbol  # instId was present and non-null
+        assert ev.ts_exchange_ms is not None  # ts parsed
+        if ev.event_type == "book_topn":
+            assert ev.book is not None and ev.trade is None
+            for side in (ev.book.bids, ev.book.asks):
+                for lv in side:
+                    assert lv.price is not None and lv.size is not None
+        else:
+            assert ev.event_type == "trade"
+            assert ev.trade is not None and ev.book is None
+            assert ev.trade.price is not None and ev.trade.size is not None
