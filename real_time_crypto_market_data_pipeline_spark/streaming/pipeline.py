@@ -148,3 +148,68 @@ def streaming_exact_dedup(
     return keyed.dropDuplicatesWithinWatermark(
         ["symbol", "channel", "ts_exchange_ms"]
     )
+
+
+def stream_stream_enrich(
+    events: DataFrame,
+    max_quote_age: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Stream-stream interval join: trades enriched with a recent book.
+
+    Splits the normalized stream into its two typed sub-streams and
+    joins trade events to book snapshots of the same symbol whose
+    event time lies within [trade - max_quote_age, trade]. Watermarks
+    on BOTH sides bound the join state: each side only buffers rows
+    until the other side's watermark passes the interval - the
+    mechanism that makes stream-stream joins feasible on unbounded
+    input (state is O(rate x window), not O(stream)).
+
+    This is the streaming sibling of the batch as-of join
+    (operators/asof.py); an interval join can yield multiple quotes
+    per trade (all within the age bound) where as-of picks the latest.
+    """
+    books = (
+        events.where(F.col("event_type") == "book_topn")
+        .select(
+            F.col("symbol").alias("b_symbol"),
+            F.timestamp_millis(F.col("ts_exchange_ms")).alias("b_time"),
+            F.col("book.best_bid").alias("best_bid"),
+            F.col("book.best_ask").alias("best_ask"),
+        )
+        .withWatermark("b_time", watermark)
+    )
+    trades = (
+        events.where(F.col("event_type") == "trade")
+        .select(
+            "symbol",
+            F.timestamp_millis(F.col("ts_exchange_ms")).alias("t_time"),
+            F.col("ts_exchange_ms"),
+            F.col("trade.price").alias("price"),
+            F.col("trade.size").alias("size"),
+            F.col("trade.side").alias("side"),
+        )
+        .withWatermark("t_time", watermark)
+    )
+    return trades.join(
+        books,
+        F.expr(
+            f"""
+            symbol = b_symbol AND
+            b_time <= t_time AND
+            b_time >= t_time - INTERVAL {max_quote_age}
+            """
+        ),
+        "inner",
+    ).select(
+        "symbol",
+        "ts_exchange_ms",
+        "price",
+        "size",
+        "side",
+        "best_bid",
+        "best_ask",
+        (F.col("price") - (F.col("best_bid") + F.col("best_ask")) / 2).alias(
+            "px_vs_mid"
+        ),
+    )

@@ -345,3 +345,48 @@ def test_streaming_session_window(spark, tmp_path):
     finally:
         q.stop()
     assert [r.n for r in rows] == [3, 2]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Trades join books of the same symbol within the age bound;
+    out-of-window and cross-symbol books never match."""
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+
+    def book(sym, ts, bid, ask):
+        return (
+            f'{{"arg": {{"channel": "books5", "instId": "{sym}"}},'
+            f' "data": [{{"ts": "{ts}", "bids": [["{bid}", "1", "0", "1"]],'
+            f' "asks": [["{ask}", "1", "0", "1"]]}}]}}'
+        )
+
+    def trade(sym, ts, px):
+        return (
+            f'{{"arg": {{"channel": "trades", "instId": "{sym}"}},'
+            f' "data": [{{"ts": "{ts}", "px": "{px}", "sz": "1", "side": "buy", "tradeId": "t{ts}"}}]}}'
+        )
+
+    frames = [
+        book("BTC-USDT", 1_000, 10, 12),      # within 10s of the trade
+        book("BTC-USDT", 50_000, 20, 22),     # too old? no - AFTER trade: excluded
+        book("ETH-USDT", 4_000, 99, 101),     # other symbol: excluded
+        trade("BTC-USDT", 5_000, 11.5),
+    ]
+    path = write_replay_file(str(tmp_path / "ss.jsonl"), frames)
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    joined = P.stream_stream_enrich(P.normalized_stream(raw))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ss_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.symbol == "BTC-USDT" and r.best_bid == 10.0 and r.best_ask == 12.0
+    assert r.px_vs_mid == pytest.approx(11.5 - 11.0)
