@@ -215,3 +215,37 @@ def start_metrics_console_sink(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def compact_partitions(
+    spark, data_dir: str, out_dir: str, target_files_per_partition: int = 1
+) -> int:
+    """Small-file compaction for the streaming JSONL sink output.
+
+    A 1 s trigger writes one file per partition per microbatch - the
+    classic small-file problem at scale (a day of 1 s triggers is
+    86k files per partition). This batch job rewrites the partitioned
+    text data with ``coalesce`` per partition directory, preserving
+    the Hive layout. Run it on closed dt partitions (yesterday and
+    older); returns the number of partition directories compacted.
+
+    At 100 TB this is the nightly compaction stage every streaming
+    lakehouse runs; with Delta/Iceberg it becomes OPTIMIZE.
+    """
+    import os
+
+    compacted = 0
+    for root, dirs, files in os.walk(data_dir):
+        txts = [f for f in files if f.endswith(".txt")]
+        if len(txts) <= target_files_per_partition or not root.startswith(data_dir):
+            continue
+        rel = os.path.relpath(root, data_dir)
+        (
+            spark.read.text(root)
+            .coalesce(target_files_per_partition)
+            .write.mode("overwrite")
+            .text(os.path.join(out_dir, rel))
+        )
+        compacted += 1
+        _ = dirs
+    return compacted

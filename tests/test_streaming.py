@@ -390,3 +390,85 @@ def test_stream_stream_interval_join(spark, tmp_path):
     r = rows[0]
     assert r.symbol == "BTC-USDT" and r.best_bid == 10.0 and r.best_ask == 12.0
     assert r.px_vs_mid == pytest.approx(11.5 - 11.0)
+
+
+def test_observed_counters(spark, tmp_path):
+    """Operational counters (decode_errors / control_frames) observed
+    per microbatch with no extra pass - the predecessor-design
+    counters from the SURVEY archaeology."""
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+    from real_time_crypto_market_data_pipeline_spark.streaming.observability import (
+        last_counters,
+        observe_decode_health,
+    )
+
+    frames = [FRAMES[0], "garbage{{", "pong", FRAMES[2], FRAMES[1]]
+    path = write_replay_file(str(tmp_path / "obs.jsonl"), frames)
+    raw = observe_decode_health(
+        P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    )
+    events = P.normalized_stream(raw)
+    q = (
+        events.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("obs_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        counters = last_counters(q)
+    finally:
+        q.stop()
+    assert counters is not None
+    assert counters["frames_total"] == 5
+    assert counters["decode_errors"] == 2  # garbage{{ and pong
+    assert counters["control_frames"] == 1  # the subscribe frame
+
+
+def test_compaction_preserves_rows(spark, replay_path, tmp_path):
+    """Compaction rewrites many small sink files into one per
+    partition without losing or duplicating lines."""
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        compact_partitions,
+    )
+
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+
+    # two microbatches (file grows between passes) -> two files per
+    # touched partition, the small-file condition compaction fixes
+    path = str(tmp_path / "grow.jsonl")
+    write_replay_file(path, FRAMES[:2])
+    work = str(tmp_path / "work")
+    handles = P.start_pipeline(
+        spark, path, work, enable_console=False, enable_csv=False
+    )
+    try:
+        handles.process_all_available()
+        write_replay_file(path, FRAMES)
+        handles.process_all_available()
+    finally:
+        handles.stop()
+    before = sorted(
+        ln
+        for r, _d, fs in os.walk(f"{work}/data")
+        for f in fs
+        if f.endswith(".txt")
+        for ln in open(os.path.join(r, f)).read().splitlines()
+    )
+    n = compact_partitions(spark, f"{work}/data", f"{work}/compacted")
+    assert n >= 1
+    after = sorted(
+        ln
+        for r, _d, fs in os.walk(f"{work}/compacted")
+        for f in fs
+        if f.endswith(".txt")
+        for ln in open(os.path.join(r, f)).read().splitlines()
+    )
+    # compacted dirs hold exactly one data file each
+    for r, _d, fs in os.walk(f"{work}/compacted"):
+        txts = [f for f in fs if f.endswith(".txt")]
+        assert len(txts) <= 1
+    # row multiset preserved for the partitions that were compacted
+    assert set(after) <= set(before)
+    assert len(after) == len(set(after) & set(before))
