@@ -177,3 +177,45 @@ def cosine_topk_arrow(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    num_bits: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 alternative scale path: random-hyperplane LSH for vectors.
+
+    bucket = sign-bit signature of dot products against ``num_bits``
+    deterministic pseudo-random hyperplanes (coefficients derived from
+    md5(bit, dim) - reproducible everywhere, no RNG state to ship).
+    Cosine-similar vectors agree on most sign bits, so equal buckets
+    (or low-Hamming neighbors) are ANN candidates. Pure projection -
+    no shuffle; at scale the bucket becomes the storage partition key,
+    like the IVF cell id. Complements IVF: hyperplane buckets need no
+    training pass at all.
+    """
+    import hashlib
+
+    # deterministic hyperplanes in [-1, 1), generated driver-side once
+    # (num_bits x dims floats, broadcast via literal arrays)
+    def coeff(bit: int, dim: int) -> float:
+        h = hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**31 - 1.0
+
+    planes = [
+        F.array(*[F.lit(coeff(b, d)) for d in range(dims)])
+        for b in range(num_bits)
+    ]
+    bits = [
+        F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    bucket = F.aggregate(
+        F.array(*bits),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))

@@ -114,7 +114,9 @@ def start_pipeline(
     normalized lineage - K6's per-sink error isolation comes from
     query isolation instead of try/except per write.
     """
-    raw = read_raw_stream(spark, mode="replay", path=replay_path)
+    from .observability import observe_decode_health
+
+    raw = observe_decode_health(read_raw_stream(spark, mode="replay", path=replay_path))
     events = normalized_stream(raw)
     handles = PipelineHandles()
     if enable_jsonl:

@@ -71,3 +71,41 @@ def test_arrow_cosine_matches_expression_path(emb):
         for r in S.cosine_topk_arrow(emb, [float(x) for x in q], k=10).collect()
     ]
     assert arrow_top == expr_top
+
+
+def test_hyperplane_lsh_similar_vectors_collide(spark):
+    """Sign-bit signatures: Hamming distance tracks the angle - an
+    identical vector matches exactly, a tiny perturbation flips at
+    most a bit or two, an orthogonal vector flips ~half the bits."""
+    base = [1.0] * 8 + [0.0] * 8
+    same = [2.0] * 8 + [0.0] * 8  # same direction, different norm
+    near = [1.0] * 8 + [0.01] * 8
+    ortho = [0.0] * 8 + [1.0] * 8
+    emb = spark.createDataFrame(
+        [(0, base), (1, same), (2, near), (3, ortho)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in S.hyperplane_lsh_buckets(emb, num_bits=16, dims=16).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert got[0] == got[1]  # direction-only: identical signature
+    assert ham(got[0], got[2]) <= 2  # tiny angle: at most a couple bits
+    assert ham(got[0], got[3]) >= 4  # orthogonal: many bits differ
+
+
+def test_hyperplane_lsh_deterministic_and_shuffle_free(emb):
+    b1 = {r.vec_id: r.bucket for r in S.hyperplane_lsh_buckets(emb, dims=16).collect()}
+    b2 = {
+        r.vec_id: r.bucket
+        for r in S.hyperplane_lsh_buckets(emb.repartition(7), dims=16).collect()
+    }
+    assert b1 == b2
+    plan = (
+        S.hyperplane_lsh_buckets(emb, dims=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
