@@ -249,3 +249,46 @@ def compact_partitions(
         compacted += 1
         _ = dirs
     return compacted
+
+
+def start_exact_layout_jsonl_sink(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """K3 exact-fidelity variant: the reference's literal file layout.
+
+    ``data/{exchange}/{channel}/{YYYY-MM-DD}/{SYMBOL}.jsonl`` with
+    lines appended across batches (jsonl.py:20-29,140-155) - one file
+    per (channel, date, symbol), exactly as the reference writes it.
+
+    foreachBatch collects each microbatch's lines grouped by path and
+    appends driver-side. This matches the reference's single-process
+    sink 1:1 and is the right tool for compatibility replays; at scale
+    use ``start_jsonl_sink`` (Hive layout, executor-parallel, same
+    content) - a per-(key,batch) driver append is the same
+    serialization point the reference has.
+    """
+    import os
+
+    lines = jsonl_encode(events)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        by_path: dict[str, list[str]] = {}
+        for r in rows:
+            path = os.path.join(out_dir, r.exchange, r.channel, r.dt, f"{r.symbol}.jsonl")
+            by_path.setdefault(path, []).append(r.jsonl)
+        for path, batch_lines in by_path.items():
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "a", encoding="utf-8") as f:
+                f.write("\n".join(batch_lines) + "\n")
+
+    return (
+        lines.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

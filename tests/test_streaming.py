@@ -472,3 +472,34 @@ def test_compaction_preserves_rows(spark, replay_path, tmp_path):
     # row multiset preserved for the partitions that were compacted
     assert set(after) <= set(before)
     assert len(after) == len(set(after) & set(before))
+
+
+def test_exact_reference_file_layout(spark, tmp_path):
+    """K3 exact layout: data/okx/{channel}/{date}/{SYMBOL}.jsonl with
+    appends across microbatches (jsonl.py:20-29 parity)."""
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        start_exact_layout_jsonl_sink,
+    )
+
+    path = str(tmp_path / "grow2.jsonl")
+    write_replay_file(path, FRAMES[:2])
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    out = str(tmp_path / "data")
+    q = start_exact_layout_jsonl_sink(
+        P.normalized_stream(raw), out, str(tmp_path / "ckpt_exact")
+    )
+    try:
+        q.processAllAvailable()
+        write_replay_file(path, FRAMES)  # second batch appends
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # replay clock stamps everything on 2025-01-01
+    f = os.path.join(out, "okx", "books5", "2025-01-01", "BTC-USDT.jsonl")
+    assert os.path.exists(f), os.popen(f"find {out}").read()
+    recs = [json.loads(ln) for ln in open(f)]
+    assert [r["ts_exchange_ms"] for r in recs] == [1000, 1600, 2600]
+    assert all(r["channel"] == "books5" for r in recs)
+    t = os.path.join(out, "okx", "trades", "2025-01-01", "ETH-USDT.jsonl")
+    assert os.path.exists(t)
