@@ -552,3 +552,41 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast("bigint") % 100
     weight = F.when(F.col("source").isin("src0", "src1"), 80).otherwise(30)
     return docs.where(bucket < weight).select("doc_id", "source")
+
+
+def _hyperplane_oracle(num_bits: int = 16, dims: int = 64) -> str:
+    """Generate the DuckDB oracle with the same md5-derived hyperplane
+    coefficients the Spark operator uses - the oracle is built from the
+    identical Python constants, so both engines fold identical doubles
+    in identical order."""
+    import hashlib
+
+    def coeff(bit: int, dim: int) -> float:
+        h = hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**31 - 1.0
+
+    planes = [
+        "[" + ", ".join(repr(coeff(b, d)) for d in range(dims)) + "]"
+        for b in range(num_bits)
+    ]
+    bit_terms = [
+        f"CASE WHEN list_sum(list_transform(generate_series(1, {dims}),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({plane})[i])) > 0"
+        " THEN 1 ELSE 0 END"
+        for plane in planes
+    ]
+    acc = "CAST(0 AS BIGINT)"
+    for term in bit_terms:
+        acc = f"({acc}) * 2 + ({term})"
+    return f"SELECT vec_id, CAST({acc} AS BIGINT) AS bucket FROM embeddings"
+
+
+@query("q_ann_lsh_buckets", oracle=_hyperplane_oracle())
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hyperplane-LSH bucket assignment (training-free ANN index).
+
+    Sign-bit signature against 16 deterministic hyperplanes; the
+    oracle SQL is generated from the same constants, so the fold is
+    bit-identical on both engines.
+    """
+    return S.hyperplane_lsh_buckets(load(spark, sf_dir, "embeddings"))
