@@ -190,3 +190,79 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     return ids("click").intersect(ids("purchase")).exceptAll(heavy_err).distinct()
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(l_extendedprice) AS sum_price
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all 2^2 grouping-set combinations in one pass."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_urgent' AS status FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, 'no_orders' FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins: EXISTS and NOT EXISTS as left_semi / left_anti.
+
+    Both lower to broadcast joins on the filtered orders side - the
+    shape where EXISTS beats a join+distinct (no fact-side blowup).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    has_urgent = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("has_urgent").alias("status"))
+    )
+    no_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("no_orders").alias("status"))
+    )
+    return has_urgent.unionByName(no_orders)
+
+
+@query(
+    "q_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i
+                          WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average.
+
+    Decorrelated into a window average - one shuffle on the
+    correlation key instead of a per-row subquery; Catalyst performs
+    the same rewrite for the SQL form.
+    """
+    w = Window.partitionBy("o_custkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
