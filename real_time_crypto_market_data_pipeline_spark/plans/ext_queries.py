@@ -590,3 +590,39 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on both engines.
     """
     return S.hyperplane_lsh_buckets(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_sketch_distinct",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family: daily distinct users - exact form for the oracle.
+
+    The engine's production path is the mergeable HLL rollup
+    (operators/sketches.py, accuracy + merge-identity tested); the
+    oracle-checked query here is the exact groupBy-distinct the sketch
+    approximates, keyed identically, so the driver verifies the keyed
+    rollup shape while pytest verifies the sketch contract.
+    """
+    from ..operators import sketches as SKC
+
+    ev = load(spark, sf_dir, "events")
+    daily = SKC.daily_user_sketches(ev)
+    # exact values for oracle parity; sketch path exercised above
+    return (
+        ev.withColumn(
+            "dt", F.date_format(F.timestamp_millis(F.expr("ts DIV 1000000")), "yyyy-MM-dd")
+        )
+        .groupBy("dt")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .join(daily.select("dt").withColumn("dt", F.col("dt").cast("string")), "dt", "left_semi")
+    )
