@@ -30,6 +30,7 @@ COMMENTARY = {
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
     "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
     "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
+    "q_tpch_q5": "Six-table star: the lineitem fact flows through five BroadcastHashJoins with zero pre-aggregation shuffles; the region filter prunes the broadcast sides before the fact is touched.",
 }
 
 
