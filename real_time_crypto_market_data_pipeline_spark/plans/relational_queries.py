@@ -808,9 +808,15 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     as each supplier's best observed unit price (MIN, order-independent
     and therefore exactly reproducible cross-engine, unlike AVG) from
     lineitem. The correlated "cost = regional min for the part" subquery
-    decorrelates into a window MIN over the part key - one shuffle for
-    the group-by, reused by the window since both partition on the same
-    keys.
+    decorrelates into a window MIN over the part key.
+
+    Scale discipline: the fact is reduced to (partkey, suppkey, cost)
+    BEFORE any wide columns appear - supplier name/nation strings join
+    in by broadcast only after the min-filter has cut the rows to ~one
+    per part. An explicit repartition on l_partkey alone satisfies the
+    clustering requirement of BOTH the (partkey, suppkey) group-by and
+    the partkey window, so the narrow rows shuffle exactly once
+    (asserted in tests/test_plans.py).
     """
     li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
@@ -823,18 +829,30 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     costs = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_eur), li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("p_partkey", "s_name", "n_name", "s_acctbal")
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(
+            F.broadcast(supp_eur.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
         )
     )
-    w = Window.partitionBy("p_partkey")
-    return (
-        costs.withColumn("min_cost", F.min("supplycost").over(w))
-        .where(F.col("supplycost") == F.col("min_cost"))
-        .select("s_name", "n_name", "p_partkey", "supplycost", "s_acctbal")
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("supplycost").over(w)).where(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    return best.join(
+        F.broadcast(supp_eur), best.l_suppkey == supp_eur.s_suppkey
+    ).select(
+        "s_name",
+        "n_name",
+        F.col("l_partkey").alias("p_partkey"),
+        "supplycost",
+        "s_acctbal",
     )
 
 

@@ -85,3 +85,45 @@ def test_media_summary_prunes_binary_payload(spark, tmp_path_factory):
 def test_no_cartesian_anywhere(spark, name):
     plan = physical(QUERIES[name](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_q2_single_narrow_shuffle(spark):
+    # repartition(l_partkey) satisfies both the (partkey,suppkey)
+    # group-by and the partkey window: exactly one hash exchange, and
+    # no supplier strings in the shuffled rows (they broadcast in after
+    # the min-filter).
+    plan = physical(QUERIES["q_tpch_q2"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    exchanged = plan.split("Exchange hashpartitioning")[1]
+    assert "s_name" not in exchanged.split("BroadcastExchange")[0]
+
+
+def test_q4_semi_join_with_residual_inequality(spark):
+    plan = physical(QUERIES["q_tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+    # the correlated l_shipdate > o_orderdate lives as a join residual,
+    # not a post-join filter on a widened row
+    semi = plan.split("LeftSemi")[1].split("\n")[0]
+    assert "l_shipdate" in semi and "o_orderdate" in semi
+
+
+def test_q9_all_joins_broadcast(spark):
+    plan = physical(QUERIES["q_tpch_q9"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # one exchange total: the final (nation, year) aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = physical(QUERIES["q_tpch_q16"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # the NOT IN trap avoided
+
+
+def test_q21_semi_and_anti_on_same_key(spark):
+    plan = physical(QUERIES["q_tpch_q21"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # supplier-inequality is residual on the equi joins, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -31,6 +31,9 @@ COMMENTARY = {
     "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
     "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
     "q_tpch_q5": "Six-table star: the lineitem fact flows through five BroadcastHashJoins with zero pre-aggregation shuffles; the region filter prunes the broadcast sides before the fact is touched.",
+    "q_tpch_q2": "Decorrelated min-cost-per-part: the fact reduces to narrow (partkey, suppkey, cost) rows first; repartition(l_partkey) satisfies BOTH the group-by and the window, so the rows shuffle exactly once, and supplier strings broadcast in only after the min-filter.",
+    "q_tpch_q9": "Five-table profit rollup: every join a BroadcastHashJoin (the %gear% LIKE prunes the part build side pre-join); the single exchange is the final (nation, year) aggregate.",
+    "q_tpch_q21": "Correlated EXISTS / NOT EXISTS as semi + anti hash joins on l_orderkey with the supplier-inequality as join residual - no cartesian, no BroadcastNestedLoopJoin; at cluster scale all three lineitem legs co-partition on the same key.",
 }
 
 
