@@ -73,3 +73,194 @@ def streaming_staleness(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA quote tracker and idle-gap flush on the GroupState API.
+#
+# transform_state.py carries the same two operators on Spark 4's
+# transformWithStateInPandas (typed ValueState/ListState + timers);
+# that protocol needs google.protobuf at runtime, so THESE are the
+# executable-everywhere versions: identical semantics, state packed
+# into one GroupState row per key.
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_DDL = (
+    "symbol STRING, ts_exchange_ms LONG, mid DOUBLE, spread DOUBLE, "
+    "ewma_mid DOUBLE, ewma_spread DOUBLE, rolling_mid DOUBLE, "
+    "n LONG, spread_blowout BOOLEAN"
+)
+_EWMA_STATE_DDL = (
+    "ewma_mid DOUBLE, ewma_spread DOUBLE, n LONG, tail ARRAY<DOUBLE>"
+)
+
+
+def make_ewma_fn(alpha: float, window: int, k: float, warmup: int):
+    def _ewma_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            ewma_mid, ewma_spread, n, tail = state.get
+            tail = list(tail)
+        else:
+            ewma_mid, ewma_spread, n, tail = 0.0, 0.0, 0, []
+        out: dict[str, list] = {
+            c: []
+            for c in (
+                "ts", "mid", "spread", "ewma_mid", "ewma_spread",
+                "rolling_mid", "n", "blowout",
+            )
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_exchange_ms", kind="stable")
+            for ts, bid, ask in zip(
+                pdf["ts_exchange_ms"], pdf["best_bid"], pdf["best_ask"]
+            ):
+                mid = (bid + ask) / 2.0
+                spread = ask - bid
+                blowout = bool(
+                    n >= warmup and ewma_spread > 0 and spread > k * ewma_spread
+                )
+                if n == 0:
+                    ewma_mid, ewma_spread = mid, spread
+                else:
+                    ewma_mid = alpha * mid + (1 - alpha) * ewma_mid
+                    ewma_spread = alpha * spread + (1 - alpha) * ewma_spread
+                n += 1
+                tail.append(mid)
+                if len(tail) > window:
+                    tail = tail[-window:]
+                out["ts"].append(int(ts))
+                out["mid"].append(mid)
+                out["spread"].append(spread)
+                out["ewma_mid"].append(ewma_mid)
+                out["ewma_spread"].append(ewma_spread)
+                out["rolling_mid"].append(sum(tail) / len(tail))
+                out["n"].append(n)
+                out["blowout"].append(blowout)
+        state.update((ewma_mid, ewma_spread, n, tail))
+        if out["ts"]:
+            yield pd.DataFrame(
+                {
+                    "symbol": symbol,
+                    "ts_exchange_ms": out["ts"],
+                    "mid": out["mid"],
+                    "spread": out["spread"],
+                    "ewma_mid": out["ewma_mid"],
+                    "ewma_spread": out["ewma_spread"],
+                    "rolling_mid": out["rolling_mid"],
+                    "n": out["n"],
+                    "spread_blowout": out["blowout"],
+                }
+            )
+
+    return _ewma_fn
+
+
+def streaming_quote_ewma(
+    books: DataFrame,
+    alpha: float = 0.2,
+    window: int = 5,
+    k: float = 3.0,
+    warmup: int = 5,
+) -> DataFrame:
+    """Per-symbol online EWMA mid/spread + bounded rolling tail +
+    spread-blowout flag over normalized book events.
+
+    The reference recomputes rolling stats over a deque each tick
+    (rolling.py:35,95-116); EWMA state is O(1) per key, keyed,
+    checkpointed, and restart-safe. A spread more than ``k`` times the
+    prevailing EWMA spread after ``warmup`` events is flagged online.
+    """
+    from pyspark.sql import functions as F
+
+    if "best_bid" not in books.columns:
+        books = books.where(F.col("book").isNotNull()).withColumns(
+            {
+                "best_bid": F.col("book.best_bid"),
+                "best_ask": F.col("book.best_ask"),
+            }
+        )
+    return (
+        books.select("symbol", "ts_exchange_ms", "best_bid", "best_ask")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            make_ewma_fn(alpha, window, k, warmup),
+            outputStructType=EWMA_OUTPUT_DDL,
+            stateStructType=_EWMA_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+IDLE_OUTPUT_DDL = (
+    "symbol STRING, n_events LONG, first_ms LONG, last_ms LONG, "
+    "flushed_at_ms LONG"
+)
+_IDLE_STATE_DDL = "n LONG, first_ms LONG, last_ms LONG"
+
+
+def make_idle_fn(gap_ms: int):
+    def _idle_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.hasTimedOut:
+            n, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "symbol": [symbol],
+                    "n_events": [n],
+                    "first_ms": [first_ms],
+                    "last_ms": [last_ms],
+                    "flushed_at_ms": [last_ms + gap_ms],
+                }
+            )
+            return
+        if state.exists:
+            n, first_ms, last_ms = state.get
+        else:
+            n, first_ms, last_ms = 0, None, None
+        for pdf in pdfs:
+            ts = pdf["ts_exchange_ms"]
+            if len(ts) == 0:
+                continue
+            n += len(ts)
+            lo, hi = int(ts.min()), int(ts.max())
+            first_ms = lo if first_ms is None else min(first_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((n, first_ms, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return _idle_fn
+
+
+def streaming_idle_flush(
+    events: DataFrame, gap_ms: int = 5_000, watermark: str = "2 seconds"
+) -> DataFrame:
+    """Per-symbol idle-gap session flush via event-time timeout.
+
+    Each batch re-arms the key's timeout at last_event + gap_ms; once
+    the watermark passes it, the key times out, emits its session
+    summary exactly once, and clears its state. The stateful analogue
+    of session_window with full control over payload and lifecycle -
+    the "symbol went quiet" signal the reference can only infer
+    offline.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "symbol",
+        "ts_exchange_ms",
+        F.timestamp_millis(F.col("ts_exchange_ms")).alias("event_time"),
+    ).withWatermark("event_time", watermark)
+    return keyed.groupBy("symbol").applyInPandasWithState(
+        make_idle_fn(gap_ms),
+        outputStructType=IDLE_OUTPUT_DDL,
+        stateStructType=_IDLE_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
