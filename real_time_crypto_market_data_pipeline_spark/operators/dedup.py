@@ -351,41 +351,30 @@ def lsh_jaccard_dedup(
     representatives.
     """
     cands = lsh_candidate_pairs(lsh_bucket_table(docs, text_col, shingle_n=shingle_n))
-    sh = (
-        spread_for_fanout(docs)
-        .select(
-            "doc_id",
-            F.explode(
-                word_shingles(tokens_col(F.col(text_col)), shingle_n)
-            ).alias("shingle"),
-        )
-        .distinct()
+    # Verify WITHOUT exploding: each doc keeps its distinct-shingle SET
+    # as one array row, the (small, LSH-bounded) candidate list
+    # broadcasts onto it, and the exact intersection is array_intersect
+    # per pair. Versus the exploded equi-join formulation this removes
+    # the |docs|x|shingles| distinct shuffle AND the (doc, shingle) join
+    # shuffle - the only wide exchange left in the whole pipeline is
+    # minhash's own signature aggregation.
+    sh_sets = spread_for_fanout(docs).select(
+        "doc_id",
+        F.coalesce(
+            F.array_distinct(word_shingles(tokens_col(F.col(text_col)), shingle_n)),
+            F.array().cast("array<string>"),
+        ).alias("sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
-    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    a = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    paired = b.join(F.broadcast(a.join(F.broadcast(cands), "doc_a")), "doc_b")
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    denom = (F.size("sh_a") + F.size("sh_b") - n_common).cast("double")
     return (
-        inter.join(
-            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})),
-            "doc_b",
-        )
-        .select(
+        paired.select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
+            (n_common.cast("double") / denom).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
