@@ -69,3 +69,55 @@ def asof_join(
         ],
     )
     return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def banded_interval_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    range_ms: int,
+    left_id: str,
+    out_col: str = "n_in_range",
+) -> DataFrame:
+    """Count right-side rows within ``[left_ts - range_ms, left_ts)``
+    per left row - an interval join banded for scale.
+
+    The naive plan joins on the equi key with the time range as a
+    residual, which degenerates when a key is hot (every left x right
+    pair under that key is tested). Banding adds ``floor(ts/range_ms)``
+    to the JOIN KEY: each left row probes exactly two bands (its own
+    and the previous - together they cover the whole lookback range),
+    so the per-key work drops from |L|x|R| to the rows in adjacent
+    bands, and the shuffle partitions on (key, band) - hot keys spread
+    across time. A right row falls in exactly one band, so no dedup is
+    needed. The range predicate stays in the JOIN CONDITION so an
+    all-out-of-range left row still survives the left join and counts
+    zero. This is the standard time-bucketed interval-join
+    decomposition (cf. Spark's stream-stream join state bucketing).
+    """
+    from pyspark.sql import functions as F
+
+    band = lambda c: (F.col(c) / range_ms).cast("long")  # noqa: E731
+    probes = left.withColumn(
+        "_band", F.explode(F.array(band(left_ts) - 1, band(left_ts)))
+    )
+    r = right.select(
+        *[F.col(k).alias(f"_r_{k}") for k in key_cols],
+        band(right_ts).alias("_r_band"),
+        F.col(right_ts).alias("_r_ts"),
+    )
+    cond = F.col("_band") == F.col("_r_band")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_r_{k}"))
+    cond = (
+        cond
+        & (F.col("_r_ts") >= F.col(left_ts) - range_ms)
+        & (F.col("_r_ts") < F.col(left_ts))
+    )
+    return (
+        probes.join(r, cond, "left")
+        .groupBy(left_id)
+        .agg(F.count("_r_ts").cast("long").alias(out_col))
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.asof import banded_interval_count
 from ..tables import load
 from .registry import query
 
@@ -1209,4 +1210,128 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "q_window_variety",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_type, CAST(quartile AS INTEGER) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sum_value,
+           MAX(pr) AS max_pr, MAX(cd) AS max_cd
+    FROM r GROUP BY event_type, quartile
+    """,
+)
+def q_window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family: ntile / percent_rank / cume_dist.
+
+    The window ORDER BY carries event_id as tiebreak so the total
+    order - and therefore every rank-derived value - is identical
+    cross-engine. One exchange+sort per event_type serves all three
+    window functions; the quartile rollup reuses the same clustering.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max("pr").alias("max_pr"),
+            F.max("cd").alias("max_cd"),
+        )
+    )
+
+
+@query(
+    "q_first_last_value",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             FIRST_VALUE(value) OVER w AS first_v,
+             LAST_VALUE(value) OVER w AS last_v,
+             NTH_VALUE(value, 3) OVER w AS third_v
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT DISTINCT event_type, first_v, last_v, third_v FROM r
+    """,
+)
+def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window family: first_value / last_value / nth_value.
+
+    The frame is pinned to the full partition (the default
+    last_value frame ends at CURRENT ROW - a classic cross-engine
+    trap) and the order carries event_id as tiebreak, so all three
+    positional picks are deterministic.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_type",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    ).distinct()
+
+
+@query(
+    "q_interval_count",
+    oracle="""
+    SELECT c.event_id, CAST(COUNT(v.vts) AS BIGINT) AS views_60s
+    FROM (SELECT event_id, user_id, epoch_ms(ts) AS cts
+          FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, epoch_ms(ts) AS vts
+               FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.vts >= c.cts - 60000 AND v.vts < c.cts
+    GROUP BY c.event_id
+    """,
+)
+def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: views per user in the minute before each
+    click (operators/asof.banded_interval_count).
+
+    The 60s lookback becomes part of the JOIN KEY - each click probes
+    its own and the previous time band - so a hot user's pairs are
+    bounded by adjacent-band co-residency instead of |clicks|x|views|,
+    and the shuffle spreads hot keys across time bands.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ms", (F.col("ts") / 1_000_000).cast("long")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ms"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ms")
+    return banded_interval_count(
+        clicks,
+        views,
+        key_cols=["user_id"],
+        left_ts="ms",
+        right_ts="ms",
+        range_ms=60_000,
+        left_id="event_id",
+        out_col="views_60s",
     )
