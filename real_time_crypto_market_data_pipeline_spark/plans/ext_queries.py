@@ -521,13 +521,39 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.scrub_text(load(spark, sf_dir, "documents"))
 
 
-@query("q_dedup_clusters")  # rows-only: iterative algorithm, not SQL-expressible
+@query(
+    "q_dedup_clusters",
+    oracle=_MINHASH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buck a JOIN buck b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 final stage: connected components over LSH candidate pairs.
 
     Iterative min-label propagation with per-round localCheckpoint
-    (verified against a union-find reference in pytest); the canonical
-    representative of every near-dup cluster.
+    (also verified against a union-find reference in pytest); the
+    canonical representative of every near-dup cluster. The DuckDB
+    oracle computes the same components by recursive-CTE transitive
+    closure - fine at oracle scale, quadratic in cluster size, which
+    is exactly why the distributed form is label propagation instead.
     """
     pairs = D.lsh_candidate_pairs(D.lsh_bucket_table(load(spark, sf_dir, "documents")))
     return D.connected_components(pairs)
