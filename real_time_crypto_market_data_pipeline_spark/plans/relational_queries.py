@@ -973,6 +973,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) profit
     GROUP BY nation, o_year
     """,
+    bench=True,
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-line profit by supplier nation and year.
@@ -1170,6 +1171,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     GROUP BY s_name
     """,
+    bench=True,
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole blamable supplier per problem order.
@@ -1308,6 +1310,7 @@ def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND v.vts >= c.cts - 60000 AND v.vts < c.cts
     GROUP BY c.event_id
     """,
+    bench=True,
 )
 def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded interval join: views per user in the minute before each
