@@ -131,3 +131,50 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
         r.ts_exchange_ms for r in spark.read.parquet(out).collect()
     )
     assert rows == [1000, 2000, 3000, 4000]  # no gaps, no duplicates
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: the runtime re-plan splits a hot key's oversized
+    shuffle partition into parallel sub-joins (skew=true in the final
+    plan) - the no-code-change answer to join skew at 100 TB, and the
+    reason the engine leaves AQE on everywhere.
+
+    Thresholds are shrunk so local[32]-sized data trips the same
+    detection (partition > factor x median AND > threshold bytes) a
+    multi-TB hot key would.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        pad = F.concat(F.lit("x" * 100), F.col("id").cast("string"))
+        hot = spark.range(200_000).select(F.lit(0).alias("k"), pad.alias("pad"))
+        rest = spark.range(20_000).select(
+            (F.col("id") % 100 + 1).alias("k"), pad.alias("pad")
+        )
+        left = hot.unionByName(rest)
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.col("id").alias("dim_val")
+        )
+        joined = left.join(right, "k")
+        # execute THIS dataframe's plan (count() would plan separately)
+        n = len(joined.collect())
+        assert n == 220_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
