@@ -1227,7 +1227,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     )
     SELECT event_type, CAST(quartile AS INTEGER) AS quartile,
-           CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value,
            MAX(pr) AS max_pr, MAX(cd) AS max_cd
     FROM r GROUP BY event_type, quartile
     """,
@@ -1239,6 +1240,9 @@ def q_window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     order - and therefore every rank-derived value - is identical
     cross-engine. One exchange+sort per event_type serves all three
     window functions; the quartile rollup reuses the same clustering.
+    Rollup aggregates are MIN/MAX/COUNT (order-independent) - a SUM of
+    ~5k doubles per group drifts past 6-significant-digit
+    canonicalization between engines at sf0.1.
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
@@ -1253,7 +1257,8 @@ def q_window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "quartile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
             F.max("pr").alias("max_pr"),
             F.max("cd").alias("max_cd"),
         )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
 from real_time_crypto_market_data_pipeline_spark.operators import text as T
@@ -242,3 +243,56 @@ def test_connected_components_chain(spark):
     got = {r.doc_id: r.component for r in D.connected_components(chain).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
+
+
+def test_lsh_matches_exact_and_mllib(spark):
+    """Cross-validation of the hand-rolled MinHash LSH: at jaccard >=
+    0.7 on the test corpus it recovers EXACTLY the pairs the exhaustive
+    shingle-join finds, and MLlib's MinHashLSH (same hash budget, 8
+    tables) at the equivalent distance cutoff finds the same set.
+
+    Pins three independent implementations to one answer - the
+    hand-rolled pipeline exists (rather than MLlib) because its
+    signatures are md5-deterministic cross-engine for the DuckDB
+    oracle, and its banding is a pure projection (no CountVectorizer
+    vocabulary broadcast, which at 100 TB is a multi-GB dictionary).
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+    from real_time_crypto_market_data_pipeline_spark.operators.text import (
+        tokens_col,
+        word_shingles,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, top_k=None, min_jaccard=0.7).collect()
+    }
+    ours = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_jaccard_dedup(docs, min_jaccard=0.7).collect()
+    }
+    assert ours == exact
+    assert len(exact) > 0
+
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens_col(F.col("text")), 3)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    vecs = (
+        CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+        .fit(sh)
+        .transform(sh)
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, 0.3, distCol="dist")
+    mllib = {
+        (r.datasetA.doc_id, r.datasetB.doc_id)
+        for r in joined.where("datasetA.doc_id < datasetB.doc_id").collect()
+    }
+    assert mllib == exact
