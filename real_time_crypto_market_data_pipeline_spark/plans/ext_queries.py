@@ -168,6 +168,51 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load(spark, sf_dir, "documents"), top_k=20)
 
 
+# ------------------------------------------------- X2 (df-pruned Jaccard)
+@query(
+    "q_dedup_jaccard_pruned",
+    oracle=f"""
+    WITH {_SHINGLES},
+    dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    hot AS (
+      SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) > 4
+    ),
+    pruned AS (
+      SELECT * FROM dsh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM pruned a JOIN pruned b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 skew mitigation: document-frequency-pruned Jaccard.
+
+    A shingle in >max_df docs contributes df^2 join rows and ~zero
+    similarity signal - the stopword-shingle skew key. Dropping it
+    before the self-join bounds per-key fanout (sizes keep the full
+    sets, so pruned jaccard is a LOWER bound of exact). This is the
+    knob that keeps the pairwise stage alive at 100 TB when a boilerplate
+    phrase appears in half the corpus.
+    """
+    return D.jaccard_pairs(
+        load(spark, sf_dir, "documents"), top_k=20, max_df=4
+    )
+
+
 # ---------------------------------------------------------------- X2 (embedding near-dup)
 @query(
     "q_dedup_embed",
