@@ -149,3 +149,48 @@ def test_tws_quote_ewma(spark, tmp_path):
             else:
                 spark.conf.set(key, val)
     assert len(rows) == 3
+
+
+def test_ewma_state_survives_query_restart(spark, tmp_path):
+    """GroupState is restored from the checkpointed state store on a
+    full query restart (new query object, same checkpoint): the first
+    event after the restart continues the EWMA recurrence instead of
+    re-warming - restart-safety the reference's in-process dict lacks."""
+    path = str(tmp_path / "restart.jsonl")
+    batch1 = [book_frame("BTC-USDT", 1000 * (i + 1), 10.0, 11.0) for i in range(6)]
+    write_replay_file(path, batch1)
+    ckpt = str(tmp_path / "ckpt_restart")
+    sink = str(tmp_path / "sink_restart")
+
+    def start():
+        raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=100)
+        out = streaming_quote_ewma(P.normalized_stream(raw), alpha=0.5, k=3.0)
+        return (
+            out.writeStream.outputMode("append")
+            .format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = spark.read.json(sink)
+    assert first.agg({"n": "max"}).collect()[0][0] == 6
+
+    # grow the file, then restart from the same checkpoint
+    write_replay_file(path, batch1 + [book_frame("BTC-USDT", 7000, 10.0, 15.0)])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = spark.read.json(sink).collect()
+    assert len(rows) == 7  # exactly one new row; batch1 not re-emitted
+    r = next(r for r in rows if r.ts_exchange_ms == 7000)
+    assert r.n == 7  # counter continued from recovered state
+    assert r.spread_blowout is True  # EWMA spread context also recovered
+    assert r.ewma_mid == pytest.approx(0.5 * 12.5 + 0.5 * 10.5)

@@ -34,6 +34,7 @@ COMMENTARY = {
     "q_tpch_q2": "Decorrelated min-cost-per-part: the fact reduces to narrow (partkey, suppkey, cost) rows first; repartition(l_partkey) satisfies BOTH the group-by and the window, so the rows shuffle exactly once, and supplier strings broadcast in only after the min-filter.",
     "q_tpch_q9": "Five-table profit rollup: every join a BroadcastHashJoin (the %gear% LIKE prunes the part build side pre-join); the single exchange is the final (nation, year) aggregate.",
     "q_tpch_q21": "Correlated EXISTS / NOT EXISTS as semi + anti hash joins on l_orderkey with the supplier-inequality as join residual - no cartesian, no BroadcastNestedLoopJoin; at cluster scale all three lineitem legs co-partition on the same key.",
+    "q_interval_count": "Time-banded interval join: floor(ts/range) joins as part of the key (each left row explodes into two adjacent band probes), so a hot user's pairwise work is bounded by band co-residency; the range predicate rides the join as a residual so zero-match rows still count 0 through the left join.",
 }
 
 
