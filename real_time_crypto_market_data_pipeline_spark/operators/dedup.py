@@ -436,3 +436,58 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """X2 (SimHash family): near-dup pairs by fingerprint Hamming ball.
+
+    Pigeonhole blocking: split the fingerprint into ``max_hamming + 1``
+    equal bit-bands - any pair within Hamming distance ``max_hamming``
+    must agree EXACTLY on at least one band, so the band-value
+    equi-join finds every qualifying pair (no recall loss, unlike
+    MinHash banding) and the verify step is one xor+popcount per
+    candidate. Same shuffle discipline as the MinHash path: banding is
+    a projection, pair generation is bucket-local.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(docs, text_col, bits)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {b * band_bits}) & {mask}"
+                        ).alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "simhash", F.col("_b.band").alias("band"), F.col("_b.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b")).cast("long")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -112,10 +112,7 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(D.lsh_bucket_table(load(spark, sf_dir, "documents")))
 
 
-# ---------------------------------------------------------------- X2 (SimHash)
-@query(
-    "q_dedup_simhash",
-    oracle=f"""
+_SIMHASH = f"""
     WITH tok AS ({_TOKS}),
     t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
     hashed AS (
@@ -126,17 +123,57 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS w
       FROM hashed, UNNEST(generate_series(0, 31)) AS b(bit)
     ),
-    votes AS (SELECT doc_id, bit, SUM(w) AS s FROM per_bit GROUP BY doc_id, bit)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0
-                         THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
-                         ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+    votes AS (SELECT doc_id, bit, SUM(w) AS s FROM per_bit GROUP BY doc_id, bit),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+# ---------------------------------------------------------------- X2 (SimHash)
+@query(
+    "q_dedup_simhash",
+    oracle=_SIMHASH + "SELECT doc_id, simhash FROM fp",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: 32-bit SimHash fingerprints (token-hash bit voting)."""
     return D.simhash(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=_SIMHASH
+    + """,
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 8)) & 255 AS bv
+      FROM fp, UNNEST(generate_series(0, 3)) AS b(band)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (SimHash family): near-dup pairs within Hamming distance 3.
+
+    Pigeonhole blocking over 4 byte-bands of the fingerprint: a pair
+    within distance 3 must agree exactly on >= 1 band, so the band
+    equi-join has FULL recall (unlike probabilistic MinHash banding)
+    and the verify is one xor+popcount per candidate.
+    """
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------- X2 (Jaccard verify)
