@@ -1343,3 +1343,69 @@ def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id="event_id",
         out_col="views_60s",
     )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value, epoch_ms(ts) AS ms, event_id,
+             epoch_ms(ts) // 3600000 AS bucket
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, bucket, value,
+             FIRST_VALUE(value) OVER w AS open_v,
+             LAST_VALUE(value) OVER w AS close_v
+      FROM d
+      WINDOW w AS (PARTITION BY event_type, bucket ORDER BY ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           MIN(open_v) AS open, MAX(value) AS high, MIN(value) AS low,
+           MIN(close_v) AS close, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           AVG(value) AS mean_px
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bar resampling: hourly OHLC candles per series.
+
+    The canonical market-data downsample (the reference never
+    aggregates over event time at all - SURVEY 2.6). Open/close are
+    positional picks over a (ts, event_id) total order - the
+    full-partition window frame from q_first_last_value - and the bar
+    rollup reuses the window's (type, bucket) clustering, so the whole
+    candle build is one exchange+sort. In streaming form the same
+    bars fall out of groupBy(window(event_time, '1 hour')) with
+    min_by/max_by; batch keeps the window form for exact cross-engine
+    open/close semantics.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("ts") / 1_000_000).cast("long").alias("ms"),
+    )
+    ev = ev.withColumn("bucket", F.expr("ms DIV 3600000"))
+    w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    r = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(w).alias("close_v"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.min("open_v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close_v").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.avg("value").alias("mean_px"),
+    )
