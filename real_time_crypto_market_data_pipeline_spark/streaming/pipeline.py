@@ -215,3 +215,39 @@ def stream_stream_enrich(
             "px_vs_mid"
         ),
     )
+
+
+def windowed_ohlc(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming OHLC candles per symbol from normalized trade events.
+
+    The streaming twin of q_ohlc_bars: open/close are min_by/max_by on
+    the event timestamp inside a tumbling event-time window (incremental
+    - the state store keeps one candle-in-progress per (symbol, open
+    window)), volume-weighted price included since trades carry size.
+    The watermark closes bars and bounds state exactly like the other
+    windowed aggregates.
+    """
+    trades = events.where(F.col("trade").isNotNull()).select(
+        "symbol",
+        F.timestamp_millis(F.col("ts_exchange_ms")).alias("event_time"),
+        F.col("ts_exchange_ms").alias("ms"),
+        F.col("trade.price").alias("price"),
+        F.col("trade.size").alias("size"),
+    )
+    return (
+        trades.withWatermark("event_time", watermark)
+        .groupBy("symbol", F.window("event_time", window))
+        .agg(
+            F.min_by("price", "ms").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "ms").alias("close"),
+            F.sum("size").alias("volume"),
+            (F.sum(F.col("price") * F.col("size")) / F.sum("size")).alias("vwap"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+    )

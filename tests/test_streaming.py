@@ -503,3 +503,47 @@ def test_exact_reference_file_layout(spark, tmp_path):
     assert all(r["channel"] == "books5" for r in recs)
     t = os.path.join(out, "okx", "trades", "2025-01-01", "ETH-USDT.jsonl")
     assert os.path.exists(t)
+
+
+def test_windowed_ohlc_candles(spark, tmp_path):
+    """Streaming OHLC: open/close pick the first/last trade by event
+    time inside each tumbling window; volume and vwap accumulate."""
+    def trade(sym, ts, px, sz):
+        return (
+            f'{{"arg": {{"channel": "trades", "instId": "{sym}"}},'
+            f' "data": [{{"ts": "{ts}", "px": "{px}", "sz": "{sz}",'
+            f' "side": "buy", "tradeId": "t{ts}"}}]}}'
+        )
+
+    from real_time_crypto_market_data_pipeline_spark.sources.okx_ws import write_replay_file
+
+    path = str(tmp_path / "ohlc.jsonl")
+    write_replay_file(
+        path,
+        [
+            trade("BTC-USDT", 1_000, 100.0, 1.0),   # open of window [0, 60s)
+            trade("BTC-USDT", 30_000, 90.0, 2.0),   # low
+            trade("BTC-USDT", 45_000, 110.0, 1.0),  # high
+            trade("BTC-USDT", 59_000, 105.0, 1.0),  # close
+        ],
+    )
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=10)
+    bars = P.windowed_ohlc(P.normalized_stream(raw), window="1 minute")
+    q = (
+        bars.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ohlc_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.open, r.high, r.low, r.close) == (100.0, 110.0, 90.0, 105.0)
+    assert r.volume == 5.0
+    assert r.n_trades == 4
+    assert r.vwap == pytest.approx((100 + 90 * 2 + 110 + 105) / 5.0)
