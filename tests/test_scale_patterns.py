@@ -178,3 +178,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    is turned into a bloom filter applied to the fact scan BEFORE the
+    shuffle (bloom_filter_might_contain in the final plan), cutting
+    shuffled fact bytes by the dim's selectivity - at 100 TB this is
+    the difference between shuffling the table and shuffling the match.
+
+    Thresholds are lowered so local-scale parquet trips the same
+    rewrite; broadcast is disabled to force the shuffle-join shape the
+    rewrite targets.
+    """
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.01"
+        orders = load(spark, sf, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0].n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # bloom filter reached the fact side
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
