@@ -1409,3 +1409,44 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
         F.avg("value").alias("mean_px"),
     )
+
+
+@query(
+    "q_salted_stats",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(cents) AS BIGINT) AS s_count,
+           COALESCE(SUM(cents) / COUNT(cents), 0.0) AS s_mean,
+           COALESCE(CAST(MIN(cents) AS DOUBLE), 0.0) AS s_min,
+           COALESCE(CAST(MAX(cents) AS DOUBLE), 0.0) AS s_max
+    FROM c GROUP BY user_id, event_type
+    """,
+)
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe grouped stats: two-stage salted shuffle, same answer.
+
+    Stage 1 aggregates on (keys, salt) so a hot key spreads over 16
+    reducers; stage 2 merges 16 partial rows per key - salting changes
+    the execution, not the result. The stats run over integer cents
+    (round(value*100)): integer partial sums are EXACT under any
+    grouping/order, so the two-stage merge is bit-identical to the
+    oracle's single pass. (Double sums are not: a mean of 16
+    two-decimal values lands exactly on 6-significant-digit rounding
+    boundaries often enough that summation-order ulps flip the
+    canonicalized value - measured 10/750 groups at sf0.01.) The
+    double path's stddev/mean equality to the plain single-shuffle agg
+    is pinned at rel_tol 1e-6 in tests/test_scale_patterns.py.
+    """
+    from ..operators.skew import salted_grouped_stats
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_grouped_stats(
+        ev, ["user_id", "event_type"], "cents", "s_"
+    ).drop("s_std")
