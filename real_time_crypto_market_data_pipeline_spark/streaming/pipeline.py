@@ -251,3 +251,19 @@ def windowed_ohlc(
             F.count(F.lit(1)).cast("long").alias("n_trades"),
         )
     )
+
+
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, on: str = "symbol", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a batch
+    dimension table (instrument metadata, tick sizes, listing info).
+
+    Stream-static joins are STATELESS - no watermark, no state store:
+    Spark re-evaluates the static side every microbatch (so a dim
+    refreshed in place is picked up on the next trigger) and the
+    explicit broadcast keeps the stream side shuffle-free. This is the
+    right shape for slowly-changing reference data; only stream-stream
+    joins (stream_stream_enrich) need watermarked state.
+    """
+    return events.join(F.broadcast(dim), on=on, how=how)

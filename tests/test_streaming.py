@@ -547,3 +547,32 @@ def test_windowed_ohlc_candles(spark, tmp_path):
     assert r.volume == 5.0
     assert r.n_trades == 4
     assert r.vwap == pytest.approx((100 + 90 * 2 + 110 + 105) / 5.0)
+
+
+def test_stream_static_enrichment(spark, replay_path, tmp_path):
+    """Stream-static broadcast join: every event picks up its dim row,
+    statelessly (no watermark required in append mode)."""
+    dim = spark.createDataFrame(
+        [("BTC-USDT", "BTC", 0.1), ("ETH-USDT", "ETH", 0.01)],
+        "symbol STRING, base_ccy STRING, tick_size DOUBLE",
+    )
+    raw = P.read_raw_stream(spark, mode="replay", path=replay_path, batch_size=10)
+    enriched = P.enrich_with_static(P.normalized_stream(raw), dim)
+    q = (
+        enriched.selectExpr("symbol", "base_ccy", "tick_size", "ts_exchange_ms")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM enrich_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    by_sym = {r.symbol: r for r in rows}
+    assert by_sym["BTC-USDT"].base_ccy == "BTC"
+    assert by_sym["BTC-USDT"].tick_size == 0.1
+    assert by_sym["ETH-USDT"].base_ccy == "ETH"
