@@ -32,18 +32,19 @@ def run_to_completion(df) -> int:
     return 0
 
 
-def main() -> None:
+def main(keys=None, metric="headline_total") -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    keys = keys if keys is not None else BENCH_KEYS
     spark = get_spark("bench")
     # warmup: run every bench query once at the smallest SF so the
     # timed runs measure engine steady-state, not first-call JVM
     # classloading + whole-stage-codegen compilation (~1-3 s/query)
-    for name in BENCH_KEYS:
+    for name in keys:
         run_to_completion(QUERIES[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
-    for name in BENCH_KEYS:
+    for name in keys:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -55,7 +56,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -67,4 +68,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--tpch":
+        # the full 22-query TPC-H shape suite (see SCALING.md table)
+        tpch = sorted(
+            (k for k in QUERIES if k.startswith("q_tpch_q")),
+            key=lambda k: int(k.rsplit("q", 1)[1]),
+        )
+        main(keys=tpch, metric="tpch_total")
+    else:
+        main()
