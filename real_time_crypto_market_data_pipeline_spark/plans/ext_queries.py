@@ -250,6 +250,63 @@ def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- X2+ (eval decontamination)
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES},
+    dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    ev AS (
+      SELECT DISTINCT shingle FROM dsh JOIN src USING (doc_id)
+      WHERE source = 'src0'
+    ),
+    tr AS (
+      SELECT dsh.doc_id, shingle FROM dsh JOIN src USING (doc_id)
+      WHERE source <> 'src0'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY doc_id HAVING COUNT(*) >= 2
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ decontamination: flag training docs that overlap the eval set.
+
+    The benchmark-leakage scan every training-data pipeline needs:
+    source 'src0' plays the held-out eval set; any other document
+    sharing >= 2 distinct shingles with it is flagged with its overlap
+    count. The eval shingle set broadcasts (eval corpora are small by
+    construction); the train side streams through the semi-join
+    map-side, so the scan of a 100 TB training corpus shuffles only
+    the flagged doc ids. At extreme eval sizes, swap the broadcast
+    set for a bloom filter built with bloom_filter_agg - same plan
+    shape, approximate membership.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = T.spread_for_fanout(docs).select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.array_distinct(
+                T.word_shingles(T.tokens_col(F.col("text")), 3)
+            )
+        ).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    ev = (
+        sh.where(F.col("source") == "src0").select("shingle").distinct()
+    )
+    tr = sh.where(F.col("source") != "src0")
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .where(F.col("n_overlap") >= 2)
+    )
+
+
 # ---------------------------------------------------------------- X2 (embedding near-dup)
 @query(
     "q_dedup_embed",
