@@ -250,6 +250,72 @@ def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- X4+ (composed corpus prep)
+@query(
+    "q_corpus_prep",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','of','to','and','in','is','on','for'], x))) AS stop_hits
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id,
+             LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.4
+               + (CASE WHEN n_chars > 0
+                       THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END) * 0.4
+               + LEAST((CASE WHEN n_tok > 0
+                             THEN CAST(stop_hits AS DOUBLE) / n_tok
+                             ELSE 0.0 END) * 10.0, 1.0) * 0.2 AS quality
+      FROM feat
+    ),
+    keep AS (
+      SELECT d.doc_id, d.source, d.text, s.quality
+      FROM documents d JOIN scored s USING (doc_id)
+      WHERE s.quality >= 0.5
+    ),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
+    kept AS (SELECT k.* FROM keep k JOIN reps USING (doc_id))
+    SELECT doc_id, source, quality,
+           CASE WHEN CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM kept
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ composed corpus prep: quality gate -> exact dedup -> split.
+
+    The whole pretraining-data funnel as ONE declarative plan: score,
+    drop low-quality docs, keep the min-doc_id representative per
+    exact-duplicate class, assign the leakage-safe content-hash split.
+    Catalyst fuses the score+gate into the scan stage; the dedup is the
+    only shuffle (on md5(text)); the split is a projection. The point
+    of composing operators as DataFrames: the optimizer sees the whole
+    funnel, so column pruning reaches every stage and no intermediate
+    corpus is materialized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = T.quality_score(docs).select("doc_id", "quality")
+    keep = docs.join(scored, "doc_id").where(F.col("quality") >= 0.5)
+    reps = (
+        keep.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = keep.join(reps, "doc_id", "left_semi")
+    split = T.corpus_split(kept).select("doc_id", "split")
+    return kept.select("doc_id", "source", "quality").join(split, "doc_id")
+
+
 # ------------------------------------------- X2+ (eval decontamination)
 @query(
     "q_decontaminate",
