@@ -113,11 +113,15 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
     """X4: heuristic document-quality features + composite score.
 
     Features mirror the standard pretraining-data filters: length,
     mean token length, stopword ratio, non-alpha character ratio.
+    ``keep_cols`` pass through so downstream stages (q_corpus_prep)
+    compose on ONE scan instead of joining the scores back.
     """
     t = F.col(text_col)
     toks = tokens_col(t)
@@ -143,6 +147,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep_cols,
         n_tok.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),

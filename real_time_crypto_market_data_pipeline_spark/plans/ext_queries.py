@@ -294,26 +294,35 @@ def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4+ composed corpus prep: quality gate -> exact dedup -> split.
 
-    The whole pretraining-data funnel as ONE declarative plan: score,
-    drop low-quality docs, keep the min-doc_id representative per
-    exact-duplicate class, assign the leakage-safe content-hash split.
-    Catalyst fuses the score+gate into the scan stage; the dedup is the
-    only shuffle (on md5(text)); the split is a projection. The point
-    of composing operators as DataFrames: the optimizer sees the whole
-    funnel, so column pruning reaches every stage and no intermediate
-    corpus is materialized.
+    The whole pretraining-data funnel as ONE declarative plan over ONE
+    scan and ONE shuffle: score and gate fuse into the scan stage
+    (quality_score passes source/text through, no join-back), the
+    dedup is a window over md5(text) keeping the min doc_id (the
+    plan's single exchange), and the hash split is a projection.
+    Asserted in tests/test_plans.py - composing operators as
+    DataFrames means the optimizer sees the whole funnel and no
+    intermediate corpus materializes.
     """
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
-    scored = T.quality_score(docs).select("doc_id", "quality")
-    keep = docs.join(scored, "doc_id").where(F.col("quality") >= 0.5)
-    reps = (
-        keep.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    keep = T.quality_score(docs, keep_cols=("source", "text")).where(
+        F.col("quality") >= 0.5
     )
-    kept = keep.join(reps, "doc_id", "left_semi")
-    split = T.corpus_split(kept).select("doc_id", "split")
-    return kept.select("doc_id", "source", "quality").join(split, "doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        keep.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return kept.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(bucket < 10, "val").otherwise("train").alias("split"),
+    )
 
 
 # ------------------------------------------- X2+ (eval decontamination)

@@ -127,3 +127,11 @@ def test_q21_semi_and_anti_on_same_key(spark):
     # supplier-inequality is residual on the equi joins, never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_prep_single_scan_single_shuffle(spark):
+    # the composed funnel (score -> gate -> dedup -> split) reads the
+    # corpus once and shuffles once (the md5(text) dedup window)
+    plan = physical(QUERIES["q_corpus_prep"](spark, SF))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
