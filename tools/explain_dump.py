@@ -35,6 +35,8 @@ COMMENTARY = {
     "q_tpch_q9": "Five-table profit rollup: every join a BroadcastHashJoin (the %gear% LIKE prunes the part build side pre-join); the single exchange is the final (nation, year) aggregate.",
     "q_tpch_q21": "Correlated EXISTS / NOT EXISTS as semi + anti hash joins on l_orderkey with the supplier-inequality as join residual - no cartesian, no BroadcastNestedLoopJoin; at cluster scale all three lineitem legs co-partition on the same key.",
     "q_interval_count": "Time-banded interval join: floor(ts/range) joins as part of the key (each left row explodes into two adjacent band probes), so a hot user's pairwise work is bounded by band co-residency; the range predicate rides the join as a residual so zero-match rows still count 0 through the left join.",
+    "q_corpus_prep": "The composed pretraining funnel (quality gate -> exact dedup -> hash split) resolves to ONE FileScan and ONE exchange: scoring and gating fuse into the scan stage, the dedup window on md5(text) is the only shuffle, the split is a projection.",
+    "q_decontaminate": "Eval-leakage scan: the eval shingle set broadcasts; the training corpus streams through the inner join map-side, so the only exchange carries flagged (doc_id, count) rows - a 100 TB corpus scan that shuffles kilobytes.",
 }
 
 
