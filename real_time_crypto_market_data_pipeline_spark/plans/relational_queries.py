@@ -1450,3 +1450,63 @@ def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_grouped_stats(
         ev, ["user_id", "event_type"], "cents", "s_"
     ).drop("s_std")
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(o_totalprice) AS spend_1997
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           c.c_acctbal + COALESCE(s.spend_1997, 0.0) AS new_acctbal,
+           s.c_custkey IS NOT NULL AS was_updated
+    FROM customer c LEFT JOIN src s USING (c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.spend_1997 AS new_acctbal, TRUE AS was_updated
+    FROM src s LEFT JOIN customer c USING (c_custkey)
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: upsert a change batch into a dimension.
+
+    The CDC shape without a table format: matched rows update
+    (acctbal += the year's spend), unmatched source rows insert,
+    unmatched target rows pass through - expressed as
+    update-via-join UNION insert-via-anti-join. On a lakehouse table
+    (Delta/Iceberg) this is literally MERGE INTO and rewrites only
+    touched files; the plan shape here is what that merge executes:
+    one shuffle for the change aggregation, the dim joins broadcast.
+    """
+    cust = load(spark, sf_dir, "customer")
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("spend_1997"))
+    )
+    updated_or_kept = cust.join(F.broadcast(src), "c_custkey", "left").select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.coalesce(F.col("spend_1997"), F.lit(0.0))).alias(
+            "new_acctbal"
+        ),
+        F.col("spend_1997").isNotNull().alias("was_updated"),
+    )
+    inserted = (
+        src.join(F.broadcast(cust.select("c_custkey")), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.col("spend_1997").alias("new_acctbal"),
+            F.lit(True).alias("was_updated"),
+        )
+    )
+    return updated_or_kept.unionByName(inserted)
