@@ -266,3 +266,65 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > F.col("_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_ms(ts) AS ms,
+             LEAD(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+               AS next_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(next_ms) AS BIGINT) AS n_intervals,
+           CAST(SUM(next_ms - ms) AS BIGINT) AS total_ms,
+           (CAST(SUM(cents * (next_ms - ms)) AS DOUBLE) / 100.0)
+             / CAST(SUM(next_ms - ms) AS DOUBLE) AS twap
+    FROM t
+    WHERE next_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per key (TWAP).
+
+    Each observation holds until the next one, so its weight is the
+    interval to the successor (lead over event time, event_id
+    tiebreak); the open last interval is dropped. The market-data
+    twin of the reference's rolling stats (rolling.py:67-95): where
+    those weight every sample equally, TWAP weights by holding time -
+    the difference matters exactly when sampling is irregular, which
+    the reference's own staleness metric measures.
+
+    Exactness: value has 2 decimals, so price*weight is computed in
+    integer cents x integer ms - the BIGINT partial sums are exact
+    under any partitioning/merge order, and the single final division
+    is the only float op (same lesson as q_salted_stats). One shuffle
+    for the window, reused by the aggregation (both key on user_id).
+    """
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    t = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ms",
+        )
+        .withColumn("next_ms", F.lead("ms").over(w))
+        .where(F.col("next_ms").isNotNull())
+        .withColumn("dt", F.col("next_ms") - F.col("ms"))
+    )
+    return t.groupBy("user_id").agg(
+        F.count("dt").alias("n_intervals"),
+        F.sum("dt").alias("total_ms"),
+        (
+            (F.sum(F.col("cents") * F.col("dt")).cast("double") / F.lit(100.0))
+            / F.sum("dt").cast("double")
+        ).alias("twap"),
+    )

@@ -1510,3 +1510,149 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return updated_or_kept.unionByName(inserted)
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_spend_cents,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history build from a change stream.
+
+    Each order is a new version of its customer's lifetime-spend
+    attribute: valid_from = the change timestamp, valid_to = the next
+    change (NULL = current row), a monotone version number, and the
+    running attribute value. This is the other half of the CDC story
+    next to q_merge_upsert: MERGE keeps only the latest row, SCD2
+    keeps every row with an effective-dated range, so point-in-time
+    joins (AS OF semantics) become a simple BETWEEN valid_from AND
+    valid_to. One shuffle on the natural key serves all four window
+    functions (same partitioning, same ordering); the running sum is
+    integer cents so partial sums are exact under any merge order.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version_n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum_spend_cents"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+    )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'event_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS DOUBLE) AS min_num,
+           CAST(MAX(event_id) AS DOUBLE) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           MIN(value), MAX(value)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           NULL, NULL
+    FROM events
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (data-quality audit table).
+
+    Per column: row count, null count, exact distinct count, numeric
+    min/max - the profile a 100 TB ingest job publishes next to every
+    dataset version (the Deequ/TFDV pattern). All columns profile in
+    ONE aggregate over ONE scan: multiple COUNT(DISTINCT) compile to
+    a single Expand-based plan, not one scan per column (the oracle's
+    UNION ALL of per-column scans is exactly the shape to avoid).
+    At petabyte scale swap the exact distincts for approx_count_distinct
+    - the HLL sketches in operators/sketches.py are the mergeable form.
+    """
+    ev = load(spark, sf_dir, "events")
+    n = F.count(F.lit(1)).cast("long")
+    wide = ev.agg(
+        n.alias("n_rows"),
+        (n - F.count("event_id")).alias("null_event_id"),
+        F.countDistinct("event_id").cast("long").alias("nd_event_id"),
+        F.min("event_id").cast("double").alias("min_event_id"),
+        F.max("event_id").cast("double").alias("max_event_id"),
+        (n - F.count("user_id")).alias("null_user_id"),
+        F.countDistinct("user_id").cast("long").alias("nd_user_id"),
+        F.min("user_id").cast("double").alias("min_user_id"),
+        F.max("user_id").cast("double").alias("max_user_id"),
+        (n - F.count("value")).alias("null_value"),
+        F.countDistinct("value").cast("long").alias("nd_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (n - F.count("event_type")).alias("null_event_type"),
+        F.countDistinct("event_type").cast("long").alias("nd_event_type"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("event_id").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("null_event_id").alias("n_null"),
+                    F.col("nd_event_id").alias("n_distinct"),
+                    F.col("min_event_id").alias("min_num"),
+                    F.col("max_event_id").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("user_id").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("null_user_id").alias("n_null"),
+                    F.col("nd_user_id").alias("n_distinct"),
+                    F.col("min_user_id").alias("min_num"),
+                    F.col("max_user_id").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("value").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("null_value").alias("n_null"),
+                    F.col("nd_value").alias("n_distinct"),
+                    F.col("min_value").alias("min_num"),
+                    F.col("max_value").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("event_type").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("null_event_type").alias("n_null"),
+                    F.col("nd_event_type").alias("n_distinct"),
+                    F.lit(None).cast("double").alias("min_num"),
+                    F.lit(None).cast("double").alias("max_num"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")

@@ -135,3 +135,35 @@ def test_corpus_prep_single_scan_single_shuffle(spark):
     plan = physical(QUERIES["q_corpus_prep"](spark, SF))
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_single_shuffle_serves_all_windows(spark):
+    # lead/row_number/running-sum share one partitioning + ordering:
+    # exactly one exchange and one sort for all four window functions
+    plan = physical(QUERIES["q_scd2_history"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_profile_columns_single_scan(spark):
+    # all per-column metrics (incl. 5 exact distincts) fold into one
+    # Expand-based aggregate over ONE scan of the table - not the
+    # oracle's union of per-column scans
+    plan = physical(QUERIES["q_profile_columns"](spark, SF))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_merge_upsert_dim_joins_broadcast(spark):
+    # the change-batch aggregation is the only shuffle; both merge
+    # joins (update-left-outer, insert-anti) broadcast
+    plan = physical(QUERIES["q_merge_upsert"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_twap_window_shuffle_reused_by_agg(spark):
+    # window partitioning (user_id) == aggregation key: the agg must
+    # reuse the window's exchange, not add a second one
+    plan = physical(QUERIES["q_twap"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
