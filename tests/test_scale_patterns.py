@@ -225,3 +225,53 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_static_partition_pruning(spark, tmp_path_factory):
+    """A filter on the partition column must become a PartitionFilter
+    (directory-level skip) - at 100 TB this is the difference between
+    scanning one day and scanning three years."""
+    path = str(tmp_path_factory.mktemp("pruned") / "events_by_day")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+
+    ev.withColumn(
+        "dt", F.to_date(F.timestamp_millis(F.expr("ts DIV 1000000")))
+    ).write.partitionBy("dt").mode("overwrite").parquet(path)
+    n_days = spark.read.parquet(path).select("dt").distinct().count()
+    assert n_days > 1
+
+    one_day = spark.read.parquet(path).where(
+        F.col("dt") == F.lit("2024-01-02").cast("date")
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[-1]
+    part_filters = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "dt" in part_filters  # pruned at the directory level
+    assert "PushedFilters: []" in scan or "dt" not in scan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]  # NOT a row-level filter: files are never opened
+
+
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """Join a partitioned fact to a filtered dim: DPP must inject the
+    dim's surviving keys as a runtime partition filter on the fact
+    scan (broadcast reuse), so only matching partitions are read."""
+    base = tmp_path_factory.mktemp("dpp")
+    fact_path, dim_path = str(base / "fact"), str(base / "dim")
+    from pyspark.sql import functions as F
+
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 20).alias("day"), F.rand(7).alias("v")
+    ).write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    spark.range(0, 20).select(
+        F.col("id").alias("day"),
+        F.when(F.col("id") < 2, "keep").otherwise("drop").alias("flag"),
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("flag") == "keep")
+    joined = fact.join(dim, "day").groupBy("day").agg(F.sum("v").alias("sv"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert joined.count() == 2  # only the 2 surviving partitions
