@@ -37,6 +37,10 @@ COMMENTARY = {
     "q_interval_count": "Time-banded interval join: floor(ts/range) joins as part of the key (each left row explodes into two adjacent band probes), so a hot user's pairwise work is bounded by band co-residency; the range predicate rides the join as a residual so zero-match rows still count 0 through the left join.",
     "q_corpus_prep": "The composed pretraining funnel (quality gate -> exact dedup -> hash split) resolves to ONE FileScan and ONE exchange: scoring and gating fuse into the scan stage, the dedup window on md5(text) is the only shuffle, the split is a projection.",
     "q_decontaminate": "Eval-leakage scan: the eval shingle set broadcasts; the training corpus streams through the inner join map-side, so the only exchange carries flagged (doc_id, count) rows - a 100 TB corpus scan that shuffles kilobytes.",
+    "q_merge_upsert": "MERGE INTO emulation: the change-batch aggregation is the only exchange; both merge legs (update left-outer, insert anti) are BroadcastHashJoins, so the dimension never shuffles - the plan a lakehouse MERGE executes.",
+    "q_scd2_history": "SCD Type-2 build: lead, row_number, running cents-sum and is_current all share one partitioning+ordering - ONE exchange and ONE sort serve four window functions.",
+    "q_twap": "Time-weighted average: the lead window and the aggregation both key on user_id, so the agg reuses the window's exchange; integer cents x ms keeps partial sums exact under any merge order.",
+    "q_profile_columns": "Whole-table profile in one pass: 5 exact COUNT(DISTINCT)s + null/min/max metrics compile to a single Expand-based aggregate over ONE FileScan - not the per-column scan union a naive profiler runs.",
 }
 
 
