@@ -1656,3 +1656,49 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+@query(
+    "q_pit_read",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS version_n,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS spend_cents_asof
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY o_custkey
+    """,
+)
+def q_pit_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read of the SCD2 history.
+
+    "Each customer's spend and version as of 1996-06-30": select, per
+    key, the latest history row whose valid_from is at or before the
+    probe instant - the read side of the CDC trilogy (q_merge_upsert
+    writes latest-state, q_scd2_history keeps versions, this consumes
+    them). Spark side genuinely walks the versioned history (window
+    build, then max_by over versions <= T); the oracle exploits that
+    an SCD2 point-in-time read is definitionally equal to aggregating
+    the change stream up to T, which is the cross-check that the
+    history build loses nothing. The window and the max_by agg share
+    the o_custkey partitioning - one exchange end to end.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.row_number().over(w).cast("long").alias("version_n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_spend_cents"),
+    )
+    as_of = F.lit("1996-06-30 00:00:00").cast("timestamp_ntz")
+    return (
+        hist.where(F.col("valid_from") <= as_of)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("version_n").alias("version_n"),
+            F.max_by("cum_spend_cents", "version_n").alias("spend_cents_asof"),
+        )
+    )

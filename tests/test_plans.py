@@ -167,3 +167,11 @@ def test_twap_window_shuffle_reused_by_agg(spark):
     # reuse the window's exchange, not add a second one
     plan = physical(QUERIES["q_twap"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pit_read_single_shuffle(spark):
+    # SCD2 window build and the as-of max_by agg share the o_custkey
+    # partitioning: one exchange end to end
+    plan = physical(QUERIES["q_pit_read"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
