@@ -41,6 +41,7 @@ COMMENTARY = {
     "q_scd2_history": "SCD Type-2 build: lead, row_number, running cents-sum and is_current all share one partitioning+ordering - ONE exchange and ONE sort serve four window functions.",
     "q_twap": "Time-weighted average: the lead window and the aggregation both key on user_id, so the agg reuses the window's exchange; integer cents x ms keeps partial sums exact under any merge order.",
     "q_profile_columns": "Whole-table profile in one pass: 5 exact COUNT(DISTINCT)s + null/min/max metrics compile to a single Expand-based aggregate over ONE FileScan - not the per-column scan union a naive profiler runs.",
+    "q_pit_read": "AS OF read of the SCD2 history: the version-window build and the max_by(version <= T) aggregate share the o_custkey partitioning - one exchange end to end; the history scan is the whole cost, which is the point of materializing SCD2.",
 }
 
 
