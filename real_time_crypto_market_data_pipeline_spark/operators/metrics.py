@@ -60,6 +60,80 @@ def grouped_stats(
     )
 
 
+def grouped_stats_exact(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    prefix: str = "",
+    scale: int = 1,
+) -> DataFrame:
+    """A5/A7 exact-partial-sum variant: deterministic mean/std per key.
+
+    Same contract as :func:`grouped_stats` (count / mean / SAMPLE std /
+    min / max, 0.0 fallbacks per reference ``rolling.py:180-196``), but
+    the mean and std are computed from EXACT integer partial sums
+    instead of double accumulation:
+
+    - the value is quantized to an integer grid (``round(value*scale)``;
+      pass ``scale=1`` for columns that are already integral),
+    - the group state is sum(x) and sum(x^2) over DECIMAL(38,0) - exact
+      under ANY partial-aggregation/merge order, unlike double sums or
+      the Welford merge behind ``stddev_samp`` whose last ulp depends on
+      which shuffle partial arrives first,
+    - floating point only enters at the very edge: two divisions and a
+      sqrt of integers both engines agree on bit-for-bit, so the result
+      is run-deterministic AND cross-engine-reproducible (the DuckDB
+      oracle mirrors the same formula over HUGEINT).
+
+    Sample variance via the sum-of-squares identity
+    ``(n*ssq - s^2) / (n*(n-1))``: algebraically equal to the n-1 form
+    the reference uses (``rolling.py:180``), and exact here because the
+    numerator is computed in 128-bit integer arithmetic (stale_ms
+    reaches ~1.7e9 ms in the test data, so x^2 sums overflow BIGINT -
+    hence DECIMAL(38,0), which also survives 100 TB group sizes).
+
+    Scale note: identical shuffle profile to :func:`grouped_stats` -
+    one hash-shuffle on the keys with map-side combine; the per-group
+    state is 5 fixed-width values regardless of group size.
+    """
+    v = F.col(value_col)
+    quantized = F.round(v * F.lit(scale)) if scale != 1 else v
+    xi = quantized.cast("decimal(38,0)")
+    n = F.col(f"{prefix}count")
+    s = F.col("_s")
+    ss = F.col("_ss")
+    inv_scale = F.lit(float(scale))
+    mean = F.when(
+        n > 0, (s.cast("double") / n.cast("double")) / inv_scale
+    ).otherwise(F.lit(0.0))
+    var_num = n.cast("decimal(38,0)") * ss - s * s
+    std = F.when(
+        n > 1,
+        F.sqrt(var_num.cast("double") / (n * (n - F.lit(1))).cast("double"))
+        / inv_scale,
+    ).otherwise(F.lit(0.0))
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(v).cast("long").alias(f"{prefix}count"),
+            F.sum(xi).alias("_s"),
+            F.sum(xi * xi).alias("_ss"),
+            F.coalesce(F.min(v).cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
+            F.coalesce(F.max(v).cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
+        )
+        .withColumns({f"{prefix}mean": mean, f"{prefix}std": std})
+        .drop("_s", "_ss")
+        .select(
+            *keys,
+            f"{prefix}count",
+            f"{prefix}mean",
+            f"{prefix}std",
+            f"{prefix}min",
+            f"{prefix}max",
+        )
+    )
+
+
 def lag_diff(
     df: DataFrame,
     keys: Sequence[str],
@@ -190,16 +264,24 @@ def snapshot(
     value_col: str,
     ts_ms_col: str,
     tiebreak_col: str,
+    value_scale: int = 100,
 ) -> DataFrame:
     """K5: the 13-column CSV metrics snapshot as one DataFrame.
 
     Latency stats (A5) full-outer-joined with staleness stats (A7 over
     the A6 lag-diff), all-0.0 for missing sides, ordered by key
     (``rolling.py:147-212``; sorted keys at ``rolling.py:152``).
+
+    Both stat sides use :func:`grouped_stats_exact` (integer partial
+    sums; ``value_scale`` is the value column's decimal grid, 100 =
+    cents) so the snapshot is bit-reproducible across runs and engines
+    - double accumulation made the flagship's hash a coin flip when
+    group means of 2-decimal values landed exactly on canonicalization
+    boundaries.
     """
-    lat = grouped_stats(df, keys, value_col, prefix="lat_")
+    lat = grouped_stats_exact(df, keys, value_col, prefix="lat_", scale=value_scale)
     stale_src = lag_diff(df, keys, ts_ms_col, tiebreak_col, out_col="stale_ms")
-    stale = grouped_stats(stale_src, keys, "stale_ms", prefix="stale_")
+    stale = grouped_stats_exact(stale_src, keys, "stale_ms", prefix="stale_")
     joined = lat.join(stale, on=list(keys), how="full_outer")
     fills = {}
     for p in ("lat_", "stale_"):

@@ -543,28 +543,55 @@ def q_having_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT user_id, event_type, value, epoch_ms(ts) AS ms, event_id FROM events
     ),
-    lat AS (
+    latc AS (  -- integer cents: exact partial sums, deterministic hash
+      SELECT user_id, event_type, value,
+             CAST(ROUND(value * 100) AS HUGEINT) AS c
+      FROM base
+    ),
+    lat0 AS (
       SELECT user_id, event_type,
-             CAST(COUNT(value) AS BIGINT) AS lat_count,
-             COALESCE(AVG(value), 0.0) AS lat_mean,
-             COALESCE(STDDEV_SAMP(value), 0.0) AS lat_std,
+             CAST(COUNT(c) AS BIGINT) AS n, SUM(c) AS s, SUM(c * c) AS ss,
              COALESCE(CAST(MIN(value) AS DOUBLE), 0.0) AS lat_min,
              COALESCE(CAST(MAX(value) AS DOUBLE), 0.0) AS lat_max
-      FROM base GROUP BY user_id, event_type
+      FROM latc GROUP BY user_id, event_type
+    ),
+    lat AS (
+      SELECT user_id, event_type, n AS lat_count,
+             CASE WHEN n > 0
+                  THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+                  ELSE 0.0 END AS lat_mean,
+             CASE WHEN n > 1
+                  THEN SQRT(CAST(n * ss - s * s AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+                  ELSE 0.0 END AS lat_std,
+             lat_min, lat_max
+      FROM lat0
     ),
     lagd AS (
       SELECT user_id, event_type,
              ms - lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS stale_ms
       FROM base
     ),
-    st AS (
+    st0 AS (
       SELECT user_id, event_type,
-             CAST(COUNT(stale_ms) AS BIGINT) AS stale_count,
-             COALESCE(AVG(stale_ms), 0.0) AS stale_mean,
-             COALESCE(STDDEV_SAMP(stale_ms), 0.0) AS stale_std,
+             CAST(COUNT(stale_ms) AS BIGINT) AS n,
+             SUM(CAST(stale_ms AS HUGEINT)) AS s,
+             SUM(CAST(stale_ms AS HUGEINT) * CAST(stale_ms AS HUGEINT)) AS ss,
              COALESCE(CAST(MIN(stale_ms) AS DOUBLE), 0.0) AS stale_min,
              COALESCE(CAST(MAX(stale_ms) AS DOUBLE), 0.0) AS stale_max
       FROM lagd WHERE stale_ms IS NOT NULL GROUP BY user_id, event_type
+    ),
+    st AS (
+      SELECT user_id, event_type, n AS stale_count,
+             CASE WHEN n > 0
+                  THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END AS stale_mean,
+             CASE WHEN n > 1
+                  THEN SQRT(CAST(n * ss - s * s AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE))
+                  ELSE 0.0 END AS stale_std,
+             stale_min, stale_max
+      FROM st0
     )
     SELECT COALESCE(l.user_id, s.user_id) AS user_id,
            COALESCE(l.event_type, s.event_type) AS event_type,
