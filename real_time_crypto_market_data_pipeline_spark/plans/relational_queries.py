@@ -72,19 +72,19 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: orders fact enriched by broadcast customer + nation dims.
+    """Star join: orders fact enriched by customer, then broadcast nation.
 
-    Both dimension sides are explicitly broadcast - the fact scan is
-    shuffle-free; verify with .explain(): two BroadcastHashJoins, one
-    final aggregate exchange.
+    `nation` (25 rows, bounded) is explicitly broadcast; `customer` is
+    O(fact) and gets NO hint - orders-x-customer is a key-partitioned
+    join whose strategy AQE picks from runtime stats (SMJ at scale,
+    broadcast only if the filtered build side is genuinely small).
+    Forcing a customer broadcast would OOM the executors at 100x.
     """
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     return (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "c_mktsegment")
         .agg(
@@ -257,9 +257,12 @@ def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table local-supplier-volume join.
 
-    lineitem is the only big side; every dimension broadcasts, so the
-    fact scan flows through five BroadcastHashJoins with zero
-    pre-aggregation shuffles. The region filter prunes through the
+    Only the genuinely bounded sides carry broadcast hints (supplier,
+    nation, region). lineitem-orders and orders-customer are
+    fact-to-fact edges: both shuffle on their equi-keys and AQE picks
+    the physical strategy from runtime sizes - at sf0.1 it may still
+    choose broadcast, at 100 TB it degrades gracefully to SMJ instead
+    of OOMing on a forced hint. The region filter prunes through the
     nation->supplier chain before touching the fact.
     """
     cust = load(spark, sf_dir, "customer")
@@ -272,8 +275,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
@@ -305,14 +308,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: join + conditional counts per category."""
+    """TPC-H Q12 shape: join + conditional counts per category.
+
+    orders is O(fact): no broadcast hint - the l_orderkey equi-join
+    shuffles both sides and AQE chooses the strategy at runtime.
+    """
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
@@ -498,7 +505,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
 
@@ -580,9 +587,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: volume shipped between two nations by year.
 
     The nation dim joins twice under different roles (supplier-side and
-    customer-side); the cross-nation OR predicate evaluates after both
-    broadcasts, and the supplier-side nation filter halves the fact
-    before the orders join via the broadcast supplier list.
+    customer-side); supplier and both nation roles broadcast. The
+    lineitem-orders and orders-customer edges are fact-to-fact: no
+    hint, AQE/SMJ on the shuffled equi-keys so the plan survives 100x.
     """
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -604,8 +611,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
         .select(
@@ -648,9 +655,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share (eight-table star).
 
     The widest join in the suite: part + supplier + two nation roles +
-    region all broadcast around the lineitem-orders spine. The region
-    and p_type filters prune their broadcast sides before the fact is
-    touched; the only shuffle is the final two-group aggregate.
+    region broadcast around the lineitem-orders spine; the spine itself
+    (lineitem-orders, orders-customer) shuffles on its equi-keys with
+    no hint so AQE sizes the strategy at runtime. The region and p_type
+    filters prune their broadcast sides before the fact is touched.
     """
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     li = load(spark, sf_dir, "lineitem")
@@ -672,8 +680,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -728,8 +736,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -878,12 +886,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: revenue of orders placed but not yet shipped.
 
     The customer market-segment column doesn't exist here, so the
-    selective dim filter is region membership instead. Orders and
-    customer+nation+region all broadcast into the lineitem scan; the
-    date predicates push to both parquet scans. The TPC ORDER BY +
-    LIMIT 10 is dropped (float-ordered top-k is not cross-engine
-    deterministic); top-k over this result is q_order_revenue_topk's
-    job.
+    selective dim filter is region membership instead. nation/region
+    broadcast into the customer scan; the filtered customer key set and
+    the lineitem-orders edge are O(fact), so both stay hint-free
+    (shuffled semi/equi joins, AQE-sized). The date predicates push to
+    both parquet scans. The TPC ORDER BY + LIMIT 10 is dropped
+    (float-ordered top-k is not cross-engine deterministic); top-k over
+    this result is q_order_revenue_topk's job.
     """
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
@@ -900,8 +909,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -981,8 +990,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     Supply cost (partsupp) is proxied by a retail-price fraction. The
     LIKE '%gear%' filter can't prune at the parquet scan (no leading
     prefix) but runs inside codegen on the broadcast part build side,
-    shrinking it before the fact join; all four joins broadcast so the
-    lineitem scan flows straight into the final two-key aggregate.
+    shrinking it before the fact join. part/supplier/nation broadcast;
+    lineitem-orders is the fact-fact spine and stays hint-free - one
+    l_orderkey shuffle, strategy AQE-sized, safe at any scale.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
@@ -995,7 +1005,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -1181,7 +1191,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     participated) and an anti join (no OTHER supplier also returned) on
     the same self-joined fact - both equi on l_orderkey with the
     supplier-inequality as residual condition, so the three lineitem
-    legs co-partition on one shuffle key at scale.
+    legs AND the orders semi-join co-partition on the one l_orderkey
+    shuffle at scale. orders is O(fact): no broadcast hint.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
@@ -1196,7 +1207,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l3")
     )
     return (
-        l1.join(F.broadcast(orders), F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
         .join(
             l2,
             (F.col("l1.l_orderkey") == F.col("o2"))
@@ -1481,8 +1492,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched target rows pass through - expressed as
     update-via-join UNION insert-via-anti-join. On a lakehouse table
     (Delta/Iceberg) this is literally MERGE INTO and rewrites only
-    touched files; the plan shape here is what that merge executes:
-    one shuffle for the change aggregation, the dim joins broadcast.
+    touched files. Both the change batch and the target key set are
+    O(customer) - fact scale - so neither side carries a broadcast
+    hint: the left join and the anti join shuffle on c_custkey (one
+    co-partitioned exchange each; AQE may still pick broadcast when
+    the year's change batch is genuinely small at runtime).
     """
     cust = load(spark, sf_dir, "customer")
     src = (
@@ -1494,7 +1508,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.sum("o_totalprice").alias("spend_1997"))
     )
-    updated_or_kept = cust.join(F.broadcast(src), "c_custkey", "left").select(
+    updated_or_kept = cust.join(src, "c_custkey", "left").select(
         "c_custkey",
         (F.col("c_acctbal") + F.coalesce(F.col("spend_1997"), F.lit(0.0))).alias(
             "new_acctbal"
@@ -1502,7 +1516,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spend_1997").isNotNull().alias("was_updated"),
     )
     inserted = (
-        src.join(F.broadcast(cust.select("c_custkey")), "c_custkey", "left_anti")
+        src.join(cust.select("c_custkey"), "c_custkey", "left_anti")
         .select(
             "c_custkey",
             F.col("spend_1997").alias("new_acctbal"),

@@ -9,6 +9,8 @@ window top-k, and map-side partial aggregation before every exchange.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 
 from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
@@ -18,6 +20,33 @@ SF = "/root/testdata/sf0.001"
 
 def physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextmanager
+def no_auto_broadcast(spark):
+    """Emulate 100 TB join planning: nothing is auto-broadcastable.
+
+    With both the static and the AQE broadcast thresholds at -1, the
+    ONLY joins that can build a BroadcastExchange are the explicitly
+    hinted ones - so `count("BroadcastHashJoin")` under this context
+    equals the number of *forced* broadcasts, exactly the quantity
+    that must never include a fact-scale input.
+    """
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_q1_filter_and_columns_pushed(spark):
@@ -32,11 +61,16 @@ def test_q1_filter_and_columns_pushed(spark):
     assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange
 
 
-def test_join_enrich_broadcasts_both_dims(spark):
-    plan = physical(QUERIES["q_join_enrich"](spark, SF))
-    assert plan.count("BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in plan
+def test_join_enrich_only_nation_forced_broadcast(spark):
+    # at 100 TB only the bounded dim (nation) may be a FORCED
+    # broadcast; orders-customer must fall back to a shuffled join
+    # when nothing is auto-broadcastable (no OOM-by-hint)
+    with no_auto_broadcast(spark):
+        plan = physical(QUERIES["q_join_enrich"](spark, SF))
+        assert plan.count("BroadcastHashJoin") == 1  # nation only
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # fact scan reads only the join key + measure
+    plan = physical(QUERIES["q_join_enrich"](spark, SF))
     orders_scan = [seg for seg in plan.split("FileScan") if "orders.parquet" in seg][0]
     assert "o_orderdate" not in orders_scan.split("ReadSchema:")[-1]
 
@@ -107,12 +141,14 @@ def test_q4_semi_join_with_residual_inequality(spark):
     assert "l_shipdate" in semi and "o_orderdate" in semi
 
 
-def test_q9_all_joins_broadcast(spark):
-    plan = physical(QUERIES["q_tpch_q9"](spark, SF))
-    assert plan.count("BroadcastHashJoin") == 4
-    assert "SortMergeJoin" not in plan
-    # one exchange total: the final (nation, year) aggregate
-    assert plan.count("Exchange hashpartitioning") == 1
+def test_q9_dims_broadcast_fact_spine_shuffles(spark):
+    # part/supplier/nation carry hints; the lineitem-orders spine must
+    # NOT be a forced broadcast - under no-auto-broadcast it degrades
+    # to a shuffled join instead of building an O(fact) hash table
+    with no_auto_broadcast(spark):
+        plan = physical(QUERIES["q_tpch_q9"](spark, SF))
+        assert plan.count("BroadcastHashJoin") == 3
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_q16_not_in_is_anti_join(spark):
@@ -154,12 +190,22 @@ def test_profile_columns_single_scan(spark):
     assert "Expand" in plan
 
 
-def test_merge_upsert_dim_joins_broadcast(spark):
-    # the change-batch aggregation is the only shuffle; both merge
-    # joins (update-left-outer, insert-anti) broadcast
-    plan = physical(QUERIES["q_merge_upsert"](spark, SF))
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 2
+def test_merge_upsert_no_forced_broadcast(spark):
+    # both merge legs join O(customer) sides - neither may be a forced
+    # broadcast; under no-auto-broadcast they co-partition on c_custkey
+    with no_auto_broadcast(spark):
+        plan = physical(QUERIES["q_merge_upsert"](spark, SF))
+        assert plan.count("BroadcastHashJoin") == 0
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q21_orders_semi_not_forced_broadcast(spark):
+    # the orders status semi-join is fact-fact: only the supplier
+    # lookup may remain a forced broadcast at 100 TB
+    with no_auto_broadcast(spark):
+        plan = physical(QUERIES["q_tpch_q21"](spark, SF))
+        assert plan.count("BroadcastHashJoin") == 1  # supplier only
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_twap_window_shuffle_reused_by_agg(spark):
