@@ -21,11 +21,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_csv_snapshot"](spark, "/root/testdata/sf0.001")
 
 
+# The driver verifies a prefix of this dict (50 queries in round 1),
+# so ordering is evidence allocation. Front of the line: the SURVEY
+# section-2 operator inventory (one query per inventory row), then the
+# highest-risk capability queries that had only selfcheck evidence in
+# round 1 (all TPC-H shapes, the CDC merge/SCD2/point-in-time trilogy,
+# the ranking-window family). The round-1-green extension/capability
+# queries (dedup, ANN, text, as-of, sessionize, ...) rotate behind
+# them - their hard driver rows are already on record in
+# CORRECTNESS_r01.json and their code is unchanged.
+_PRIORITY = [
+    # --- SURVEY 2.2/2.3/2.4 inventory (S/F/A/K/P rows) ---
+    "q_json_decode", "q_invariant_check", "q_filter_isin", "q_null_guard",
+    "q_channel_split", "q_element_at", "q_explode", "q_try_cast",
+    "q_array_transform", "q_best_levels", "q_struct_project", "q_spread",
+    "q_latency_cols", "q_date_partition", "q_to_json", "q_format_string",
+    "q_percentiles", "q_zero_rate", "q_count_by_key", "q_grouped_stats",
+    "q_lag_diff", "q_stale_stats", "q_window_range", "q_having_gate",
+    "q_csv_snapshot", "q_unpivot_percentiles",
+    # --- TPC-H shapes (20 of 22; Q13/Q16 emit integer-only results,
+    #     zero float-canonicalization risk, so they yield their slots) ---
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    # --- CDC trilogy + ranking windows ---
+    "q_merge_upsert", "q_scd2_history", "q_pit_read", "q_window_variety",
+    # --- next in line if the driver widens its cap ---
+    "q_ohlc_bars", "q_salted_stats", "q_profile_columns",
+    "q_tpch_q13", "q_tpch_q16",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2."""
-    return dict(QUERIES)
+    ordered = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable query."""
-    return dict(ORACLES)
+    qs = queries()
+    return {k: ORACLES[k] for k in qs if k in ORACLES}
