@@ -341,6 +341,7 @@ def lsh_jaccard_dedup(
     text_col: str = "text",
     min_jaccard: float = 0.5,
     shingle_n: int = 3,
+    broadcast_max_candidates: int = 200_000,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates -> exact Jaccard verify -> dup pairs.
 
@@ -349,8 +350,25 @@ def lsh_jaccard_dedup(
     the verifier. Returns pairs at or above ``min_jaccard`` - at scale
     the survivors feed a connected-components pass to pick cluster
     representatives.
+
+    The verify join is size-gated: the candidate list is persisted and
+    counted once, and only if it holds at most
+    ``broadcast_max_candidates`` pairs does the broadcast plan run
+    (each broadcast row carries a full shingle set, ~KBs, so 200k rows
+    is already a few hundred MB of build side). Above the gate - a
+    near-dup-heavy corpus where Σbucket² explodes - the verify joins
+    fall back to hash-shuffles on doc_a/doc_b, which scale unboundedly
+    at the cost of two exchanges. The count() is one extra tiny job
+    over the persisted pair list, not a recompute of the minhash agg.
     """
-    cands = lsh_candidate_pairs(lsh_bucket_table(docs, text_col, shingle_n=shingle_n))
+    cands = lsh_candidate_pairs(
+        lsh_bucket_table(docs, text_col, shingle_n=shingle_n)
+    ).persist()
+    try:
+        n_cands = cands.count()
+    except Exception:
+        cands.unpersist()
+        raise
     # Verify WITHOUT exploding: each doc keeps its distinct-shingle SET
     # as one array row, the (small, LSH-bounded) candidate list
     # broadcasts onto it, and the exact intersection is array_intersect
@@ -367,7 +385,10 @@ def lsh_jaccard_dedup(
     )
     a = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    paired = b.join(F.broadcast(a.join(F.broadcast(cands), "doc_a")), "doc_b")
+    if n_cands <= broadcast_max_candidates:
+        paired = b.join(F.broadcast(a.join(F.broadcast(cands), "doc_a")), "doc_b")
+    else:
+        paired = b.join(a.join(cands, "doc_a"), "doc_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     denom = (F.size("sh_a") + F.size("sh_b") - n_common).cast("double")
     return (

@@ -424,13 +424,29 @@ def q_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_grouped_stats",
     oracle="""
-    SELECT user_id, event_type,
-           CAST(COUNT(value) AS BIGINT) AS val_count,
-           COALESCE(AVG(value), 0.0) AS val_mean,
-           COALESCE(STDDEV_SAMP(value), 0.0) AS val_std,
-           COALESCE(CAST(MIN(value) AS DOUBLE), 0.0) AS val_min,
-           COALESCE(CAST(MAX(value) AS DOUBLE), 0.0) AS val_max
-    FROM events GROUP BY user_id, event_type
+    WITH c AS (
+      SELECT user_id, event_type, value,
+             CAST(ROUND(value * 100) AS HUGEINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(cents) AS BIGINT) AS n,
+             SUM(cents) AS s, SUM(cents * cents) AS ss,
+             COALESCE(CAST(MIN(value) AS DOUBLE), 0.0) AS val_min,
+             COALESCE(CAST(MAX(value) AS DOUBLE), 0.0) AS val_max
+      FROM c GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, n AS val_count,
+           CASE WHEN n > 0
+                THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+                ELSE 0.0 END AS val_mean,
+           CASE WHEN n > 1
+                THEN SQRT(CAST(n * ss - s * s AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+                ELSE 0.0 END AS val_std,
+           val_min, val_max
+    FROM g
     """,
     bench=True,
 )
@@ -438,10 +454,15 @@ def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: per-(symbol,channel) count/mean/sample-std/min/max (rolling.py:172-184).
 
     stddev_samp = n-1 denominator exactly as rolling.py:180; empty/one
-    sample -> 0.0 fallback (rolling.py:183-184).
+    sample -> 0.0 fallback (rolling.py:183-184). Computed from exact
+    integer-cents partial sums (events.value is a 2-decimal grid) so
+    the result is independent of partial-aggregation merge order -
+    double accumulation made group means of 2-decimal values land on
+    canonicalization tie points often enough to coin-flip the hash.
     """
-    return M.grouped_stats(
-        load(spark, sf_dir, "events"), ["user_id", "event_type"], "value", "val_"
+    return M.grouped_stats_exact(
+        load(spark, sf_dir, "events"), ["user_id", "event_type"], "value", "val_",
+        scale=100,
     )
 
 
@@ -473,20 +494,36 @@ def q_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, epoch_ms(ts) AS ms,
              lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
       FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(COUNT(ms - prev) AS BIGINT) AS n,
+             SUM(CAST(ms - prev AS HUGEINT)) AS s,
+             SUM(CAST(ms - prev AS HUGEINT) * CAST(ms - prev AS HUGEINT)) AS ss,
+             COALESCE(CAST(MIN(ms - prev) AS DOUBLE), 0.0) AS stale_min,
+             COALESCE(CAST(MAX(ms - prev) AS DOUBLE), 0.0) AS stale_max
+      FROM d WHERE prev IS NOT NULL GROUP BY user_id
     )
-    SELECT user_id,
-           CAST(COUNT(ms - prev) AS BIGINT) AS stale_count,
-           COALESCE(AVG(ms - prev), 0.0) AS stale_mean,
-           COALESCE(STDDEV_SAMP(ms - prev), 0.0) AS stale_std,
-           COALESCE(CAST(MIN(ms - prev) AS DOUBLE), 0.0) AS stale_min,
-           COALESCE(CAST(MAX(ms - prev) AS DOUBLE), 0.0) AS stale_max
-    FROM d WHERE prev IS NOT NULL GROUP BY user_id
+    SELECT user_id, n AS stale_count,
+           CASE WHEN n > 0
+                THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                ELSE 0.0 END AS stale_mean,
+           CASE WHEN n > 1
+                THEN SQRT(CAST(n * ss - s * s AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE))
+                ELSE 0.0 END AS stale_std,
+           stale_min, stale_max
+    FROM g
     """,
 )
 def q_stale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: windowed stats over the staleness series (rolling.py:186-196)."""
+    """A7: windowed stats over the staleness series (rolling.py:186-196).
+
+    Exact-integer-sum variant of A5 over the lag diffs; see
+    q_grouped_stats for why (merge-order determinism).
+    """
     d = M.lag_diff(_events(spark, sf_dir), ["user_id"], "ms", "event_id")
-    return M.grouped_stats(d, ["user_id"], "stale_ms", "stale_")
+    return M.grouped_stats_exact(d, ["user_id"], "stale_ms", "stale_")
 
 
 # ---------------------------------------------------------------- A1 (batch analog)

@@ -1376,7 +1376,10 @@ def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, bucket,
            MIN(open_v) AS open, MAX(value) AS high, MIN(value) AS low,
            MIN(close_v) AS close, CAST(COUNT(*) AS BIGINT) AS n_ticks,
-           AVG(value) AS mean_px
+           -- integer-cents mean: per-bar groups are small, so a double
+           -- AVG of 2-decimal prices lands on canonicalization ties
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(value) AS DOUBLE) / 100.0 AS mean_px
     FROM r GROUP BY event_type, bucket
     """,
 )
@@ -1418,7 +1421,11 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.min("close_v").alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_ticks"),
-        F.avg("value").alias("mean_px"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count("value").cast("double")
+            / 100.0
+        ).alias("mean_px"),
     )
 
 
@@ -1467,8 +1474,10 @@ def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_merge_upsert",
     oracle="""
     WITH src AS (
+      -- integer-cents sum: exact under any merge order (hash-determinism)
       SELECT o_custkey AS c_custkey,
-             SUM(o_totalprice) AS spend_1997
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS spend_1997
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1506,7 +1515,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.sum("o_totalprice").alias("spend_1997"))
+        # integer-cents partial sums: the change batch's spend is exact
+        # under any merge order, so the merged row set hashes stably
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("spend_1997")
+        )
     )
     updated_or_kept = cust.join(src, "c_custkey", "left").select(
         "c_custkey",

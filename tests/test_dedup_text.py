@@ -296,3 +296,45 @@ def test_lsh_matches_exact_and_mllib(spark):
         for r in joined.where("datasetA.doc_id < datasetB.doc_id").collect()
     }
     assert mllib == exact
+
+
+def test_lsh_jaccard_size_gate_both_branches(spark):
+    """The verify join must produce identical pairs whether the
+    candidate list broadcasts (small corpus) or falls back to shuffle
+    joins (gate forced to 0) - and the fallback plan must not contain
+    a forced broadcast of the candidate side."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    bcast = D.lsh_jaccard_dedup(docs, min_jaccard=0.7)
+    shuffled = D.lsh_jaccard_dedup(docs, min_jaccard=0.7, broadcast_max_candidates=0)
+    assert {(r.doc_a, r.doc_b) for r in bcast.collect()} == {
+        (r.doc_a, r.doc_b) for r in shuffled.collect()
+    }
+    assert len(shuffled.collect()) > 0
+    # with auto-broadcast disabled, the gated-off plan has NO broadcast
+    # exchange anywhere: everything shuffles, which is the 100 TB path
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    # the earlier calls persisted an identical candidate plan compiled
+    # with auto-broadcast on; drop it so the gated plan recompiles
+    spark.catalog.clearCache()
+    try:
+        plan = (
+            D.lsh_jaccard_dedup(docs, min_jaccard=0.7, broadcast_max_candidates=0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" not in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
