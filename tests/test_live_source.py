@@ -133,3 +133,61 @@ def test_connection_options_match_reference(fake_ws):
     assert kw["open_timeout"] == 10
     assert kw["close_timeout"] == 5
     assert kw["max_queue"] == 1024
+
+
+def test_reconnect_backoff_sequence_exponential_capped(fake_ws, monkeypatch):
+    """S2 through the reader: repeated connect failures sleep the
+    exponential-capped-jittered sequence min(30, 0.25*2^n)*[0.8,1.2]
+    (reference okx_ws.py:96-103)."""
+    connect, _ = fake_ws
+    failures = [OSError("refused")] * 9
+    orig = connect
+
+    def flaky(url, **kwargs):
+        if failures:
+            raise failures.pop(0)
+        return orig(url, **kwargs)
+
+    client = sys.modules["websockets.sync.client"]
+    monkeypatch.setattr(client, "connect", flaky)
+    connect.frames_per_socket = [["x"]]
+    slept = []
+    monkeypatch.setattr("time.sleep", slept.append)
+    rows, _ = make_reader().read({"frame": 0})
+    assert [r[0] for r in rows] == ["x"]
+    assert len(slept) == 9
+    for n, d in enumerate(slept):
+        nominal = min(30.0, 0.25 * (2**n))
+        assert nominal * 0.8 <= d <= nominal * 1.2
+    # the cap binds from attempt 7 on (0.25*2^7 = 32 > 30)
+    assert slept[8] <= 30.0 * 1.2
+
+
+def test_backoff_restarts_at_base_after_successful_connect(fake_ws, monkeypatch):
+    """After a successful (re)connect the attempt counter is back at
+    zero: the next outage's first delay is in the base band again, not
+    a continuation of the previous exponential run."""
+    connect, sockets = fake_ws
+    fail_then_ok = [OSError("a"), OSError("b"), OSError("c"), None, OSError("d"), None]
+    orig = connect
+
+    def flaky(url, **kwargs):
+        step = fail_then_ok.pop(0)
+        if step is not None:
+            raise step
+        return orig(url, **kwargs)
+
+    client = sys.modules["websockets.sync.client"]
+    monkeypatch.setattr(client, "connect", flaky)
+    # socket 1 dies mid-read -> reconnect (one failure, then socket 2)
+    connect.frames_per_socket = [["f1", OSError("gone")], ["f2"]]
+    slept = []
+    monkeypatch.setattr("time.sleep", slept.append)
+    rows, _ = make_reader().read({"frame": 0})
+    assert [r[0] for r in rows] == ["f1", "f2"]
+    assert len(sockets) == 2
+    # first outage: 3 sleeps at attempts 0,1,2; second outage: 1 sleep
+    # back at attempt 0 (NOT attempt 3's 2.0s band)
+    assert len(slept) == 4
+    assert slept[3] <= 0.25 * 1.2
+    assert slept[2] >= 1.0 * 0.8
