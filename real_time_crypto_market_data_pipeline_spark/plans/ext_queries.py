@@ -597,14 +597,66 @@ def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_summary(media)
 
 
-@query("q_media_features")  # rows-only: mapInPandas stage, not SQL-expressible
+# The fake embedding is sha256-derived, and DuckDB has sha256(VARCHAR),
+# so the WHOLE mapInPandas output is SQL-checkable: unpack each
+# little-endian uint32 from the digest hex, divide by 2^32, normalize.
+# Same left-to-right summation order as the Python implementation, so
+# the doubles are bit-identical, not just 6-digit-close.
+_V_EXPRS = [
+    f"(CAST('0x'||substr(d,{8 * i + 1},2) AS BIGINT)"
+    f" + 256*CAST('0x'||substr(d,{8 * i + 3},2) AS BIGINT)"
+    f" + 65536*CAST('0x'||substr(d,{8 * i + 5},2) AS BIGINT)"
+    f" + 16777216*CAST('0x'||substr(d,{8 * i + 7},2) AS BIGINT)) / 4294967296.0"
+    for i in range(8)
+]
+_MEDIA_FEATURES_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             sha256(text) AS d,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    v AS (
+      SELECT media_id, kind, d, n_bytes,
+             {", ".join(f"{e} AS v{i}" for i, e in enumerate(_V_EXPRS))}
+      FROM m
+    ),
+    n AS (
+      SELECT *, SQRT({" + ".join(f"v{i}*v{i}" for i in range(8))}) AS norm0
+      FROM v
+    ),
+    nn AS (
+      SELECT *, CASE WHEN norm0 = 0.0 THEN 1.0 ELSE norm0 END AS norm FROM n
+    )
+    SELECT media_id, kind, d AS sha256, n_bytes,
+           {", ".join(f"v{i} / norm AS f{i}" for i in range(8))}
+    FROM nn
+    """
+
+
+@query("q_media_features", oracle=_MEDIA_FEATURES_ORACLE)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: Arrow-batched feature extraction over binary payloads
-    (deterministic fake embedding; codec boundary stubbed)."""
+    (deterministic fake embedding; codec boundary stubbed).
+
+    The feature vector unnests to scalar columns f0..f7 so every value
+    the mapInPandas stage produced - digest, byte count, and all eight
+    normalized feature doubles - faces the oracle's value hash; the
+    DuckDB side recomputes the embedding from sha256 hex with the same
+    operation order, making the comparison bit-exact."""
     from ..operators import multimodal as MM
 
     media = MM.documents_as_media(load(spark, sf_dir, "documents"))
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "sha256",
+        "n_bytes",
+        *[F.col("feat")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @query(

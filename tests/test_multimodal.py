@@ -96,3 +96,20 @@ def test_binary_file_ingestion_adapter(spark, tmp_path_factory):
     # adapter output feeds the feature stage unchanged
     feats = MM.extract_features(media).collect()
     assert len(feats) == 2 and all(len(f.feat) == 8 for f in feats)
+
+
+def test_fake_features_golden_values():
+    """Pin _fake_features to exact expected doubles for a known payload
+    (the X5 value contract the DuckDB oracle re-derives from sha256)."""
+    import struct
+
+    payload = b"hello"
+    h = hashlib.sha256(payload).digest()
+    vals = [struct.unpack("<I", h[4 * i : 4 * i + 4])[0] / 2**32 for i in range(8)]
+    norm = sum(v * v for v in vals) ** 0.5
+    expected = [v / norm for v in vals]
+    got = MM._fake_features(payload)
+    assert got == expected
+    # spot-pin two literals so a silent formula change cannot hide
+    assert got[0] == pytest.approx(0.6199651641526901, abs=1e-12)
+    assert abs(sum(v * v for v in got) - 1.0) < 1e-12
