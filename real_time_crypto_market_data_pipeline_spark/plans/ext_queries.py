@@ -418,6 +418,48 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def _highdim_embeddings(spark: SparkSession, sf_dir: str, reps: int = 16) -> DataFrame:
+    """1024-dim synthetic corpus: each 64-dim embedding tiled x16.
+
+    Tiling preserves cosine ordering (cos of tiled vectors == cos of
+    originals) while multiplying the arithmetic volume 16x - exactly
+    what's needed to measure where the per-element expression fold
+    loses to a BLAS matmul.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), reps)).alias("embedding"),
+    )
+
+
+# rows-only driver check for the high-dim perf twins: their value
+# contract (identical top-k either path) is pinned in
+# tests/test_similarity.py; a 1024-dim list fold in DuckDB SQL would
+# only re-state the q_cosine_topk oracle at 16x the cost.
+@query("q_cosine_topk_fold_highdim", bench=True)
+def q_cosine_topk_fold_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 perf twin A: expression-fold cosine at 1024 dims.
+
+    The documented crossover case: per-element Catalyst HOF work grows
+    linearly with dims and loses whole-stage codegen, so past a few
+    hundred dims this is the WRONG plan - kept as the bench twin that
+    proves it (see q_cosine_topk_arrow_highdim)."""
+    return S.cosine_topk(_highdim_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+@query("q_cosine_topk_arrow_highdim", bench=True)
+def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 perf twin B: Arrow-batched numpy matmul cosine at 1024 dims.
+
+    One BLAS matmul per Arrow batch replaces 1024 fold steps per row;
+    the batch shape and TakeOrdered top-k stay identical to the fold
+    twin, so the bench delta isolates the scoring kernel."""
+    hd = _highdim_embeddings(spark, sf_dir)
+    qvec = hd.where(F.col("vec_id") == 0).first()["embedding"]
+    return S.cosine_topk_arrow(hd, list(qvec), k=10)
+
+
 # ---------------------------------------------------------------- X3 (IVF scale path)
 @query(
     "q_ann_ivf",

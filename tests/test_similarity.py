@@ -109,3 +109,19 @@ def test_hyperplane_lsh_deterministic_and_shuffle_free(emb):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_highdim_fold_and_arrow_paths_agree(spark):
+    """The 1024-dim perf twins must return the same top-k (same ids,
+    same cosines to float tolerance) - and both must equal the base
+    64-dim ranking, since tiling preserves cosine."""
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fold = QUERIES["q_cosine_topk_fold_highdim"](spark, sf).collect()
+    arrow = QUERIES["q_cosine_topk_arrow_highdim"](spark, sf).collect()
+    base = QUERIES["q_cosine_topk"](spark, sf).collect()
+    assert [r.vec_id for r in fold] == [r.vec_id for r in arrow]
+    assert [r.vec_id for r in fold] == [r.vec_id for r in base]
+    for f, a in zip(fold, arrow):
+        assert abs(f.cosine - a.cosine) < 1e-9
