@@ -66,6 +66,7 @@ def grouped_stats_exact(
     value_col: str,
     prefix: str = "",
     scale: int = 1,
+    sum_dtype: str = "decimal(38,0)",
 ) -> DataFrame:
     """A5/A7 exact-partial-sum variant: deterministic mean/std per key.
 
@@ -95,10 +96,18 @@ def grouped_stats_exact(
     Scale note: identical shuffle profile to :func:`grouped_stats` -
     one hash-shuffle on the keys with map-side combine; the per-group
     state is 5 fixed-width values regardless of group size.
+
+    ``sum_dtype`` trades accumulator width for speed: DECIMAL(38,0)
+    (default) is exact for ANY input domain but BigDecimal-backed
+    (~2x the aggregate cost); "long" uses primitive 64-bit sums -
+    pick it only when ``n_rows_per_group * max(|x|)^2`` provably fits
+    63 bits (e.g. 2-decimal values up to ~1e5 -> cents^2 <= ~1e10 ->
+    safe beyond 1e8 rows per group). ANSI mode makes a misjudged
+    domain a loud overflow error, never a silent wrap.
     """
     v = F.col(value_col)
     quantized = F.round(v * F.lit(scale)) if scale != 1 else v
-    xi = quantized.cast("decimal(38,0)")
+    xi = quantized.cast(sum_dtype)
     n = F.col(f"{prefix}count")
     s = F.col("_s")
     ss = F.col("_ss")
@@ -106,7 +115,12 @@ def grouped_stats_exact(
     mean = F.when(
         n > 0, (s.cast("double") / n.cast("double")) / inv_scale
     ).otherwise(F.lit(0.0))
-    var_num = n.cast("decimal(38,0)") * ss - s * s
+    # finalization always promotes to DECIMAL: n*ss and s*s can exceed
+    # 63 bits even when the sums themselves fit; this runs once per
+    # GROUP (cheap), while sum_dtype governs the per-row hot path
+    sd = s.cast("decimal(38,0)")
+    ssd = ss.cast("decimal(38,0)")
+    var_num = n.cast("decimal(38,0)") * ssd - sd * sd
     std = F.when(
         n > 1,
         F.sqrt(var_num.cast("double") / (n * (n - F.lit(1))).cast("double"))
@@ -277,9 +291,14 @@ def snapshot(
     cents) so the snapshot is bit-reproducible across runs and engines
     - double accumulation made the flagship's hash a coin flip when
     group means of 2-decimal values landed exactly on canonicalization
-    boundaries.
+    boundaries. The value side sums primitive longs (cents of a
+    price-scale domain fit 63 bits past 1e8 rows/group); the staleness
+    side keeps DECIMAL accumulators because a single outlier gap
+    squares to ~2^61 and three of them overflow a long sum.
     """
-    lat = grouped_stats_exact(df, keys, value_col, prefix="lat_", scale=value_scale)
+    lat = grouped_stats_exact(
+        df, keys, value_col, prefix="lat_", scale=value_scale, sum_dtype="long"
+    )
     stale_src = lag_diff(df, keys, ts_ms_col, tiebreak_col, out_col="stale_ms")
     stale = grouped_stats_exact(stale_src, keys, "stale_ms", prefix="stale_")
     joined = lat.join(stale, on=list(keys), how="full_outer")

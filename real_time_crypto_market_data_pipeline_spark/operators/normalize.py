@@ -285,8 +285,12 @@ def jsonl_encode(events: DataFrame) -> DataFrame:
         F.col(f"book.{side}"),
         lambda s: F.array(s["price"], s["size"], s["count"].cast("double")),
     )
-    payload = F.when(
-        F.col("event_type") == "book_topn",
+    # to_json needs a homogeneous array element type, so count rides as
+    # DOUBLE and would render "2.0" where the reference's json.dumps
+    # writes the int "2" (jsonl.py:53-60). The count is always the
+    # third element, directly before "]", so stripping ",N.0]" -> ",N]"
+    # restores byte parity; price/size never touch "]".
+    book_json = F.regexp_replace(
         F.to_json(
             F.struct(
                 F.col("book.n").alias("n"),
@@ -296,6 +300,11 @@ def jsonl_encode(events: DataFrame) -> DataFrame:
                 flat_levels("asks").alias("asks"),
             )
         ),
+        ",([0-9]+)\\.0\\]",
+        ",$1]",
+    )
+    payload = F.when(
+        F.col("event_type") == "book_topn", book_json
     ).otherwise(F.to_json(F.col("trade")))
     head = F.to_json(
         F.struct(

@@ -462,7 +462,7 @@ def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return M.grouped_stats_exact(
         load(spark, sf_dir, "events"), ["user_id", "event_type"], "value", "val_",
-        scale=100,
+        scale=100, sum_dtype="long",
     )
 
 

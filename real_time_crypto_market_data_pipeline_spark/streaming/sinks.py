@@ -229,26 +229,77 @@ def compact_partitions(
     the Hive layout. Run it on closed dt partitions (yesterday and
     older); returns the number of partition directories compacted.
 
+    ``out_dir`` receives a COMPLETE copy of the dataset: fragmented
+    partition directories are rewritten through ``coalesce``, and
+    already-compact ones are copied through unchanged - so readers
+    (or an atomic swap of ``out_dir`` over ``data_dir``) see every
+    partition, not just the rewritten ones. Returns the number of
+    partition directories that were actually rewritten.
+
     At 100 TB this is the nightly compaction stage every streaming
     lakehouse runs; with Delta/Iceberg it becomes OPTIMIZE.
     """
     import os
+    import shutil
 
     compacted = 0
-    for root, dirs, files in os.walk(data_dir):
+    for root, _dirs, files in os.walk(data_dir):
         txts = [f for f in files if f.endswith(".txt")]
-        if len(txts) <= target_files_per_partition or not root.startswith(data_dir):
+        if not txts:
             continue
         rel = os.path.relpath(root, data_dir)
-        (
-            spark.read.text(root)
-            .coalesce(target_files_per_partition)
-            .write.mode("overwrite")
-            .text(os.path.join(out_dir, rel))
-        )
-        compacted += 1
-        _ = dirs
+        dest = os.path.join(out_dir, rel)
+        if len(txts) > target_files_per_partition:
+            (
+                spark.read.text(root)
+                .coalesce(target_files_per_partition)
+                .write.mode("overwrite")
+                .text(dest)
+            )
+            compacted += 1
+        else:
+            os.makedirs(dest, exist_ok=True)
+            for name in txts:
+                shutil.copy2(os.path.join(root, name), os.path.join(dest, name))
     return compacted
+
+
+def exact_layout_batch_writer(out_dir: str):
+    """The foreachBatch body of :func:`start_exact_layout_jsonl_sink`,
+    exposed for direct testing of its epoch-replay idempotence.
+
+    Skips any epoch at or below the ``_last_epoch`` marker (written
+    atomically via rename only after every append for that epoch
+    landed), so a replayed microbatch does not duplicate lines.
+    """
+    import os
+
+    marker = os.path.join(out_dir, "_last_epoch")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            with open(marker, encoding="utf-8") as f:
+                if epoch_id <= int(f.read().strip()):
+                    return  # already fully appended; replayed epoch
+        except (FileNotFoundError, ValueError):
+            pass
+        by_path: dict[str, list[str]] = {}
+        for r in batch_df.collect():
+            path = os.path.join(
+                out_dir, r.exchange, r.channel, r.dt, f"{r.symbol}.jsonl"
+            )
+            by_path.setdefault(path, []).append(r.jsonl)
+        for path, batch_lines in by_path.items():
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "a", encoding="utf-8") as f:
+                f.write("\n".join(batch_lines) + "\n")
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, marker)
+
+    return write_batch
 
 
 def start_exact_layout_jsonl_sink(
@@ -269,25 +320,21 @@ def start_exact_layout_jsonl_sink(
     use ``start_jsonl_sink`` (Hive layout, executor-parallel, same
     content) - a per-(key,batch) driver append is the same
     serialization point the reference has.
+
+    Replay idempotence: foreachBatch re-delivers the last epoch after
+    a restart whose appends ran but whose checkpoint commit did not. A
+    ``_last_epoch`` marker in ``out_dir`` (written atomically via
+    rename AFTER the appends) lets the sink skip any epoch it has
+    already fully appended, so the common crash-replay path no longer
+    duplicates lines. A crash BETWEEN the final append and the marker
+    rename still replays that epoch (at-least-once, the same guarantee
+    the reference's appends give) - true exactly-once needs the
+    Hive-layout file sink, whose per-epoch files commit atomically.
     """
-    import os
-
     lines = jsonl_encode(events)
-
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
-        by_path: dict[str, list[str]] = {}
-        for r in rows:
-            path = os.path.join(out_dir, r.exchange, r.channel, r.dt, f"{r.symbol}.jsonl")
-            by_path.setdefault(path, []).append(r.jsonl)
-        for path, batch_lines in by_path.items():
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "a", encoding="utf-8") as f:
-                f.write("\n".join(batch_lines) + "\n")
-
     return (
         lines.writeStream.outputMode("append")
-        .foreachBatch(write_batch)
+        .foreachBatch(exact_layout_batch_writer(out_dir))
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()

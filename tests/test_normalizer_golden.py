@@ -92,8 +92,12 @@ def test_jsonl_encode_golden(raw_frames):
     parsed = json.loads(row.jsonl)
     assert parsed["exchange"] == "okx"
     assert parsed["event_type"] == "book_topn"
-    assert parsed["payload"]["bids"][0] == [92578.7, 0.512, 3.0]
+    assert parsed["payload"]["bids"][0] == [92578.7, 0.512, 3]
     assert parsed["payload"]["best_bid"] == 92578.7
+    # byte parity with the reference's json.dumps: level counts are
+    # ints ("...,3]"), never the double rendering ("...,3.0]")
+    assert "[92578.7,0.512,3]" in row.jsonl
+    assert ".0]" not in row.jsonl
 
 
 def test_stdout_render_format(raw_frames):

@@ -469,9 +469,9 @@ def test_compaction_preserves_rows(spark, replay_path, tmp_path):
     for r, _d, fs in os.walk(f"{work}/compacted"):
         txts = [f for f in fs if f.endswith(".txt")]
         assert len(txts) <= 1
-    # row multiset preserved for the partitions that were compacted
-    assert set(after) <= set(before)
-    assert len(after) == len(set(after) & set(before))
+    # the output is a COMPLETE copy: every line survives exactly once,
+    # including partitions that were already compact (copied through)
+    assert after == before
 
 
 def test_exact_reference_file_layout(spark, tmp_path):
@@ -576,3 +576,41 @@ def test_stream_static_enrichment(spark, replay_path, tmp_path):
     assert by_sym["BTC-USDT"].base_ccy == "BTC"
     assert by_sym["BTC-USDT"].tick_size == 0.1
     assert by_sym["ETH-USDT"].base_ccy == "ETH"
+
+
+def test_exact_layout_epoch_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch epoch (crash after appends, before the
+    checkpoint commit) must not duplicate lines; new epochs append."""
+    from real_time_crypto_market_data_pipeline_spark.operators.normalize import (
+        jsonl_encode,
+        normalize_frames,
+    )
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        exact_layout_batch_writer,
+    )
+
+    raw = spark.createDataFrame(
+        [(f, 1735689600441, 1, 2) for f in FRAMES[:2]],
+        "raw STRING, ts_recv_epoch_ms LONG, ts_recv_mono_ns LONG,"
+        " ts_decoded_mono_ns LONG",
+    )
+    lines = jsonl_encode(normalize_frames(raw))
+    out = str(tmp_path / "exact")
+    write = exact_layout_batch_writer(out)
+
+    def all_lines():
+        return sorted(
+            ln
+            for r, _d, fs in os.walk(out)
+            for f in fs
+            if f.endswith(".jsonl")
+            for ln in open(os.path.join(r, f)).read().splitlines()
+        )
+
+    write(lines, 0)
+    first = all_lines()
+    assert first
+    write(lines, 0)  # replayed epoch: must be a no-op
+    assert all_lines() == first
+    write(lines, 1)  # new epoch: appends
+    assert len(all_lines()) == 2 * len(first)

@@ -19,28 +19,29 @@ SF = "/root/testdata/sf0.01"
 COMMENTARY = {
     "q_tpch_q1": "Filter + all 7 needed columns pushed to the scan; partial aggregation before the single exchange carries only the group keys.",
     "q_tpch_q6": "All four predicates in PushedFilters; global agg = one partial/final pair, no grouping shuffle.",
-    "q_join_enrich": "Both dims broadcast (no SortMergeJoin anywhere); the fact scan reads 3 columns and never shuffles.",
+    "q_join_enrich": "nation (bounded) broadcasts; orders-customer is a hint-free key-partitioned join AQE sizes at runtime - small here, SMJ at 100 TB, never an OOM-by-hint. The fact scan reads 3 columns.",
     "q_order_revenue_topk": "Filtered orders side broadcast into the lineitem scan; final top-10 is TakeOrderedAndProject (per-partition heap), not a global sort.",
     "q_topk_per_group": "WindowGroupLimit runs partial top-k per input partition BEFORE the shuffle, then final after - the rank-limit pushdown.",
     "q_cosine_topk": "One-row query side broadcast (BroadcastNestedLoopJoin); corpus scan shuffle-free; top-k via TakeOrderedAndProject.",
     "q_percentiles": "Nearest-rank-lower rule: one window sort per key + broadcast-joined group counts; no interpolation, no collect.",
-    "q_csv_snapshot": "The flagship composition: scan -> lag window -> two grouped aggs -> full-outer join -> order, each aggregate map-side combined.",
+    "q_csv_snapshot": "The flagship composition: scan -> lag window -> two grouped aggs -> full-outer join -> order, each aggregate map-side combined; mean/std from exact integer partial sums (long cents for values, 128-bit decimal for staleness squares), so the snapshot is bit-reproducible under any merge order.",
     "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
     "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
     "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
-    "q_tpch_q5": "Six-table star: the lineitem fact flows through five BroadcastHashJoins with zero pre-aggregation shuffles; the region filter prunes the broadcast sides before the fact is touched.",
+    "q_tpch_q5": "Six-table star: supplier/nation/region broadcast (region filter prunes the build sides first); the lineitem-orders and orders-customer fact edges shuffle on their equi-keys hint-free, so AQE picks broadcast at small SF and SMJ at scale.",
     "q_tpch_q2": "Decorrelated min-cost-per-part: the fact reduces to narrow (partkey, suppkey, cost) rows first; repartition(l_partkey) satisfies BOTH the group-by and the window, so the rows shuffle exactly once, and supplier strings broadcast in only after the min-filter.",
-    "q_tpch_q9": "Five-table profit rollup: every join a BroadcastHashJoin (the %gear% LIKE prunes the part build side pre-join); the single exchange is the final (nation, year) aggregate.",
-    "q_tpch_q21": "Correlated EXISTS / NOT EXISTS as semi + anti hash joins on l_orderkey with the supplier-inequality as join residual - no cartesian, no BroadcastNestedLoopJoin; at cluster scale all three lineitem legs co-partition on the same key.",
+    "q_tpch_q9": "Five-table profit rollup: part/supplier/nation broadcast (the %gear% LIKE prunes the part build side pre-join); the lineitem-orders spine is hint-free - one l_orderkey shuffle AQE sizes, safe at any scale.",
+    "q_tpch_q21": "Correlated EXISTS / NOT EXISTS as semi + anti hash joins on l_orderkey with the supplier-inequality as join residual - no cartesian, no BroadcastNestedLoopJoin; the orders status semi-join is hint-free, so all four legs co-partition on the one l_orderkey shuffle at scale.",
     "q_interval_count": "Time-banded interval join: floor(ts/range) joins as part of the key (each left row explodes into two adjacent band probes), so a hot user's pairwise work is bounded by band co-residency; the range predicate rides the join as a residual so zero-match rows still count 0 through the left join.",
     "q_corpus_prep": "The composed pretraining funnel (quality gate -> exact dedup -> hash split) resolves to ONE FileScan and ONE exchange: scoring and gating fuse into the scan stage, the dedup window on md5(text) is the only shuffle, the split is a projection.",
     "q_decontaminate": "Eval-leakage scan: the eval shingle set broadcasts; the training corpus streams through the inner join map-side, so the only exchange carries flagged (doc_id, count) rows - a 100 TB corpus scan that shuffles kilobytes.",
-    "q_merge_upsert": "MERGE INTO emulation: the change-batch aggregation is the only exchange; both merge legs (update left-outer, insert anti) are BroadcastHashJoins, so the dimension never shuffles - the plan a lakehouse MERGE executes.",
+    "q_merge_upsert": "MERGE INTO emulation: both merge legs (update left-outer, insert anti) join O(customer) sides, so neither carries a broadcast hint - they co-partition on c_custkey and AQE may still broadcast a genuinely small change batch at runtime; the spend sums integer cents for hash determinism.",
     "q_scd2_history": "SCD Type-2 build: lead, row_number, running cents-sum and is_current all share one partitioning+ordering - ONE exchange and ONE sort serve four window functions.",
     "q_twap": "Time-weighted average: the lead window and the aggregation both key on user_id, so the agg reuses the window's exchange; integer cents x ms keeps partial sums exact under any merge order.",
     "q_profile_columns": "Whole-table profile in one pass: 5 exact COUNT(DISTINCT)s + null/min/max metrics compile to a single Expand-based aggregate over ONE FileScan - not the per-column scan union a naive profiler runs.",
+    "q_cosine_topk_arrow_highdim": "1024-dim scoring escape hatch: one BLAS matmul per Arrow batch inside mapInPandas replaces a 1024-step Catalyst fold per row (measured 1.9x at sf0.1, growing with corpus); top-k stays TakeOrderedAndProject.",
     "q_pit_read": "AS OF read of the SCD2 history: the version-window build and the max_by(version <= T) aggregate share the o_custkey partitioning - one exchange end to end; the history scan is the whole cost, which is the point of materializing SCD2.",
 }
 
