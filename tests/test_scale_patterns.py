@@ -275,3 +275,40 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert joined.count() == 2  # only the 2 surviving partitions
+
+
+def test_bucketized_q12_shape_single_exchange(spark):
+    """The Q12 join+agg over bucketize()d fact tables plans exactly ONE
+    exchange (the final group-by) - the join itself is co-located.
+    Plain parquet pays two join shuffles first; this is the claw-back
+    for the hint-free fact spine."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.tables import bucketize
+
+    tabs = bucketize(spark, "/root/testdata/sf0.001", ("lineitem", "orders"))
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        li = spark.table(tabs["lineitem"])
+        orders = spark.table(tabs["orders"])
+        agg = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan
+        assert agg.count() == 5
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
