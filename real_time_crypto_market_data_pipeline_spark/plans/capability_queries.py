@@ -166,6 +166,50 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS DOUBLE)
+             / 100.0 AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY GROUPING SETS ((l_returnflag), (o_orderpriority),
+                            (l_returnflag, o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: an arbitrary subset of the cube lattice.
+
+    Rollup and cube are fixed lattices; GROUPING SETS picks exactly the
+    aggregation levels a dashboard needs - here both one-dimension
+    marginals plus the full cross, skipping the grand total. Spark
+    plans all three sets through ONE Expand + one aggregate over a
+    single scan, not three scans. The price sum runs in integer cents
+    (exact under any merge order) because the marginal groups re-sum
+    the same values in different partial orders than the cross groups.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupingSets(
+            [["l_returnflag"], ["o_orderpriority"], ["l_returnflag", "o_orderpriority"]],
+            "l_returnflag",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_price"),
+        )
+    )
+
+
+@query(
     "q_set_ops",
     oracle="""
     SELECT user_id FROM (
