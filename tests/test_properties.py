@@ -193,3 +193,41 @@ def test_normalizer_never_throws_on_garbage(spark, frames):
             assert ev.event_type == "trade"
             assert ev.trade is not None and ev.book is None
             assert ev.trade.price is not None and ev.trade.size is not None
+
+
+cents_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        # 2-decimal grid values, the events.value domain
+        st.integers(min_value=-10_000, max_value=10_000).map(lambda c: c / 100.0),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(cents_strategy)
+@_slow
+def test_exact_stats_match_reference_formula(spark, rows):
+    """grouped_stats_exact == the plain double-path stats to float
+    tolerance on any 2-decimal input, including the n=1 -> std 0.0
+    fallback - the exact path changes determinism, never semantics."""
+    import math
+
+    df = spark.createDataFrame(rows, "key STRING, v DOUBLE")
+    exact = {
+        r.key: r
+        for r in M.grouped_stats_exact(
+            df, ["key"], "v", "s_", scale=100, sum_dtype="long"
+        ).collect()
+    }
+    plain = {r.key: r for r in M.grouped_stats(df, ["key"], "v", "s_").collect()}
+    assert set(exact) == set(plain)
+    for k, e in exact.items():
+        p = plain[k]
+        assert e.s_count == p.s_count
+        assert e.s_min == p.s_min and e.s_max == p.s_max
+        assert math.isclose(e.s_mean, p.s_mean, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(e.s_std, p.s_std, rel_tol=1e-6, abs_tol=1e-9)
+        if e.s_count == 1:
+            assert e.s_std == 0.0
