@@ -23,7 +23,7 @@ COMMENTARY = {
     "q_order_revenue_topk": "Filtered orders side broadcast into the lineitem scan; final top-10 is TakeOrderedAndProject (per-partition heap), not a global sort.",
     "q_topk_per_group": "WindowGroupLimit runs partial top-k per input partition BEFORE the shuffle, then final after - the rank-limit pushdown.",
     "q_cosine_topk": "One-row query side broadcast (BroadcastNestedLoopJoin); corpus scan shuffle-free; top-k via TakeOrderedAndProject.",
-    "q_percentiles": "Nearest-rank-lower rule: one window sort per key + broadcast-joined group counts; no interpolation, no collect.",
+    "q_percentiles": "Nearest-rank-lower rule: the rank and count windows share one partitioning - one scan, one exchange, one sort; no interpolation, no collect.",
     "q_csv_snapshot": "The flagship composition: scan -> lag window -> two grouped aggs -> full-outer join -> order, each aggregate map-side combined; mean/std from exact integer partial sums (long cents for values, 128-bit decimal for staleness squares), so the snapshot is bit-reproducible under any merge order.",
     "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
