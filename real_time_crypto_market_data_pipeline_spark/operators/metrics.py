@@ -279,6 +279,7 @@ def snapshot(
     ts_ms_col: str,
     tiebreak_col: str,
     value_scale: int = 100,
+    value_sum_dtype: str = "long",
 ) -> DataFrame:
     """K5: the 13-column CSV metrics snapshot as one DataFrame.
 
@@ -291,13 +292,18 @@ def snapshot(
     cents) so the snapshot is bit-reproducible across runs and engines
     - double accumulation made the flagship's hash a coin flip when
     group means of 2-decimal values landed exactly on canonicalization
-    boundaries. The value side sums primitive longs (cents of a
-    price-scale domain fit 63 bits past 1e8 rows/group); the staleness
-    side keeps DECIMAL accumulators because a single outlier gap
-    squares to ~2^61 and three of them overflow a long sum.
+    boundaries. ``value_sum_dtype`` defaults to primitive longs (cents
+    of a price-scale domain fit 63 bits past 1e8 rows/group); callers
+    whose value domain is NOT provably bounded - e.g. the streaming
+    sink, where latency = wall-clock receive minus a replayed exchange
+    timestamp and grows without bound - must pass "decimal(38,0)".
+    The staleness side always keeps DECIMAL accumulators because a
+    single outlier gap squares to ~2^61 and three of them overflow a
+    long sum.
     """
     lat = grouped_stats_exact(
-        df, keys, value_col, prefix="lat_", scale=value_scale, sum_dtype="long"
+        df, keys, value_col, prefix="lat_", scale=value_scale,
+        sum_dtype=value_sum_dtype,
     )
     stale_src = lag_diff(df, keys, ts_ms_col, tiebreak_col, out_col="stale_ms")
     stale = grouped_stats_exact(stale_src, keys, "stale_ms", prefix="stale_")

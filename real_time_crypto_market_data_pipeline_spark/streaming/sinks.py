@@ -125,12 +125,18 @@ def start_csv_snapshot_sink(
             "lat_ms",
             (F.col("ts_recv_epoch_ms") - F.col("ts_exchange_ms")).cast("double"),
         )
+        # lat_ms = now - replayed exchange ts is unbounded (it grows
+        # with wall-clock time in replay mode), so its squares overflow
+        # a long sum; decimal accumulators, and the values are whole ms
+        # already so no cents quantization.
         snap = batch_snapshot(
             lat_src,
             keys=["symbol", "channel"],
             value_col="lat_ms",
             ts_ms_col="ts_exchange_ms",
             tiebreak_col="ts_recv_mono_ns",
+            value_scale=1,
+            value_sum_dtype="decimal(38,0)",
         )
         now = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
         (

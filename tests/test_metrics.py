@@ -128,6 +128,30 @@ def test_snapshot_composition(spark):
     assert ud.stale_count == 0 and ud.stale_mean == 0.0 and ud.stale_std == 0.0
 
 
+def test_snapshot_epoch_scale_values_need_decimal(spark):
+    """Regression: replay-mode latency = now - captured exchange ts is
+    epoch-scale (~5e10 ms and growing), so its squares overflow a long
+    sum under ANSI; the streaming sink passes decimal accumulators."""
+    big = 5.0e10  # ~19 months in ms; big^2 * 3 rows >> 2^63
+    df = spark.createDataFrame(
+        [("s", "c", i, i * 100, big + i) for i in range(1, 4)],
+        "sym STRING, chan STRING, i LONG, ms LONG, lat DOUBLE",
+    )
+    rows = M.snapshot(
+        df, ["sym", "chan"], "lat", "ms", "i",
+        value_scale=1, value_sum_dtype="decimal(38,0)",
+    ).collect()
+    assert rows[0].lat_count == 3
+    assert rows[0].lat_mean == big + 2.0
+    # same frame through the long fast path must fail loudly, not wrap
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    with _pytest.raises((ArithmeticException, Py4JJavaError)):
+        M.snapshot(df, ["sym", "chan"], "lat", "ms", "i").collect()
+
+
 def test_conditional_rate(spark):
     df = spark.createDataFrame(
         [("k", 0.0), ("k", 0.0), ("k", 5.0), ("k", 7.0)], "key STRING, v DOUBLE"
