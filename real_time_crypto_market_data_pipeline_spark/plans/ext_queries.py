@@ -437,7 +437,7 @@ def _highdim_embeddings(spark: SparkSession, sf_dir: str, reps: int = 16) -> Dat
 # contract (identical top-k either path) is pinned in
 # tests/test_similarity.py; a 1024-dim list fold in DuckDB SQL would
 # only re-state the q_cosine_topk oracle at 16x the cost.
-@query("q_cosine_topk_fold_highdim", bench=True)
+@query("q_cosine_topk_fold_highdim", bench="extra")
 def q_cosine_topk_fold_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 perf twin A: expression-fold cosine at 1024 dims.
 
@@ -448,7 +448,7 @@ def q_cosine_topk_fold_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_highdim_embeddings(spark, sf_dir), query_vec_id=0, k=10)
 
 
-@query("q_cosine_topk_arrow_highdim", bench=True)
+@query("q_cosine_topk_arrow_highdim", bench="extra")
 def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 perf twin B: Arrow-batched numpy matmul cosine at 1024 dims.
 

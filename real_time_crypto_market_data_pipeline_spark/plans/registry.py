@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 BENCH_KEYS: list[str] = []
+# Measured and reported, but outside the headline total: the headline
+# set is pinned to the round-1 baseline so totals stay comparable
+# round over round; synthetic-input studies (1024-dim crossover twins)
+# land here.
+BENCH_EXTRA_KEYS: list[str] = []
 
 
 def prepare(spark: SparkSession) -> SparkSession:
@@ -40,7 +45,7 @@ def prepare(spark: SparkSession) -> SparkSession:
 
 
 def query(
-    name: str, oracle: str | None = None, bench: bool = False
+    name: str, oracle: str | None = None, bench: bool | str = False
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +57,9 @@ def query(
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        if bench:
+        if bench == "extra":
+            BENCH_EXTRA_KEYS.append(name)
+        elif bench:
             BENCH_KEYS.append(name)
         return wrapped
 
