@@ -63,24 +63,34 @@ def start_jsonl_sink(
     out_dir: str,
     checkpoint: str,
     trigger_seconds: float = 1.0,
+    max_events_per_file: int | None = 100,
 ) -> StreamingQuery:
     """K3/K4: append compact-JSON lines partitioned by
     (exchange, channel, dt, symbol).
 
     The text writer emits exactly the encoded line per row; partition
-    pruning on dt/symbol makes downstream replay reads cheap. Flush
-    cadence = trigger interval (K4 delta: no 100-count flush).
+    pruning on dt/symbol makes downstream replay reads cheap. The
+    reference flushes its per-file buffer at 100 buffered events OR
+    1 s (jsonl.py:114-125); here the trigger interval is the time
+    bound and ``maxRecordsPerFile`` is the count bound - the writer
+    rolls to a new part file after ``max_events_per_file`` records, so
+    no flushed file holds more events than a reference flush would.
+    Unlike a foreachBatch splitter this keeps the parallel,
+    exactly-once file sink, and the bound is enforced inside
+    FileFormatWriter with zero extra shuffle or sort.
     """
     lines = jsonl_encode(events).withColumnRenamed("jsonl", "value")
-    return (
+    writer = (
         lines.writeStream.outputMode("append")
         .format("text")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint)
         .partitionBy("exchange", "channel", "dt", "symbol")
         .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
     )
+    if max_events_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_events_per_file))
+    return writer.start()
 
 
 def snapshot_to_csv_rows(snapshot: DataFrame, generated_at_utc: str) -> DataFrame:

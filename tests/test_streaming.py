@@ -474,6 +474,43 @@ def test_compaction_preserves_rows(spark, replay_path, tmp_path):
     assert after == before
 
 
+def test_jsonl_sink_count_bounded_flush(spark, tmp_path):
+    """K4: the 100-event flush bound (jsonl.py:114-125). One microbatch
+    delivering 250 events for a single partition must roll across part
+    files of <= 100 lines each, never one 250-line flush."""
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        start_jsonl_sink,
+    )
+
+    frames = [
+        '{"arg": {"channel": "trades", "instId": "BTC-USDT"},'
+        f' "data": [{{"ts": "{1000 + i}", "px": "5", "sz": "1",'
+        f' "side": "buy", "tradeId": "t{i}"}}]}}'
+        for i in range(250)
+    ]
+    path = write_replay_file(str(tmp_path / "many.jsonl"), frames)
+    raw = P.read_raw_stream(spark, mode="replay", path=path, batch_size=1000)
+    out = str(tmp_path / "data")
+    q = start_jsonl_sink(
+        P.normalized_stream(raw), out, str(tmp_path / "ckpt_cb"),
+        max_events_per_file=100,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    part_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".txt")
+    ]
+    counts = sorted(len(open(p).read().splitlines()) for p in part_files)
+    assert sum(counts) == 250
+    assert max(counts) <= 100  # count bound: writer rolled files
+    assert len(counts) >= 3  # 250 events -> at least ceil(250/100) files
+
+
 def test_exact_reference_file_layout(spark, tmp_path):
     """K3 exact layout: data/okx/{channel}/{date}/{SYMBOL}.jsonl with
     appends across microbatches (jsonl.py:20-29 parity)."""
