@@ -22,11 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import events_ms_col
+
 
 def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
     """Per-day HLL sketches of distinct users - the storable rollup unit."""
+    ms = events["ms"] if "ms" in events.columns else events_ms_col(events)
     return (
-        events.withColumn("dt", F.to_date(F.timestamp_millis(F.expr("ts DIV 1000000"))))
+        events.withColumn("dt", F.to_date(F.timestamp_millis(ms)))
         .groupBy("dt")
         .agg(
             F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("user_sketch"),

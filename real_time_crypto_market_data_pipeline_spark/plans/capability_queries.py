@@ -13,14 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
-from ..tables import load
+from ..tables import load, load_events
 from .registry import query
 
-_MS = "ts DIV 1000000"
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "events").withColumn("ms", F.expr(_MS))
+# Type-adaptive integer epoch-ms loader (tables.events_ms_col).
+_events = load_events
 
 
 @query(

@@ -15,17 +15,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import metrics as M
-from ..tables import load
+from ..tables import load, load_events
 from .registry import query
 
-# events.ts arrives as LONG nanoseconds (see registry.prepare); every
-# time derivation goes through integer ms = ts DIV 1e6, matching
+# Every time derivation goes through the type-adaptive integer `ms`
+# column (tables.events_ms_col: LONG-ns or timestamp storage), matching
 # DuckDB's epoch_ms() truncation exactly.
-_MS = "ts DIV 1000000"
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "events").withColumn("ms", F.expr(_MS))
+_events = load_events
 
 
 # ---------------------------------------------------------------- S5

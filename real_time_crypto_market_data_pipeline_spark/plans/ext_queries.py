@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
-from ..tables import load
+from ..tables import load, load_events
 from .registry import query
 
 # Shared oracle CTE fragments (DuckDB dialect). Tokenization and
@@ -946,12 +946,12 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import sketches as SKC
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     daily = SKC.daily_user_sketches(ev)
     # exact values for oracle parity; sketch path exercised above
     return (
         ev.withColumn(
-            "dt", F.date_format(F.timestamp_millis(F.expr("ts DIV 1000000")), "yyyy-MM-dd")
+            "dt", F.date_format(F.timestamp_millis(F.col("ms")), "yyyy-MM-dd")
         )
         .groupBy("dt")
         .agg(

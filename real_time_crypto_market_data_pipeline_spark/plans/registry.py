@@ -31,15 +31,22 @@ BENCH_EXTRA_KEYS: list[str] = []
 def prepare(spark: SparkSession) -> SparkSession:
     """Pin runtime confs that correctness depends on.
 
-    - ``nanosAsLong``: the driver's ``events.ts`` is parquet
-      TIMESTAMP(NANOS), which Spark 4 refuses by default; reading it as
-      a raw LONG of nanoseconds also matches the engine's clock-domain
-      contract (integer ns stays integer - reference
-      ``time_helpers.py:12-23``).
+    - ``nanosAsLong``: if the driver's ``events.ts`` ships as parquet
+      TIMESTAMP(NANOS) (as it did in rounds 1-2), Spark 4 refuses it by
+      default; reading it as a raw LONG of nanoseconds matches the
+      engine's clock-domain contract (integer ns stays integer -
+      reference ``time_helpers.py:12-23``). Current testdata is
+      ``timestamp[us]`` where this conf is a no-op; either storage works
+      because all ms derivation goes through the type-adaptive
+      ``tables.events_ms_col``.
     - UTC session timezone: DuckDB treats naive timestamps as UTC; all
-      date/hour rendering must agree.
+      date/hour rendering (and the NTZ->LTZ instant mapping in
+      ``events_ms_col``) must agree.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in a future Spark: only needed for ns parquet
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.asof import banded_interval_count
-from ..tables import load
+from ..tables import load, load_events
 from .registry import query
 
 
@@ -1337,9 +1337,7 @@ def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by adjacent-band co-residency instead of |clicks|x|views|,
     and the shuffle spreads hot keys across time bands.
     """
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ms", (F.col("ts") / 1_000_000).cast("long")
-    )
+    ev = load_events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ms"
     )
@@ -1396,11 +1394,8 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by/max_by; batch keeps the window form for exact cross-engine
     open/close semantics.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        "value",
-        "event_id",
-        (F.col("ts") / 1_000_000).cast("long").alias("ms"),
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "value", "event_id", "ms"
     )
     ev = ev.withColumn("bucket", F.expr("ms DIV 3600000"))
     w = (
@@ -1551,9 +1546,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate AS valid_from,
            LEAD(o_orderdate) OVER w AS valid_to,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           -- DuckDB SUM(BIGINT) widens to HUGEINT (renders float64 via
+           -- pandas); cast back so the value hash sees int64 like Spark
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING) AS cum_spend_cents,
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents,
            LEAD(o_orderdate) OVER w IS NULL AS is_current
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -1695,8 +1692,8 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey AS c_custkey,
            CAST(COUNT(*) AS BIGINT) AS version_n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-             AS spend_cents_asof
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS spend_cents_asof
     FROM orders
     WHERE o_orderdate <= TIMESTAMP '1996-06-30 00:00:00'
     GROUP BY o_custkey

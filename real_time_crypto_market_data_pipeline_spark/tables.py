@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,6 +33,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_ms_col(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-ms expression for ``events.ts``, adaptive to the storage type.
+
+    The driver's testdata has shipped ``ts`` both as LONG nanoseconds and
+    as parquet ``timestamp[us]`` (Spark: TIMESTAMP_NTZ) across rounds;
+    every time-derived query funnels through this one helper so a storage
+    change is a one-line diagnosis, not a broken round. Both branches use
+    integer arithmetic only - ns values (~1.7e18) exceed double's 2^53
+    exact range, so float division could flip an ms even on the matching
+    type:
+
+    - LONG ns  -> ``ts DIV 1000000`` (integer floor-div)
+    - timestamp/timestamp_ntz -> ``unix_millis(cast(ts as timestamp_ltz))``
+      (JVM integer micros//1000; NTZ->LTZ is instant-preserving under the
+      pinned UTC session timezone)
+
+    Matches DuckDB ``epoch_ms(ts)`` truncation exactly in both cases.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise KeyError(f"column {col!r} not in {df.columns}")
+    if dtype == "bigint":
+        return F.expr(f"{col} DIV 1000000")
+    if dtype.startswith("timestamp"):
+        return F.unix_millis(F.col(col).cast("timestamp_ltz"))
+    raise TypeError(
+        f"events.{col} has unsupported type {dtype!r}; expected LONG "
+        "nanoseconds or a timestamp type (testdata schema drift - see "
+        "tools/selfcheck.py --schema)"
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with the canonical integer ``ms`` epoch-millis column."""
+    df = load(spark, sf_dir, "events")
+    return df.withColumn("ms", events_ms_col(df))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

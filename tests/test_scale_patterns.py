@@ -232,12 +232,14 @@ def test_static_partition_pruning(spark, tmp_path_factory):
     (directory-level skip) - at 100 TB this is the difference between
     scanning one day and scanning three years."""
     path = str(tmp_path_factory.mktemp("pruned") / "events_by_day")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     from pyspark.sql import functions as F
 
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
     ev.withColumn(
-        "dt", F.to_date(F.timestamp_millis(F.expr("ts DIV 1000000")))
-    ).write.partitionBy("dt").mode("overwrite").parquet(path)
+        "dt", F.to_date(F.timestamp_millis(F.col("ms")))
+    ).drop("ms").write.partitionBy("dt").mode("overwrite").parquet(path)
     n_days = spark.read.parquet(path).select("dt").distinct().count()
     assert n_days > 1
 

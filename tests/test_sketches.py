@@ -6,13 +6,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_time_crypto_market_data_pipeline_spark.operators import sketches as SK
+from real_time_crypto_market_data_pipeline_spark.tables import load_events
 
 SF = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return spark.read.parquet(f"{SF}/events.parquet")
+    return load_events(spark, SF)
 
 
 def test_daily_estimates_within_tolerance(spark, events):
@@ -21,7 +22,7 @@ def test_daily_estimates_within_tolerance(spark, events):
     exact = {
         r.dt: r.n
         for r in events.withColumn(
-            "dt", F.to_date(F.timestamp_millis(F.expr("ts DIV 1000000")))
+            "dt", F.to_date(F.timestamp_millis(F.col("ms")))
         )
         .groupBy("dt")
         .agg(F.countDistinct("user_id").alias("n"))
