@@ -21,35 +21,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_csv_snapshot"](spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies a prefix of this dict (50 queries in round 1),
-# so ordering is evidence allocation. Front of the line: the SURVEY
-# section-2 operator inventory (one query per inventory row), then the
-# highest-risk capability queries that had only selfcheck evidence in
-# round 1 (all TPC-H shapes, the CDC merge/SCD2/point-in-time trilogy,
-# the ranking-window family). The round-1-green extension/capability
-# queries (dedup, ANN, text, as-of, sessionize, ...) rotate behind
-# them - their hard driver rows are already on record in
-# CORRECTNESS_r01.json and their code is unchanged.
+# The driver verifies a prefix of this dict (50 queries in rounds 1-2),
+# so ordering is evidence allocation. Round-3 allocation:
+#   1. the 16 queries broken by the events.ts storage change in round 2
+#      (14 analysis errors + the SCD2/PIT oracle-type hash fails) - the
+#      driver must witness the fix;
+#   2. every query that has never appeared in any CORRECTNESS round
+#      (driver evidence is the hard signal; selfcheck is not);
+#   3. green anchors re-covering each family (core metrics, TPC-H
+#      spine, CDC, dedup, ANN) so a regression in refactored shared
+#      code would surface;
+#   4. the two no-oracle high-dim twins (rows-only driver check).
+# r1+r2 green rows for everything else are already on record in
+# CORRECTNESS_r01/r02.json.
 _PRIORITY = [
-    # --- SURVEY 2.2/2.3/2.4 inventory (S/F/A/K/P rows) ---
-    "q_json_decode", "q_invariant_check", "q_filter_isin", "q_null_guard",
-    "q_channel_split", "q_element_at", "q_explode", "q_try_cast",
-    "q_array_transform", "q_best_levels", "q_struct_project", "q_spread",
-    "q_latency_cols", "q_date_partition", "q_to_json", "q_format_string",
-    "q_percentiles", "q_zero_rate", "q_count_by_key", "q_grouped_stats",
-    "q_lag_diff", "q_stale_stats", "q_window_range", "q_having_gate",
-    "q_csv_snapshot", "q_unpivot_percentiles",
-    # --- TPC-H shapes (20 of 22; Q13/Q16 emit integer-only results,
-    #     zero float-canonicalization risk, so they yield their slots) ---
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    # --- CDC trilogy + ranking windows ---
-    "q_merge_upsert", "q_scd2_history", "q_pit_read", "q_window_variety",
-    # --- next in line if the driver widens its cap ---
-    "q_ohlc_bars", "q_salted_stats", "q_profile_columns",
-    "q_tpch_q13", "q_tpch_q16",
+    # --- 1: broken in r2, fixed this round ---
+    "q_invariant_check", "q_latency_cols", "q_date_partition",
+    "q_lag_diff", "q_stale_stats", "q_window_range", "q_csv_snapshot",
+    "q_unpivot_percentiles", "q_asof_join", "q_sessionize", "q_twap",
+    "q_interval_count", "q_ohlc_bars", "q_sketch_distinct",
+    "q_scd2_history", "q_pit_read",
+    # --- 2: never driver-checked ---
+    "q_tpch_q13", "q_tpch_q16", "q_salted_stats", "q_profile_columns",
+    "q_supplier_region", "q_part_brand_stats", "q_join_enrich",
+    "q_order_revenue_topk", "q_grouping_sets", "q_first_last_value",
+    "q_topk_per_group", "q_dedup_lsh_jaccard", "q_dedup_clusters",
+    "q_tfidf", "q_fingerprint", "q_chunk_documents", "q_corpus_sample",
+    "q_corpus_split", "q_scrub_text", "q_quality_score",
+    "q_media_features", "q_media_summary", "q_ann_lsh_buckets",
+    # --- 3: green anchors, one per family ---
+    "q_percentiles", "q_grouped_stats", "q_tpch_q1", "q_tpch_q9",
+    "q_tpch_q21", "q_merge_upsert", "q_window_variety", "q_dedup_exact",
+    "q_cosine_topk",
+    # --- 4: no-oracle twins (rows-only check) ---
+    "q_cosine_topk_arrow_highdim", "q_cosine_topk_fold_highdim",
 ]
 
 

@@ -4,8 +4,14 @@ the driver's correctness gate.
 
 Usage:
     python tools/selfcheck.py [sf_dir] [query ...]
+    python tools/selfcheck.py --schema [sf_dir]   # schema contract only
 
-Exit code 0 iff every checked query matches.
+Every run starts with a testdata schema-contract check (prints each
+table's dtypes, fails loudly on drift) - an environment change in the
+driver's parquet becomes a one-line diagnosis instead of a lost round
+(round 2 lost 14 queries to events.ts LONG-ns -> timestamp[us] drift).
+
+Exit code 0 iff the contract holds and every checked query matches.
 """
 
 from __future__ import annotations
@@ -61,12 +67,74 @@ def max_float_dev(a_rows, b_rows):
     return dev
 
 
+# Accepted dtypes per column the engine depends on. A column may ship
+# as any listed type (the loaders adapt - tables.events_ms_col); any
+# OTHER type, or a missing column, is contract drift and fails loudly.
+SCHEMA_CONTRACT = {
+    "events": {
+        "event_id": {"bigint"},
+        "ts": {"bigint", "timestamp", "timestamp_ntz"},
+        "user_id": {"bigint"},
+        "event_type": {"string"},
+        "value": {"double"},
+        "props": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"bigint"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_shipdate": {"timestamp", "timestamp_ntz", "date"},
+    },
+    "orders": {
+        "o_orderkey": {"bigint"},
+        "o_custkey": {"bigint"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp", "timestamp_ntz", "date"},
+    },
+    "documents": {"doc_id": {"bigint"}, "text": {"string"}},
+    "embeddings": {"vec_id": {"bigint"}, "embedding": {"array<float>", "array<double>"}},
+}
+
+
+def check_schema(spark, sf_dir: str) -> list[str]:
+    """Print each table's dtypes; return a list of contract violations."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    drift = []
+    for t in TABLES:
+        try:
+            dtypes = dict(load(spark, sf_dir, t).dtypes)
+        except Exception as e:  # noqa: BLE001
+            drift.append(f"{t}: unreadable ({type(e).__name__}: {e})")
+            continue
+        print(f"schema {t:11s} " + ", ".join(f"{c}:{d}" for c, d in dtypes.items()))
+        for col, accepted in SCHEMA_CONTRACT.get(t, {}).items():
+            got = dtypes.get(col)
+            if got is None:
+                drift.append(f"{t}.{col}: MISSING (expected one of {sorted(accepted)})")
+            elif got not in accepted:
+                drift.append(f"{t}.{col}: {got!r} not in accepted {sorted(accepted)}")
+    for d in drift:
+        print(f"SCHEMA DRIFT  {d}")
+    return drift
+
+
 def main() -> int:
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:]]
+    schema_only = "--schema" in args
+    args = [a for a in args if a != "--schema"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
     spark = get_spark("selfcheck")
+    drift = check_schema(spark, sf_dir)
+    if drift:
+        print(f"\n{len(drift)} schema contract violations - fix tables.py loaders first")
+        return 2
+    if schema_only:
+        print("\nschema contract OK")
+        return 0
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
