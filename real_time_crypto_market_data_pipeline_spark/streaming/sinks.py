@@ -287,6 +287,12 @@ def exact_layout_batch_writer(out_dir: str):
     Skips any epoch at or below the ``_last_epoch`` marker (written
     atomically via rename only after every append for that epoch
     landed), so a replayed microbatch does not duplicate lines.
+
+    Driver-side append: each microbatch is collect()ed so a single
+    writer can reproduce the reference's one-file-per-partition layout
+    byte-for-byte (jsonl.py:20-29). This is the FIDELITY sink, not the
+    scale path — use :func:`start_jsonl_sink` (Hive layout, parallel
+    executor writes, exactly-once) for production volumes.
     """
     import os
 
