@@ -156,6 +156,79 @@ def quality_score(
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition filters: duplicate n-gram fractions.
+
+    The standard pretraining-quality signals the simple length/ratio
+    features miss: boilerplate and spam repeat themselves. Per doc:
+
+    - ``dup_unigram_frac`` / ``dup_bigram_frac`` / ``dup_trigram_frac``:
+      1 - distinct/total n-grams (fraction of n-gram slots occupied by
+      repeats);
+    - ``top_unigram_frac``: share of the single most frequent token;
+    - ``repetitive``: the composite gate (Gopher-style thresholds).
+
+    Shape for 100 TB: ONE scan explodes all three n-gram orders tagged
+    with ``n`` (array concat before explode, so no re-scan per order),
+    then two keyed aggregations - (doc, n, gram) counts and (doc, n)
+    rollup - both map-side combined, followed by a conditional-agg
+    pivot. Never the per-doc O(tokens^2) array self-scan a
+    ``transform(filter(...))`` formulation would cost on a 100k-token
+    document.
+    """
+    toks = tokens_col(F.col(text_col))
+
+    def tagged(arr: Column, n: int) -> Column:
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    grams = (
+        spread_for_fanout(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    tagged(toks, 1),
+                    tagged(word_shingles(toks, 2), 2),
+                    tagged(word_shingles(toks, 3), 3),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    per_gram = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top"),
+    )
+
+    def pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    def dup_frac(n: int) -> Column:
+        return F.coalesce(
+            F.lit(1.0)
+            - pick(n, "n_distinct").cast("double") / pick(n, "total").cast("double"),
+            F.lit(0.0),
+        )
+
+    top_uni = F.coalesce(
+        pick(1, "top").cast("double") / pick(1, "total").cast("double"), F.lit(0.0)
+    )
+    return per_n.groupBy("doc_id").agg(
+        pick(1, "total").cast("long").alias("n_tokens"),
+        dup_frac(1).alias("dup_unigram_frac"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+        top_uni.alias("top_unigram_frac"),
+        ((dup_frac(2) > 0.4) | (top_uni > 0.2)).alias("repetitive"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> DataFrame:
     """X4: document fingerprints - whole-text hash + min-shingle hash.
 

@@ -588,6 +588,69 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH tok AS ({_TOKS}),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(0, len(toks) - 2),
+                                        i -> array_to_string(toks[i+1:i+2], ' '))
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM tok
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(0, len(toks) - 3),
+                                        i -> array_to_string(toks[i+1:i+3], ' '))
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM tok
+    ),
+    pg AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
+    pn AS (SELECT doc_id, n, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+           FROM pg GROUP BY doc_id, n),
+    p AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 1 THEN total END) AS t1,
+             MAX(CASE WHEN n = 1 THEN n_distinct END) AS d1,
+             MAX(CASE WHEN n = 1 THEN top END) AS top1,
+             MAX(CASE WHEN n = 2 THEN total END) AS t2,
+             MAX(CASE WHEN n = 2 THEN n_distinct END) AS d2,
+             MAX(CASE WHEN n = 3 THEN total END) AS t3,
+             MAX(CASE WHEN n = 3 THEN n_distinct END) AS d3
+      FROM pn GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(t1 AS BIGINT) AS n_tokens,
+           COALESCE(1.0 - CAST(d1 AS DOUBLE) / CAST(t1 AS DOUBLE), 0.0)
+             AS dup_unigram_frac,
+           COALESCE(1.0 - CAST(d2 AS DOUBLE) / CAST(t2 AS DOUBLE), 0.0)
+             AS dup_bigram_frac,
+           COALESCE(1.0 - CAST(d3 AS DOUBLE) / CAST(t3 AS DOUBLE), 0.0)
+             AS dup_trigram_frac,
+           COALESCE(CAST(top1 AS DOUBLE) / CAST(t1 AS DOUBLE), 0.0)
+             AS top_unigram_frac,
+           (COALESCE(1.0 - CAST(d2 AS DOUBLE) / CAST(t2 AS DOUBLE), 0.0) > 0.4
+            OR COALESCE(CAST(top1 AS DOUBLE) / CAST(t1 AS DOUBLE), 0.0) > 0.2)
+             AS repetitive
+    FROM p
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Gopher/C4-style repetition quality filters.
+
+    Duplicate-n-gram fractions (n=1,2,3) + top-token share + composite
+    ``repetitive`` gate, per document. One explode pass over all three
+    n-gram orders, two map-side-combined shuffles (operators/text.py
+    ``repetition_stats``). The signal the length/ratio features in
+    q_quality_score cannot see: boilerplate repeats itself.
+    """
+    return T.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
     "q_fingerprint",
     oracle=r"""
     WITH t AS (

@@ -338,3 +338,37 @@ def test_lsh_jaccard_size_gate_both_branches(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repetition_stats_hand_values(spark):
+    """Hand-computed Gopher-style fractions on a 3-doc corpus."""
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens, all distinct; bigrams 5 distinct; no repetition
+            (0, "a b c d e f"),
+            # "x x x x": uni total=4 dist=1 top=4; bi total=3 dist=1
+            (1, "x x x x"),
+            # 1 token: no bigrams/trigrams -> fracs coalesce to 0.0
+            (2, "solo"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.asDict() for r in T.repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["dup_unigram_frac"] == 0.0
+    assert got[0]["dup_bigram_frac"] == 0.0
+    assert got[0]["top_unigram_frac"] == pytest.approx(1 / 6)
+    assert got[0]["repetitive"] is False
+
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["dup_unigram_frac"] == pytest.approx(3 / 4)
+    assert got[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert got[1]["dup_trigram_frac"] == pytest.approx(1 / 2)
+    assert got[1]["top_unigram_frac"] == 1.0
+    assert got[1]["repetitive"] is True
+
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[2]["top_unigram_frac"] == 1.0  # 1/1: flagged by top share
+    assert got[2]["repetitive"] is True
