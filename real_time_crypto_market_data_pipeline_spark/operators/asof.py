@@ -99,7 +99,9 @@ def banded_interval_count(
     """
     from pyspark.sql import functions as F
 
-    band = lambda c: (F.col(c) / range_ms).cast("long")  # noqa: E731
+    # integer floor-div: float division is only double-exact below 2^53
+    # and truncates (not floors) for negative timestamps
+    band = lambda c: F.expr(f"`{c}` DIV {range_ms}")  # noqa: E731
     probes = left.withColumn(
         "_band", F.explode(F.array(band(left_ts) - 1, band(left_ts)))
     )
