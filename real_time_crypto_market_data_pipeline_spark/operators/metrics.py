@@ -316,6 +316,92 @@ def snapshot(
     return joined.withColumns(fills).orderBy(*keys)
 
 
+def rollup_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    ts_ms_col: str,
+    grain_ms: int,
+    scale: int = 100,
+    sum_dtype: str = "long",
+) -> DataFrame:
+    """Mergeable partial aggregates per (keys, time bucket) - the
+    continuous-aggregate / hypertable-rollup storage unit.
+
+    Per bucket of ``grain_ms``: (n, s, ss, mn, mx) where s/ss are EXACT
+    integer sums on the ``scale`` grid (same accumulator discipline as
+    :func:`grouped_stats_exact`). Because integer sums are associative
+    and exact under any merge order, stored fine-grain partials answer
+    ANY coarser grain via :func:`merge_rollup` without rescanning raw
+    data - at 100 TB the daily report costs O(hour-buckets), not
+    O(corpus), the same trade the HLL sketch rollup makes for distincts
+    (operators/sketches.py) but for mean/std/min/max. One map-side
+    combined shuffle; bucket via integer DIV (never float on epoch ms).
+    """
+    v = F.col(value_col)
+    quantized = F.round(v * F.lit(scale)) if scale != 1 else v
+    xi = quantized.cast(sum_dtype)
+    bucket = F.expr(f"`{ts_ms_col}` DIV {grain_ms}")
+    return df.groupBy(*keys, bucket.alias("bucket")).agg(
+        F.count(v).cast("long").alias("n"),
+        F.sum(xi).alias("s"),
+        F.sum(xi * xi).alias("ss"),
+        F.min(v).cast("double").alias("mn"),
+        F.max(v).cast("double").alias("mx"),
+    )
+
+
+def merge_rollup(
+    partials: DataFrame,
+    keys: Sequence[str],
+    coarse_factor: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Answer a coarser grain from stored :func:`rollup_partials`.
+
+    bucket DIV ``coarse_factor`` regroups fine buckets (e.g. 24 hour
+    buckets -> 1 day bucket); counts/sums add, min/max take min/max,
+    and mean/std finalize from the merged integer sums - bit-identical
+    to computing :func:`grouped_stats_exact` directly on the raw rows
+    (the losslessness is oracle-checked in q_rollup_merge). The input
+    is |buckets| rows, so the merge shuffles kilobytes per key
+    regardless of raw volume.
+    """
+    merged = partials.groupBy(
+        *keys, F.expr(f"bucket DIV {coarse_factor}").alias("bucket")
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("val_min"),
+        F.max("mx").alias("val_max"),
+    )
+    n = F.col("n")
+    inv_scale = F.lit(float(scale))
+    # finalize in DECIMAL: n*ss and s*s can exceed 63 bits even when
+    # the sums fit (same promotion rule as grouped_stats_exact)
+    sd = F.col("s").cast("decimal(38,0)")
+    ssd = F.col("ss").cast("decimal(38,0)")
+    mean = F.when(
+        n > 0, (sd.cast("double") / n.cast("double")) / inv_scale
+    ).otherwise(F.lit(0.0))
+    var_num = n.cast("decimal(38,0)") * ssd - sd * sd
+    std = F.when(
+        n > 1,
+        F.sqrt(var_num.cast("double") / (n * (n - F.lit(1))).cast("double"))
+        / inv_scale,
+    ).otherwise(F.lit(0.0))
+    return merged.select(
+        *keys,
+        "bucket",
+        n.alias("val_count"),
+        mean.alias("val_mean"),
+        std.alias("val_std"),
+        F.coalesce(F.col("val_min"), F.lit(0.0)).alias("val_min"),
+        F.coalesce(F.col("val_max"), F.lit(0.0)).alias("val_max"),
+    )
+
+
 def having_gate(
     df: DataFrame, keys: Sequence[str], min_samples: int = 20
 ) -> DataFrame:

@@ -369,3 +369,58 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt").cast("double")
         ).alias("twap"),
     )
+
+
+@query(
+    "q_rollup_merge",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, epoch_ms(ts) // 86400000 AS bucket,
+             CAST(ROUND(value * 100) AS HUGEINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, bucket,
+             CAST(COUNT(cents) AS BIGINT) AS n,
+             SUM(cents) AS s, SUM(cents * cents) AS ss,
+             COALESCE(CAST(MIN(value) AS DOUBLE), 0.0) AS val_min,
+             COALESCE(CAST(MAX(value) AS DOUBLE), 0.0) AS val_max
+      FROM c GROUP BY event_type, bucket
+    )
+    SELECT event_type, bucket, n AS val_count,
+           CASE WHEN n > 0
+                THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+                ELSE 0.0 END AS val_mean,
+           CASE WHEN n > 1
+                THEN SQRT(CAST(n * ss - s * s AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)) / 100.0
+                ELSE 0.0 END AS val_std,
+           val_min, val_max
+    FROM g
+    """,
+)
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour partials -> day stats.
+
+    ``metrics.rollup_partials`` stores exact-integer-sum partial
+    aggregates per (event_type, hour); ``metrics.merge_rollup``
+    answers the day grain by merging 24 hour-buckets per day - WITHOUT
+    rescanning raw rows. The oracle computes the day stats directly
+    from raw events, so a driver match proves the rollup is lossless:
+    stored fine-grain partials can serve any coarser report. At 100 TB
+    this is the materialized-rollup pattern (TimescaleDB continuous
+    aggregates / Druid rollup): the daily query costs O(hour-buckets)
+    instead of O(corpus), and the integer accumulators make the merge
+    exact under any order - the same re-aggregability contract the HLL
+    sketch rollup (q_sketch_distinct) provides for distinct counts.
+    """
+    from ..operators import metrics as M
+
+    partials = M.rollup_partials(
+        _events(spark, sf_dir),
+        ["event_type"],
+        "value",
+        "ms",
+        grain_ms=3_600_000,
+    )
+    return M.merge_rollup(partials, ["event_type"], coarse_factor=24)

@@ -637,6 +637,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS repetitive
     FROM p
     """,
+    bench="extra",
 )
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: Gopher/C4-style repetition quality filters.

@@ -187,3 +187,38 @@ def test_asof_join_semantics(spark):
     assert out[2] == 98.0  # latest of the two earlier quotes
     assert out[3] is None  # no quote at-or-before ms=50
     assert out[4] is None  # B's only quote is later; A's quotes invisible
+
+
+def test_rollup_merge_is_lossless(spark):
+    """Hour partials merged to day == day stats computed from raw rows."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators.metrics import (
+        grouped_stats_exact,
+        merge_rollup,
+        rollup_partials,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    via_partials = merge_rollup(
+        rollup_partials(ev, ["event_type"], "value", "ms", grain_ms=3_600_000),
+        ["event_type"],
+        coarse_factor=24,
+    )
+    direct = grouped_stats_exact(
+        ev.withColumn("bucket", F.expr("ms DIV 86400000")),
+        ["event_type", "bucket"],
+        "value",
+        prefix="val_",
+        scale=100,
+        sum_dtype="long",
+    )
+    a = {tuple(r[:2]): tuple(r[2:]) for r in via_partials.collect()}
+    b = {
+        (r["event_type"], r["bucket"]): (
+            r["val_count"], r["val_mean"], r["val_std"], r["val_min"], r["val_max"]
+        )
+        for r in direct.collect()
+    }
+    assert a == b  # bit-identical, not approx: integer sums merge exactly
