@@ -455,3 +455,135 @@ def start_merge_upsert_sink(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def rollup_merge_batch(
+    spark,
+    batch_partials: DataFrame,
+    target_dir: str,
+    keys: list[str],
+) -> None:
+    """Additively merge one batch of rollup partials into the stored
+    partials table, rewriting only the touched time-bucket partitions.
+
+    The incremental half of the continuous-aggregate story
+    (operators/metrics.rollup_partials): the target lives as parquet
+    partitioned by the time ``bucket`` - the hypertable chunk layout -
+    and a streaming microbatch merges by SUMMING integer partials
+    (n/s/ss add, min/max fold), so the stored state stays exactly
+    equal to a from-scratch rollup of everything ingested. A stream
+    arrives roughly time-ordered, so each batch touches one or two
+    hour partitions; work per batch is O(touched buckets), never
+    O(history).
+    """
+    import os
+
+    affected = [
+        r.bucket for r in batch_partials.select("bucket").distinct().collect()
+    ]
+    if not affected:
+        return
+    existing = [
+        f"{target_dir}/bucket={b}"
+        for b in affected
+        if os.path.isdir(f"{target_dir}/bucket={b}")
+    ]
+    merged = batch_partials
+    if existing:
+        current = (
+            spark.read.option("basePath", target_dir)
+            .parquet(*existing)
+            # partition-dir inference narrows bucket to int; realign
+            .withColumn("bucket", F.col("bucket").cast("long"))
+            .select(*batch_partials.columns)
+        )
+        merged = (
+            current.unionByName(batch_partials)
+            .groupBy(*keys, "bucket")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s").alias("s"),
+                F.sum("ss").alias("ss"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+    # the write overwrites partitions the plan also reads; cut lineage
+    merged = merged.localCheckpoint()
+    (
+        merged.repartition("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(target_dir)
+    )
+
+
+def start_rollup_sink(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    ts_ms_col: str,
+    grain_ms: int = 3_600_000,
+    scale: int = 100,
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """Streaming continuous aggregate: foreachBatch additive rollup merge.
+
+    Each microbatch is reduced to (keys, bucket) integer partials and
+    merged into the stored partials table; coarse reports read the
+    partials via ``read_rollup`` without ever rescanning raw events.
+    Additive merge is not naturally idempotent, so replayed epochs are
+    skipped via a ``_last_epoch`` marker renamed into place only after
+    the merge landed (same recovery discipline as the exact-layout
+    JSONL sink; a crash between write and rename can replay one epoch
+    - on Delta/Iceberg the marker becomes the transaction log).
+    """
+    import os
+
+    from ..operators.metrics import rollup_partials
+
+    marker = os.path.join(target_dir, "_last_epoch")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            with open(marker, encoding="utf-8") as f:
+                if epoch_id <= int(f.read().strip()):
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        bp = rollup_partials(
+            batch_df, keys, value_col, ts_ms_col, grain_ms, scale=scale
+        )
+        rollup_merge_batch(batch_df.sparkSession, bp, target_dir, keys)
+        os.makedirs(target_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, marker)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def read_rollup(
+    spark,
+    target_dir: str,
+    keys: list[str],
+    coarse_factor: int = 1,
+    scale: int = 100,
+) -> DataFrame:
+    """Answer a coarse-grain report from the stored streaming partials."""
+    from ..operators.metrics import merge_rollup
+
+    partials = spark.read.parquet(target_dir).withColumn(
+        "bucket", F.col("bucket").cast("long")
+    )
+    return merge_rollup(partials, keys, coarse_factor, scale=scale)

@@ -748,3 +748,72 @@ def test_streaming_merge_upsert_sink(spark, tmp_path):
         q.stop()
     final = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert final == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_streaming_rollup_sink_incremental_and_lossless(spark, tmp_path):
+    """The continuous-aggregate sink: two microbatches of events merge
+    additively into stored hour partials, and the day-grain read equals
+    a from-scratch exact rollup of everything ingested."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from real_time_crypto_market_data_pipeline_spark.operators.metrics import (
+        grouped_stats_exact,
+    )
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        read_rollup,
+        start_rollup_sink,
+    )
+
+    src_dir = str(tmp_path / "events_src")
+    os.makedirs(src_dir)
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ms", LongType()),
+        ]
+    )
+    hour = 3_600_000
+    batch1 = [("a", 1.25, 0 * hour), ("a", 2.75, 1 * hour), ("b", 10.0, 2 * hour)]
+    batch2 = [("a", 4.00, 1 * hour + 60_000), ("b", 20.0, 30 * hour)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    target = str(tmp_path / "partials")
+    q = start_rollup_sink(
+        stream, target, str(tmp_path / "ckpt_rollup"),
+        keys=["event_type"], value_col="value", ts_ms_col="ms",
+        grain_ms=hour,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["val_count"], r["val_mean"], r["val_std"], r["val_min"], r["val_max"]
+        )
+        for r in read_rollup(
+            spark, target, keys=["event_type"], coarse_factor=24
+        ).collect()
+    }
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        (r["event_type"], r["bucket"]): (
+            r["val_count"], r["val_mean"], r["val_std"], r["val_min"], r["val_max"]
+        )
+        for r in grouped_stats_exact(
+            all_rows.withColumn("bucket", F.expr("ms DIV 86400000")),
+            ["event_type", "bucket"], "value", prefix="val_",
+            scale=100, sum_dtype="long",
+        ).collect()
+    }
+    assert got == want  # bit-identical: integer partials merge exactly
+    # partials are stored per hour bucket (hypertable chunks)
+    stored = spark.read.parquet(target)
+    assert {r.bucket for r in stored.select("bucket").collect()} == {0, 1, 2, 30}
