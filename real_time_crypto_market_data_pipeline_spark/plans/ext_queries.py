@@ -493,6 +493,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
 
 
+@query(
+    "q_ann_ivf_kmeans",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qe')} AS cosine
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: k-means-trained IVF at full probe width.
+
+    The MLlib training pass is not SQL-expressible, but at
+    n_probe == num_cells the probed cells cover the whole corpus, so
+    the result equals exact brute-force top-k FOR ANY trained model -
+    the oracle checks that invariant (and with it the whole
+    normalize -> train -> assign -> probe -> score plumbing), while
+    tests/test_similarity.py pins partial-probe recall, which is the
+    part training quality actually affects.
+    """
+    return S.ivf_kmeans_topk(
+        load(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        num_cells=8,
+        n_probe=8,
+    )
+
+
 # ---------------------------------------------------------------- X4 (token stats)
 @query(
     "q_token_stats",

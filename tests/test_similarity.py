@@ -125,3 +125,34 @@ def test_highdim_fold_and_arrow_paths_agree(spark):
     assert [r.vec_id for r in fold] == [r.vec_id for r in base]
     for f, a in zip(fold, arrow):
         assert abs(f.cosine - a.cosine) < 1e-9
+
+
+def test_ivf_kmeans_full_probe_equals_exact(spark):
+    """n_probe == num_cells covers the corpus: identical to brute force
+    for ANY trained model (the driver-oracle invariant)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = S.cosine_topk(emb, query_vec_id=0, k=10).collect()
+    full = S.ivf_kmeans_topk(
+        emb, query_vec_id=0, k=10, num_cells=8, n_probe=8
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+
+
+def test_ivf_kmeans_partial_probe_recall(spark):
+    """Partial probing trades recall for scan fraction; with cosine-led
+    cell selection, 3 of 8 cells must recover most of the true top-10,
+    and every returned pair carries the exact cosine value."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {r.vec_id: r.cosine for r in S.cosine_topk(emb, 0, k=10).collect()}
+    part = {
+        r.vec_id: r.cosine
+        for r in S.ivf_kmeans_topk(
+            emb, query_vec_id=0, k=10, num_cells=8, n_probe=3
+        ).collect()
+    }
+    hits = set(part) & set(exact)
+    assert len(hits) >= 5  # recall@10 >= 0.5 with 3/8 of the corpus scanned
+    for v in hits:
+        assert part[v] == exact[v]  # scores are exact, only the candidate set shrinks
