@@ -316,6 +316,62 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = 64,
+    num_buckets: int = 16,
+    len_col: str = "chunk_len",
+) -> DataFrame:
+    """Pack chunks into fixed-token-budget training sequences (bins).
+
+    The batching step between chunking and training: concatenate chunks
+    until a sequence budget fills, start the next bin. True first-fit
+    is inherently sequential, so the distributed form hashes chunks
+    into ``num_buckets`` independent packing streams (packing
+    parallelizes; a single global running sum would serialize the
+    corpus) and streams each bucket in deterministic (doc_id, chunk_id)
+    order: ``bin = cum_tokens_before DIV budget``. A bin can overflow
+    by at most one boundary-crossing chunk - the standard streaming
+    approximation. The bucket hash is md5-derived (engine-portable,
+    like corpus_split), so the assignment is reproducible everywhere.
+
+    One exchange on ``bucket`` serves the only window; at 100 TB pick
+    num_buckets ~ cluster parallelism and each stream stays in one
+    task's sort buffer.
+    """
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % num_buckets
+    ).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn("bucket", bucket)
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum(len_col).over(w), F.lit(0).cast("bigint")),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col(len_col).cast("long").alias(len_col),
+            "bucket",
+            F.expr(f"cum_before DIV {budget_tokens}").cast("long").alias("bin"),
+        )
+    )
+
+
 def corpus_split(
     docs: DataFrame,
     text_col: str = "text",

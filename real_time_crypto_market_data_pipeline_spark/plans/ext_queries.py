@@ -860,10 +860,10 @@ def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_jaccard_dedup(load(spark, sf_dir, "documents"), min_jaccard=0.5)
 
 
-@query(
-    "q_chunk_documents",
-    oracle=f"""
-    WITH tok AS ({_TOKS}),
+# DuckDB replay of chunk_documents (32-token chunks, stride 24),
+# shared by the chunking and packing oracles.
+_CHUNKS_CTE = f"""
+    tok AS ({_TOKS}),
     sized AS (
       SELECT doc_id, toks, len(toks) AS n,
              CAST(floor(CAST(greatest(len(toks) - 32, 0) AS DOUBLE) / 24) AS INTEGER) + 1 AS n_chunks
@@ -873,6 +873,13 @@ def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, toks, CAST(cid AS INTEGER) AS chunk_id
       FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS c(cid)
     )
+"""
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH {_CHUNKS_CTE}
     SELECT doc_id, chunk_id,
            array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
            CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS chunk_len
@@ -882,6 +889,52 @@ def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: 32-token windows, 8-token overlap."""
     return T.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH {_CHUNKS_CTE},
+    ch AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+               AS chunk_len
+      FROM expl
+    ),
+    b AS (
+      SELECT doc_id, chunk_id, chunk_len,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(chunk_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                  % 16 AS INTEGER) AS bucket
+      FROM ch
+    ),
+    c AS (
+      SELECT doc_id, chunk_id, chunk_len, bucket,
+             COALESCE(SUM(chunk_len) OVER (
+               PARTITION BY bucket ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM b
+    )
+    SELECT doc_id, chunk_id, chunk_len, bucket,
+           CAST(cum_before // 64 AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: sequence packing - chunks -> fixed-token-budget bins.
+
+    chunk_documents output packed by text.pack_sequences (bucketed
+    streaming fill, md5 bucket hash, 64-token budget) - the step that
+    turns a chunked corpus into training sequences. The oracle replays
+    the same chunking + bucket hash + window cumsum in SQL, value-
+    checking every chunk's bin assignment.
+    """
+    return T.pack_sequences(
+        T.chunk_documents(load(spark, sf_dir, "documents")),
+        budget_tokens=64,
+        num_buckets=16,
+    )
 
 
 @query(

@@ -372,3 +372,35 @@ def test_repetition_stats_hand_values(spark):
     assert got[2]["dup_trigram_frac"] == 0.0
     assert got[2]["top_unigram_frac"] == 1.0  # 1/1: flagged by top share
     assert got[2]["repetitive"] is True
+
+
+def test_pack_sequences_budget_and_order(spark):
+    """Within each bucket stream, bins fill in (doc_id, chunk_id) order
+    and only the boundary-crossing chunk may overflow the budget."""
+    chunks = spark.createDataFrame(
+        [(d, c, 30) for d in range(4) for c in range(5)],
+        "doc_id LONG, chunk_id INT, chunk_len LONG",
+    )
+    packed = T.pack_sequences(chunks, budget_tokens=64, num_buckets=2)
+    rows = packed.collect()
+    assert len(rows) == 20
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id, r.chunk_id)):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rs in by_bucket.values():
+        cum = 0
+        for r in rs:
+            assert r.bin == cum // 64  # streaming-fill rule, exact
+            cum += r.chunk_len
+        # bin totals: every bin holds >= 2 chunks of 30 (64-budget), so
+        # a full bin is 60-90 tokens: budget + at most one extra chunk
+        fills = {}
+        for r in rs:
+            fills[r.bin] = fills.get(r.bin, 0) + r.chunk_len
+        for b, tot in fills.items():
+            if b < max(fills):  # last bin may be partial
+                assert tot < 64 + 30
+    # deterministic: same input -> same assignment
+    again = {(r.doc_id, r.chunk_id): r.bin for r in T.pack_sequences(
+        chunks, budget_tokens=64, num_buckets=2).collect()}
+    assert again == {(r.doc_id, r.chunk_id): r.bin for r in rows}
