@@ -221,3 +221,46 @@ def test_pit_read_single_shuffle(spark):
     plan = physical(QUERIES["q_pit_read"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_repetition_stats_single_exchange_partial_agg(spark):
+    """One explode pass over all three n-gram orders and ONE exchange
+    total: the doc_id fan-out repartition satisfies ClusteredDistribution
+    for BOTH the (doc,n,gram) count and the (doc) pivot (doc_id is a
+    subset of each grouping key), so neither agg re-shuffles - never a
+    per-order rescan or a per-doc array self-scan."""
+    plan = physical(QUERIES["q_repetition_stats"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine within the stage
+    assert plan.count("FileScan parquet") == 1  # one scan feeds all orders
+
+
+def test_pack_sequences_single_exchange(spark):
+    """The bucket window is the only exchange; bin assignment is a
+    projection over the running sum."""
+    plan = physical(QUERIES["q_pack_sequences"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_rollup_merge_two_aggs_share_grain_lineage(spark):
+    """Partials agg + merge agg, both map-side combined; the merge
+    input is the partials output, never a second raw scan."""
+    plan = physical(QUERIES["q_rollup_merge"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2  # partials + merge
+    assert "partial_sum" in plan
+
+
+def test_ivf_kmeans_probe_no_corpus_shuffle(spark):
+    """The probe scan filters on cell membership and broadcasts the
+    one-row query; the scored corpus side never hash-shuffles (top-k
+    is TakeOrdered, assignment rides a broadcast join)."""
+    from real_time_crypto_market_data_pipeline_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical(ivf_kmeans_topk(emb, 0, k=5, num_cells=4, n_probe=2))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

@@ -43,6 +43,10 @@ COMMENTARY = {
     "q_profile_columns": "Whole-table profile in one pass: 5 exact COUNT(DISTINCT)s + null/min/max metrics compile to a single Expand-based aggregate over ONE FileScan - not the per-column scan union a naive profiler runs.",
     "q_cosine_topk_arrow_highdim": "1024-dim scoring escape hatch: one BLAS matmul per Arrow batch inside mapInPandas replaces a 1024-step Catalyst fold per row (measured 1.9x at sf0.1, growing with corpus); top-k stays TakeOrderedAndProject.",
     "q_pit_read": "AS OF read of the SCD2 history: the version-window build and the max_by(version <= T) aggregate share the o_custkey partitioning - one exchange end to end; the history scan is the whole cost, which is the point of materializing SCD2.",
+    "q_repetition_stats": "Gopher-style repetition filters: ONE scan explodes all three n-gram orders tagged with n, and the doc_id fan-out repartition satisfies ClusteredDistribution for both the (doc,n,gram) count and the (doc) pivot - one exchange total, no per-doc O(tokens^2) array self-scan.",
+    "q_rollup_merge": "Continuous aggregate: hour partials (integer sums) re-group to day buckets and finalize mean/std - the merge agg consumes |buckets| rows, so the day report is O(hour-buckets) while staying bit-identical to a raw-rows rollup.",
+    "q_pack_sequences": "Sequence packing: chunking is pure projection+explode on the scan; the md5 bucket hash feeds the ONLY exchange, whose window running-sum assigns bins as a projection - |buckets| independent packing streams, no global serialization point.",
+    "q_ann_ivf_kmeans": "k-means IVF probe: cell membership filters the corpus scan, the one-row query broadcasts, scoring stays in the scan stage and top-k is TakeOrderedAndProject - at scale the assignment table is partitioned by cell_id so the probe is a partition-pruned scan of n_probe/C of the corpus.",
 }
 
 
