@@ -50,9 +50,9 @@ _PRIORITY = [
     "q_corpus_split", "q_scrub_text", "q_quality_score",
     "q_media_features", "q_media_summary", "q_ann_lsh_buckets",
     "q_repetition_stats", "q_rollup_merge", "q_ann_ivf_kmeans",
-    "q_pack_sequences",
+    "q_pack_sequences", "q_ohlc_rollup",
     # --- 3: green anchors, one per family ---
-    "q_percentiles", "q_grouped_stats", "q_tpch_q9",
+    "q_percentiles", "q_grouped_stats",
     "q_tpch_q21", "q_merge_upsert",
     # --- 4: no-oracle twins (rows-only check) ---
     "q_cosine_topk_arrow_highdim", "q_cosine_topk_fold_highdim",

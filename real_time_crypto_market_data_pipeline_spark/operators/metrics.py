@@ -402,6 +402,72 @@ def merge_rollup(
     )
 
 
+def ohlc_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    ts_ms_col: str,
+    tiebreak_col: str,
+    grain_ms: int,
+) -> DataFrame:
+    """Mergeable OHLC candle partials per (keys, time bucket).
+
+    open/close are NOT plain aggregates - they are positional picks
+    over the (ts, tiebreak) order - but they become mergeable by
+    storing the argmin/argmax RECORD: ``min(struct(ms, tiebreak,
+    value))`` is the earliest tick (lexicographic struct ordering,
+    deterministic because (ms, tiebreak) is a total order), ``max`` the
+    latest. Struct min/max merge associatively exactly like integer
+    sums, so hourly candle partials roll up to daily/weekly candles
+    with :func:`merge_ohlc` - the same continuous-aggregate contract
+    as :func:`rollup_partials`, extended to order statistics.
+    """
+    bucket = F.expr(f"`{ts_ms_col}` DIV {grain_ms}")
+    tick = F.struct(
+        F.col(ts_ms_col).alias("ms"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).alias("v"),
+    )
+    v = F.col(value_col)
+    return df.groupBy(*keys, bucket.alias("bucket")).agg(
+        F.min(tick).alias("o"),
+        F.max(tick).alias("c"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+    )
+
+
+def merge_ohlc(
+    partials: DataFrame, keys: Sequence[str], coarse_factor: int
+) -> DataFrame:
+    """Merge fine-grain OHLC partials to a coarser candle grain.
+
+    min/max of the argmin/argmax structs pick the earliest/latest tick
+    across the merged buckets - bit-identical to computing the coarse
+    candles from raw rows (oracle-checked in q_ohlc_rollup), at
+    O(buckets) cost.
+    """
+    merged = partials.groupBy(
+        *keys, F.expr(f"bucket DIV {coarse_factor}").alias("bucket")
+    ).agg(
+        F.min("o").alias("o"),
+        F.max("c").alias("c"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_ticks").cast("long").alias("n_ticks"),
+    )
+    return merged.select(
+        *keys,
+        "bucket",
+        F.col("o.v").alias("open"),
+        "high",
+        "low",
+        F.col("c.v").alias("close"),
+        "n_ticks",
+    )
+
+
 def having_gate(
     df: DataFrame, keys: Sequence[str], min_samples: int = 20
 ) -> DataFrame:

@@ -1425,6 +1425,55 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ohlc_rollup",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value, epoch_ms(ts) AS ms, event_id,
+             epoch_ms(ts) // 86400000 AS bucket
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, bucket, value,
+             FIRST_VALUE(value) OVER w AS open_v,
+             LAST_VALUE(value) OVER w AS close_v
+      FROM d
+      WINDOW w AS (PARTITION BY event_type, bucket ORDER BY ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket,
+           MIN(open_v) AS open, MAX(value) AS high, MIN(value) AS low,
+           MIN(close_v) AS close, CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain candles from mergeable partials: hour -> day.
+
+    q_ohlc_bars computes candles with a full-partition window; this
+    query computes HOURLY candle partials instead (open/close stored
+    as argmin/argmax tick structs - metrics.ohlc_partials) and merges
+    24 of them per day (metrics.merge_ohlc). The oracle computes the
+    day candles directly from raw ticks, so a match proves order
+    statistics roll up losslessly - the continuous-aggregate contract
+    (q_rollup_merge) extended from sums to positional open/close. At
+    100 TB the stored hourly candles serve every coarser chart without
+    touching tick data again.
+    """
+    from ..operators import metrics as M
+
+    partials = M.ohlc_partials(
+        load_events(spark, sf_dir),
+        ["event_type"],
+        value_col="value",
+        ts_ms_col="ms",
+        tiebreak_col="event_id",
+        grain_ms=3_600_000,
+    )
+    return M.merge_ohlc(partials, ["event_type"], coarse_factor=24)
+
+
+@query(
     "q_salted_stats",
     oracle="""
     WITH c AS (

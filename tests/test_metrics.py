@@ -222,3 +222,50 @@ def test_rollup_merge_is_lossless(spark):
         for r in direct.collect()
     }
     assert a == b  # bit-identical, not approx: integer sums merge exactly
+
+
+def test_ohlc_rollup_associative_and_lossless(spark):
+    """hour -> day candles == direct day candles, and the merge is
+    associative: hour -> 6h -> day gives the identical result."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators.metrics import (
+        merge_ohlc,
+        ohlc_partials,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    hourly = ohlc_partials(
+        ev, ["event_type"], "value", "ms", "event_id", grain_ms=3_600_000
+    )
+    day_direct = {
+        tuple(r[:2]): tuple(r[2:])
+        for r in merge_ohlc(
+            ohlc_partials(
+                ev, ["event_type"], "value", "ms", "event_id", grain_ms=86_400_000
+            ),
+            ["event_type"],
+            coarse_factor=1,
+        ).collect()
+    }
+    via_hours = {
+        tuple(r[:2]): tuple(r[2:])
+        for r in merge_ohlc(hourly, ["event_type"], coarse_factor=24).collect()
+    }
+    # two-step merge: 6-hour intermediate candlesticks, then day.
+    # merge_ohlc re-derives open/close from the argmin/argmax structs it
+    # groups, so chain ohlc_partials-shaped frames: regroup the partials
+    six = hourly.groupBy(
+        "event_type", F.expr("bucket DIV 6").alias("bucket")
+    ).agg(
+        F.min("o").alias("o"), F.max("c").alias("c"),
+        F.max("high").alias("high"), F.min("low").alias("low"),
+        F.sum("n_ticks").cast("long").alias("n_ticks"),
+    )
+    via_six = {
+        tuple(r[:2]): tuple(r[2:])
+        for r in merge_ohlc(six, ["event_type"], coarse_factor=4).collect()
+    }
+    assert via_hours == day_direct
+    assert via_six == day_direct
