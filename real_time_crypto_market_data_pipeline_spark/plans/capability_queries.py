@@ -398,6 +398,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
            val_min, val_max
     FROM g
     """,
+    bench="extra",
 )
 def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: hour partials -> day stats.

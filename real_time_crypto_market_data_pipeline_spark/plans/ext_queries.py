@@ -920,6 +920,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cum_before // 64 AS BIGINT) AS bin
     FROM c
     """,
+    bench="extra",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: sequence packing - chunks -> fixed-token-budget bins.

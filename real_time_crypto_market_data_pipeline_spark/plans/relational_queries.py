@@ -1446,6 +1446,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(close_v) AS close, CAST(COUNT(*) AS BIGINT) AS n_ticks
     FROM r GROUP BY event_type, bucket
     """,
+    bench="extra",
 )
 def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain candles from mergeable partials: hour -> day.
