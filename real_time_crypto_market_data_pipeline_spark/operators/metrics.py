@@ -287,33 +287,85 @@ def snapshot(
     the A6 lag-diff), all-0.0 for missing sides, ordered by key
     (``rolling.py:147-212``; sorted keys at ``rolling.py:152``).
 
-    Both stat sides use :func:`grouped_stats_exact` (integer partial
-    sums; ``value_scale`` is the value column's decimal grid, 100 =
-    cents) so the snapshot is bit-reproducible across runs and engines
-    - double accumulation made the flagship's hash a coin flip when
-    group means of 2-decimal values landed exactly on canonicalization
-    boundaries. ``value_sum_dtype`` defaults to primitive longs (cents
-    of a price-scale domain fit 63 bits past 1e8 rows/group); callers
-    whose value domain is NOT provably bounded - e.g. the streaming
-    sink, where latency = wall-clock receive minus a replayed exchange
+    Both stat families use exact integer partial sums (``value_scale``
+    is the value column's decimal grid, 100 = cents) so the snapshot is
+    bit-reproducible across runs and engines - double accumulation made
+    the flagship's hash a coin flip when group means of 2-decimal
+    values landed exactly on canonicalization boundaries.
+    ``value_sum_dtype`` defaults to primitive longs (cents of a
+    price-scale domain fit 63 bits past 1e8 rows/group); callers whose
+    value domain is NOT provably bounded - e.g. the streaming sink,
+    where latency = wall-clock receive minus a replayed exchange
     timestamp and grows without bound - must pass "decimal(38,0)".
     The staleness side always keeps DECIMAL accumulators because a
     single outlier gap squares to ~2^61 and three of them overflow a
     long sum.
+
+    Plan shape: ONE pass. The lag is computed with first-per-key rows
+    KEPT (null stale_ms), so both stat families aggregate from the
+    same windowed frame - one scan, one exchange+sort (the window; the
+    grouped agg reuses its key partitioning), no full-outer join of
+    two stat frames. ``count(stale_ms)`` skipping nulls reproduces the
+    first-row suppression (rolling.py:87); the 0.0 fallbacks come from
+    the finalizers instead of join-side fills. Halves the scans of the
+    previous two-sided form - at 100 TB the saved scan dominates.
     """
-    lat = grouped_stats_exact(
-        df, keys, value_col, prefix="lat_", scale=value_scale,
-        sum_dtype=value_sum_dtype,
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_ms_col), F.col(tiebreak_col))
+    d = df.withColumn(
+        "_stale_ms",
+        (F.col(ts_ms_col) - F.lag(ts_ms_col).over(w)).cast("long"),
     )
-    stale_src = lag_diff(df, keys, ts_ms_col, tiebreak_col, out_col="stale_ms")
-    stale = grouped_stats_exact(stale_src, keys, "stale_ms", prefix="stale_")
-    joined = lat.join(stale, on=list(keys), how="full_outer")
-    fills = {}
-    for p in ("lat_", "stale_"):
-        fills[f"{p}count"] = F.coalesce(F.col(f"{p}count"), F.lit(0)).cast("long")
-        for s in ("mean", "std", "min", "max"):
-            fills[f"{p}{s}"] = F.coalesce(F.col(f"{p}{s}"), F.lit(0.0))
-    return joined.withColumns(fills).orderBy(*keys)
+    v = F.col(value_col)
+    vq = (F.round(v * F.lit(value_scale)) if value_scale != 1 else v).cast(
+        value_sum_dtype
+    )
+    st = F.col("_stale_ms").cast("decimal(38,0)")
+    agg = d.groupBy(*keys).agg(
+        F.count(v).cast("long").alias("lat_count"),
+        F.sum(vq).alias("_s_lat"),
+        F.sum(vq * vq).alias("_ss_lat"),
+        F.coalesce(F.min(v).cast("double"), F.lit(0.0)).alias("lat_min"),
+        F.coalesce(F.max(v).cast("double"), F.lit(0.0)).alias("lat_max"),
+        F.count("_stale_ms").cast("long").alias("stale_count"),
+        F.sum(st).alias("_s_st"),
+        F.sum(st * st).alias("_ss_st"),
+        F.coalesce(F.min("_stale_ms").cast("double"), F.lit(0.0)).alias("stale_min"),
+        F.coalesce(F.max("_stale_ms").cast("double"), F.lit(0.0)).alias("stale_max"),
+    )
+
+    def _finalize(n_col: str, s_col: str, ss_col: str, inv_scale: float):
+        n = F.col(n_col)
+        sd = F.col(s_col).cast("decimal(38,0)")
+        ssd = F.col(ss_col).cast("decimal(38,0)")
+        mean = F.when(
+            n > 0, (sd.cast("double") / n.cast("double")) / F.lit(inv_scale)
+        ).otherwise(F.lit(0.0))
+        var_num = n.cast("decimal(38,0)") * ssd - sd * sd
+        std = F.when(
+            n > 1,
+            F.sqrt(var_num.cast("double") / (n * (n - F.lit(1))).cast("double"))
+            / F.lit(inv_scale),
+        ).otherwise(F.lit(0.0))
+        return mean, std
+
+    lat_mean, lat_std = _finalize("lat_count", "_s_lat", "_ss_lat", float(value_scale))
+    stale_mean, stale_std = _finalize("stale_count", "_s_st", "_ss_st", 1.0)
+    return (
+        agg.withColumns(
+            {
+                "lat_mean": lat_mean,
+                "lat_std": lat_std,
+                "stale_mean": stale_mean,
+                "stale_std": stale_std,
+            }
+        )
+        .select(
+            *keys,
+            "lat_count", "lat_mean", "lat_std", "lat_min", "lat_max",
+            "stale_count", "stale_mean", "stale_std", "stale_min", "stale_max",
+        )
+        .orderBy(*keys)
+    )
 
 
 def rollup_partials(

@@ -264,3 +264,14 @@ def test_ivf_kmeans_probe_no_corpus_shuffle(spark):
     plan = physical(ivf_kmeans_topk(emb, 0, k=5, num_cells=4, n_probe=2))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_csv_snapshot_fused_single_pass(spark):
+    """The flagship snapshot is one scan, one hash exchange, no join:
+    both stat families aggregate from the same lag-windowed frame."""
+    df = QUERIES["q_csv_snapshot"](spark, SF)
+    df.collect()  # let AQE finalize
+    plan = physical(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

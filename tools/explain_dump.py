@@ -24,7 +24,7 @@ COMMENTARY = {
     "q_topk_per_group": "WindowGroupLimit runs partial top-k per input partition BEFORE the shuffle, then final after - the rank-limit pushdown.",
     "q_cosine_topk": "One-row query side broadcast (BroadcastNestedLoopJoin); corpus scan shuffle-free; top-k via TakeOrderedAndProject.",
     "q_percentiles": "Nearest-rank-lower rule: the rank and count windows share one partitioning - one scan, one exchange, one sort; no interpolation, no collect.",
-    "q_csv_snapshot": "The flagship composition: scan -> lag window -> two grouped aggs -> full-outer join -> order, each aggregate map-side combined; mean/std from exact integer partial sums (long cents for values, 128-bit decimal for staleness squares), so the snapshot is bit-reproducible under any merge order.",
+    "q_csv_snapshot": "The flagship composition fused to ONE pass: the lag window keeps first-per-key rows (null stale_ms), so latency AND staleness stats aggregate from the same windowed frame - one scan, one exchange (the grouped agg reuses the window's key partitioning), zero joins (previously two scans + a full-outer merge). Mean/std from exact integer partial sums (long cents for values, 128-bit decimal for staleness squares): bit-reproducible under any merge order.",
     "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
