@@ -356,9 +356,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. The eval shingle set broadcasts (eval corpora are small by
     construction); the train side streams through the semi-join
     map-side, so the scan of a 100 TB training corpus shuffles only
-    the flagged doc ids. At extreme eval sizes, swap the broadcast
-    set for a bloom filter built with bloom_filter_agg - same plan
-    shape, approximate membership.
+    the flagged doc ids. At extreme eval sizes, drop the broadcast
+    hint: the join becomes shuffle-based and Spark's runtime
+    bloom-filter join pruning injects a bloom probe into the train
+    scan automatically (the mechanism test_scale_patterns pins on the
+    fact-join case) - approximate membership with exact verification,
+    no hand-built sketch needed.
     """
     docs = load(spark, sf_dir, "documents")
     sh = T.spread_for_fanout(docs).select(
