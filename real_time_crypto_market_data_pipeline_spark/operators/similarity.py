@@ -142,6 +142,54 @@ def ivf_topk(
     )
 
 
+def ivf_kmeans_index(
+    embeddings: DataFrame,
+    num_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    training_cap: int = 100_000,
+):
+    """IVF-k-means index build: train centroids, assign every vector.
+
+    Training input is capped at ``training_cap`` rows via ``limit`` (a
+    LocalLimit - the scan stops early; centroids converge on a tiny
+    fraction of the corpus, so at 100 TB the 20-iteration fit never
+    touches the full table). Unit normalization guards zero-norm
+    vectors with greatest(norm, eps) so MLlib never sees a null
+    feature vector. Returns ``(model, assigned)`` where ``assigned``
+    carries (id, vec, features, cell_id) - at scale it is written
+    partitioned by cell_id for partition-pruned probes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("features")
+    )
+    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(
+        base.select("features").limit(training_cap)
+    )
+    assigned = model.transform(base).withColumnRenamed("prediction", "cell_id")
+    return model, assigned
+
+
+def ivf_kmeans_probe_cells(model, query_vec, n_probe: int) -> list[int]:
+    """Pick the ``n_probe`` cells whose centroids are most
+    cosine-similar to the query vector (ties -> lowest cell id).
+    Driver-side over C centroids - kilobytes. Zero-norm query/centroid
+    vectors are guarded with ``or 1.0`` (cosine degrades to 0)."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / (np.linalg.norm(qv) or 1.0)
+    centers = model.clusterCenters()
+    sims = [float(qv @ (c / (np.linalg.norm(c) or 1.0))) for c in centers]
+    return sorted(range(len(centers)), key=lambda i: (-sims[i], i))[:n_probe]
+
+
 def ivf_kmeans_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -151,6 +199,7 @@ def ivf_kmeans_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    training_cap: int = 100_000,
 ) -> DataFrame:
     """X3: IVF with a REAL k-means training pass (MLlib), n-cell probing.
 
@@ -165,37 +214,22 @@ def ivf_kmeans_topk(
     training produced - that invariant is what the driver oracle
     checks, while pytest pins partial-probe recall.
 
-    Scale notes: training runs on a sample in practice (centroids
-    converge long before the corpus is exhausted); assignment is one
-    model.transform pass; at 100 TB the assignment table is written
-    partitioned by cell_id so a probe is a partition-pruned scan of
-    n_probe/C of the corpus. Centroids (C x dims floats) and the query
-    vector are driver-side by design - kilobytes.
+    Scale notes: training runs on a capped sample (``training_cap``
+    rows via ``limit`` - a LocalLimit stops the scan early, and
+    centroids converge long before the corpus is exhausted);
+    assignment is one model.transform pass; at 100 TB the assignment
+    table is written partitioned by cell_id so a probe is a
+    partition-pruned scan of n_probe/C of the corpus. Centroids
+    (C x dims floats) and the query vector are driver-side by design -
+    kilobytes. Zero-norm vectors are guarded on every normalization
+    (greatest(norm, eps) row-side, ``or 1.0`` driver-side) so a zero
+    corpus or query vector degrades to cosine 0 instead of NaN/null.
     """
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    norm = l2_norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    base = embeddings.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("features")
+    model, assigned = ivf_kmeans_index(
+        embeddings, num_cells, seed, id_col, vec_col, training_cap
     )
-    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(
-        base.select("features")
-    )
-    assigned = model.transform(base).withColumnRenamed("prediction", "cell_id")
-
-    qv = np.asarray(
-        embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0],
-        dtype=np.float64,
-    )
-    qv = qv / np.linalg.norm(qv)
-    centers = model.clusterCenters()
-    sims = [
-        float(qv @ (c / (np.linalg.norm(c) or 1.0))) for c in centers
-    ]
-    probe = sorted(range(len(centers)), key=lambda i: (-sims[i], i))[:n_probe]
+    qvec = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
+    probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
 
     q = embeddings.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec")

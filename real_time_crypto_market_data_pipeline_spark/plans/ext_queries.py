@@ -436,11 +436,27 @@ def _highdim_embeddings(spark: SparkSession, sf_dir: str, reps: int = 16) -> Dat
     )
 
 
-# rows-only driver check for the high-dim perf twins: their value
-# contract (identical top-k either path) is pinned in
-# tests/test_similarity.py; a 1024-dim list fold in DuckDB SQL would
-# only re-state the q_cosine_topk oracle at 16x the cost.
-@query("q_cosine_topk_fold_highdim", bench="extra")
+# full value oracle for the high-dim perf twins: the deterministic
+# x16 tiling is replayed in DuckDB SQL (flatten of 16 copies), so both
+# twins get the same rowcount+schema+hash check as everything else.
+# The 1024-dim list fold costs 16x the 64-dim oracle - irrelevant at
+# the sf0.01/sf0.001 scales the oracle runs at.
+_HIGHDIM_SQL = (
+    "SELECT vec_id, flatten(["
+    + ", ".join(["embedding"] * 16)
+    + "]) AS embedding FROM embeddings"
+)
+
+_HIGHDIM_TOPK_ORACLE = f"""
+    WITH hd AS ({_HIGHDIM_SQL}),
+    q AS (SELECT embedding AS qe FROM hd WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qe')} AS cosine
+    FROM hd e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+@query("q_cosine_topk_fold_highdim", oracle=_HIGHDIM_TOPK_ORACLE, bench="extra")
 def q_cosine_topk_fold_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 perf twin A: expression-fold cosine at 1024 dims.
 
@@ -451,7 +467,7 @@ def q_cosine_topk_fold_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_highdim_embeddings(spark, sf_dir), query_vec_id=0, k=10)
 
 
-@query("q_cosine_topk_arrow_highdim", bench="extra")
+@query("q_cosine_topk_arrow_highdim", oracle=_HIGHDIM_TOPK_ORACLE, bench="extra")
 def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 perf twin B: Arrow-batched numpy matmul cosine at 1024 dims.
 
