@@ -6,12 +6,16 @@ Prints ONE JSON line:
 
 Each query is executed to completion with the noop sink (full plan
 runs, nothing is shipped to the driver), so timings measure engine
-work, not result transfer. Every query is first run once at the
-smallest SF (JVM classloading + whole-stage-codegen compilation), and
-the reported number is the min of two timed runs at the target SF -
-HotSpot C2 tiering needs several invocations of the generated loops
-to reach steady state, and steady state is what a long-running
-cluster actually executes.
+work, not result transfer. Warm-up is two-stage: every bench query
+first runs once at the smallest SF (JVM classloading + whole-stage-
+codegen compilation), then each query gets one untimed run at the
+TARGET SF immediately before its timed runs (HotSpot C2 needs hot
+loops over real data volumes to tier up - the small-SF pass alone
+left the first timed run of a round up to 1.8x its steady state).
+The reported number is the min of two timed runs at the target SF -
+steady state is what a long-running cluster actually executes. The
+"method" field records this so round-over-round deltas are known to
+compare like with like.
 """
 
 from __future__ import annotations
@@ -55,6 +59,9 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     def time_keys(names) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
+            # one untimed run at the target SF: C2-compile the hot
+            # loops on real data volume before the clock starts
+            run_to_completion(QUERIES[name](spark, sf_dir))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -73,6 +80,7 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        "method": "warm@sf0.001 + 1 untimed target-SF run/query, min of 2 timed",
     }
     if extra:
         out["extra_queries"] = extra
