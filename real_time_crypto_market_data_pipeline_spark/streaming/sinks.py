@@ -457,27 +457,54 @@ def start_merge_upsert_sink(
     )
 
 
+def _sum_stats_merge_exprs() -> list:
+    """Merge expressions for :func:`~..operators.metrics.rollup_partials`
+    partials: integer sums add, min/max fold."""
+    return [
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ]
+
+
+def _ohlc_merge_exprs() -> list:
+    """Merge expressions for :func:`~..operators.metrics.ohlc_partials`
+    partials: argmin/argmax tick structs fold, counts add."""
+    return [
+        F.min("o").alias("o"),
+        F.max("c").alias("c"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_ticks").cast("long").alias("n_ticks"),
+    ]
+
+
 def rollup_merge_batch(
     spark,
     batch_partials: DataFrame,
     target_dir: str,
     keys: list[str],
+    merge_exprs: list | None = None,
 ) -> None:
-    """Additively merge one batch of rollup partials into the stored
+    """Additively merge one batch of mergeable partials into the stored
     partials table, rewriting only the touched time-bucket partitions.
 
     The incremental half of the continuous-aggregate story
-    (operators/metrics.rollup_partials): the target lives as parquet
-    partitioned by the time ``bucket`` - the hypertable chunk layout -
-    and a streaming microbatch merges by SUMMING integer partials
-    (n/s/ss add, min/max fold), so the stored state stays exactly
-    equal to a from-scratch rollup of everything ingested. A stream
-    arrives roughly time-ordered, so each batch touches one or two
-    hour partitions; work per batch is O(touched buckets), never
-    O(history).
+    (operators/metrics.rollup_partials / ohlc_partials): the target
+    lives as parquet partitioned by the time ``bucket`` - the
+    hypertable chunk layout - and a streaming microbatch merges with
+    ``merge_exprs`` (integer partials add / argmin-argmax structs
+    fold), so the stored state stays exactly equal to a from-scratch
+    rollup of everything ingested. A stream arrives roughly
+    time-ordered, so each batch touches one or two hour partitions;
+    work per batch is O(touched buckets), never O(history).
     """
     import os
 
+    if merge_exprs is None:
+        merge_exprs = _sum_stats_merge_exprs()
     affected = [
         r.bucket for r in batch_partials.select("bucket").distinct().collect()
     ]
@@ -500,13 +527,7 @@ def rollup_merge_batch(
         merged = (
             current.unionByName(batch_partials)
             .groupBy(*keys, "bucket")
-            .agg(
-                F.sum("n").cast("long").alias("n"),
-                F.sum("s").alias("s"),
-                F.sum("ss").alias("ss"),
-                F.min("mn").alias("mn"),
-                F.max("mx").alias("mx"),
-            )
+            .agg(*merge_exprs)
         )
     # the write overwrites partitions the plan also reads; cut lineage
     merged = merged.localCheckpoint()
@@ -516,6 +537,58 @@ def rollup_merge_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(target_dir)
+    )
+
+
+def _start_partials_sink(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    to_partials,
+    merge_exprs: list,
+    trigger_seconds: float,
+) -> StreamingQuery:
+    """Shared foreachBatch body for the continuous-aggregate sinks.
+
+    Additive merge is not naturally idempotent, so replayed epochs are
+    skipped via a ``_last_epoch`` marker renamed into place only after
+    the merge landed (same recovery discipline as the exact-layout
+    JSONL sink; a crash between write and rename can replay one epoch
+    - on Delta/Iceberg the marker becomes the transaction log). Epoch
+    ids restart at 0 when a stream gets a fresh checkpoint, so the
+    marker stores the checkpoint path it was written under and is
+    ignored on mismatch - deleting/relocating the checkpoint while
+    keeping the partials dir must not silently drop every new batch.
+    """
+    import os
+
+    marker = os.path.join(target_dir, "_last_epoch")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            with open(marker, encoding="utf-8") as f:
+                stored_ckpt, stored_epoch = f.read().split("\n", 1)
+                if stored_ckpt == checkpoint and epoch_id <= int(stored_epoch):
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        bp = to_partials(batch_df)
+        rollup_merge_batch(
+            batch_df.sparkSession, bp, target_dir, keys, merge_exprs
+        )
+        os.makedirs(target_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{checkpoint}\n{epoch_id}")
+        os.replace(tmp, marker)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
     )
 
 
@@ -535,41 +608,58 @@ def start_rollup_sink(
     Each microbatch is reduced to (keys, bucket) integer partials and
     merged into the stored partials table; coarse reports read the
     partials via ``read_rollup`` without ever rescanning raw events.
-    Additive merge is not naturally idempotent, so replayed epochs are
-    skipped via a ``_last_epoch`` marker renamed into place only after
-    the merge landed (same recovery discipline as the exact-layout
-    JSONL sink; a crash between write and rename can replay one epoch
-    - on Delta/Iceberg the marker becomes the transaction log).
+    Epoch-replay and checkpoint-reset protection in
+    :func:`_start_partials_sink`.
     """
-    import os
-
     from ..operators.metrics import rollup_partials
 
-    marker = os.path.join(target_dir, "_last_epoch")
+    return _start_partials_sink(
+        events,
+        target_dir,
+        checkpoint,
+        keys,
+        lambda df: rollup_partials(
+            df, keys, value_col, ts_ms_col, grain_ms, scale=scale
+        ),
+        _sum_stats_merge_exprs(),
+        trigger_seconds,
+    )
 
-    def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
-            with open(marker, encoding="utf-8") as f:
-                if epoch_id <= int(f.read().strip()):
-                    return
-        except (FileNotFoundError, ValueError):
-            pass
-        bp = rollup_partials(
-            batch_df, keys, value_col, ts_ms_col, grain_ms, scale=scale
-        )
-        rollup_merge_batch(batch_df.sparkSession, bp, target_dir, keys)
-        os.makedirs(target_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(epoch_id))
-        os.replace(tmp, marker)
 
-    return (
-        events.writeStream.outputMode("append")
-        .foreachBatch(apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+def start_ohlc_sink(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    ts_ms_col: str,
+    tiebreak_col: str,
+    grain_ms: int = 3_600_000,
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """Streaming OHLC candles: the continuous-aggregate sink for order
+    statistics.
+
+    Each microbatch becomes (keys, bucket) candle partials with
+    open/close stored as argmin/argmax tick structs
+    (operators/metrics.ohlc_partials); struct min/max merges
+    associatively, so the stored hourly candles stay exactly equal to
+    candles computed from every raw tick ever ingested, and
+    ``read_ohlc_rollup`` serves any coarser chart grain without
+    touching tick data - the streaming half of q_ohlc_rollup.
+    """
+    from ..operators.metrics import ohlc_partials
+
+    return _start_partials_sink(
+        events,
+        target_dir,
+        checkpoint,
+        keys,
+        lambda df: ohlc_partials(
+            df, keys, value_col, ts_ms_col, tiebreak_col, grain_ms
+        ),
+        _ohlc_merge_exprs(),
+        trigger_seconds,
     )
 
 
@@ -587,3 +677,18 @@ def read_rollup(
         "bucket", F.col("bucket").cast("long")
     )
     return merge_rollup(partials, keys, coarse_factor, scale=scale)
+
+
+def read_ohlc_rollup(
+    spark,
+    target_dir: str,
+    keys: list[str],
+    coarse_factor: int = 1,
+) -> DataFrame:
+    """Answer coarse-grain candles from the stored streaming partials."""
+    from ..operators.metrics import merge_ohlc
+
+    partials = spark.read.parquet(target_dir).withColumn(
+        "bucket", F.col("bucket").cast("long")
+    )
+    return merge_ohlc(partials, keys, coarse_factor)

@@ -817,3 +817,120 @@ def test_streaming_rollup_sink_incremental_and_lossless(spark, tmp_path):
     # partials are stored per hour bucket (hypertable chunks)
     stored = spark.read.parquet(target)
     assert {r.bucket for r in stored.select("bucket").collect()} == {0, 1, 2, 30}
+
+
+def test_streaming_rollup_family_matches_batch_queries_sf001(spark, tmp_path):
+    """Streaming/batch parity on real data: replay the sf0.01 events
+    table through BOTH continuous-aggregate sinks (sum-stats and OHLC)
+    in three time-ordered chunks, then the partials reads must equal
+    the registered batch queries q_rollup_merge / q_ohlc_rollup row
+    for row. Time-ordered chunking mirrors a live stream (each batch
+    touches a contiguous bucket range) and shares boundary hours
+    between chunks, so the existing-partition merge path executes."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        read_ohlc_rollup,
+        read_rollup,
+        start_ohlc_sink,
+        start_rollup_sink,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("event_type", "value", "ms", "event_id")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    roll_target = str(tmp_path / "roll_partials")
+    ohlc_target = str(tmp_path / "ohlc_partials")
+    q_roll = start_rollup_sink(
+        stream, roll_target, str(tmp_path / "ckpt_roll"),
+        keys=["event_type"], value_col="value", ts_ms_col="ms",
+        grain_ms=3_600_000,
+    )
+    q_ohlc = start_ohlc_sink(
+        stream, ohlc_target, str(tmp_path / "ckpt_ohlc"),
+        keys=["event_type"], value_col="value", ts_ms_col="ms",
+        tiebreak_col="event_id", grain_ms=3_600_000,
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q_roll.processAllAvailable()
+            q_ohlc.processAllAvailable()
+    finally:
+        q_roll.stop()
+        q_ohlc.stop()
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    got_roll = rows(read_rollup(spark, roll_target, ["event_type"], coarse_factor=24))
+    want_roll = rows(QUERIES["q_rollup_merge"](spark, sf))
+    assert got_roll == want_roll  # integer partials: bit-identical
+
+    got_ohlc = rows(read_ohlc_rollup(spark, ohlc_target, ["event_type"], coarse_factor=24))
+    want_ohlc = rows(QUERIES["q_ohlc_rollup"](spark, sf))
+    assert got_ohlc == want_ohlc  # argmin/argmax structs: bit-identical
+
+
+def test_rollup_sink_checkpoint_reset_not_silently_dropped(spark, tmp_path):
+    """A fresh checkpoint restarts epoch ids at 0; the epoch marker is
+    bound to the checkpoint path it was written under, so batches from
+    the new checkpoint must still merge (the old marker is ignored)
+    instead of being skipped as replays."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        read_rollup,
+        start_rollup_sink,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ms", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "partials")
+
+    def run_stream(ckpt: str, rows: list) -> None:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_rollup_sink(
+            spark.readStream.schema(schema).parquet(src),
+            target, ckpt, keys=["event_type"], value_col="value",
+            ts_ms_col="ms", grain_ms=3_600_000,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream(str(tmp_path / "ckpt_a"), [("a", 1.0, 0)])
+    # second stream: NEW checkpoint reads the whole source dir from
+    # scratch as epoch 0 - with the old marker honored it would be
+    # dropped; with the checkpoint-bound marker it merges
+    run_stream(str(tmp_path / "ckpt_b"), [("a", 3.0, 0)])
+
+    [(n,)] = (
+        read_rollup(spark, target, ["event_type"])
+        .select("val_count")
+        .collect()
+    )
+    # 1 row from stream A + 2 rows replayed-from-scratch by stream B
+    # (the fresh checkpoint re-reads the first file: at-least-once
+    # across checkpoint resets, but NOT silent loss)
+    assert n == 3
