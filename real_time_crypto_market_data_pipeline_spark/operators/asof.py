@@ -99,8 +99,10 @@ def banded_interval_count(
     """
     from pyspark.sql import functions as F
 
-    # integer floor-div: float division is only double-exact below 2^53
-    # and truncates (not floors) for negative timestamps
+    # integer DIV: float division is only double-exact below 2^53, so
+    # banding must never round-trip epoch ms through a double. (DIV
+    # truncates toward zero, same as DuckDB's // - consistent on both
+    # sides of the oracle.)
     band = lambda c: F.expr(f"`{c}` DIV {range_ms}")  # noqa: E731
     probes = left.withColumn(
         "_band", F.explode(F.array(band(left_ts) - 1, band(left_ts)))
