@@ -17,8 +17,10 @@ Two modes via the ``mode`` option:
   exactly-once story the reference lacks, SURVEY 2.6).
 - ``live``: real WebSocket ingest. Needs the ``websockets`` package,
   which is not in this container - the reader raises a clear error at
-  first use; the connection/backoff logic is written and unit-testable
-  up to the socket boundary.
+  first use. The connect/subscribe/stamp/reconnect logic IS executed
+  and asserted against a fake in-process transport
+  (tests/test_live_source.py); only the physical socket is untested
+  here.
 
 Offset model: the feed itself is offset-less; we model offsets as a
 monotonic frame counter per (single) partition. At scale, one source
