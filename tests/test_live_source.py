@@ -200,3 +200,44 @@ def _blocking_import(blocked_prefixes):
         return real_import(name, *args, **kwargs)
 
     return guarded
+
+
+def test_reconnect_backoff_sequence_exponential_capped(transport, monkeypatch):
+    """S2 through the reader: repeated connect failures sleep the
+    exponential-capped-jittered sequence min(30, 0.25*2^n)*[0.8,1.2]
+    (reference okx_ws.py:96-103)."""
+    transport.plan(*([OSError("refused")] * 9), FakeConnection(["x"]))
+    slept: list[float] = []
+    monkeypatch.setattr("time.sleep", slept.append)
+    r = LiveOkxStreamReader({})  # real BackoffPolicy, not the zeroed one
+    rows, _ = r.read(r.initialOffset())
+    assert [row[0] for row in list(rows)] == ["x"]
+    assert len(slept) == 9
+    for n, d in enumerate(slept):
+        nominal = min(30.0, 0.25 * (2**n))
+        assert nominal * 0.8 <= d <= nominal * 1.2
+    # the cap binds from attempt 7 on (0.25*2^7 = 32 > 30)
+    assert slept[8] <= 30.0 * 1.2
+
+
+def test_backoff_restarts_at_base_after_successful_connect(transport, monkeypatch):
+    """After a successful (re)connect the attempt counter is back at
+    zero: the next outage's first delay is in the base band again, not
+    a continuation of the previous exponential run."""
+    transport.plan(
+        OSError("a"), OSError("b"), OSError("c"),
+        FakeConnection(["f1", "never"], fail_after=1),
+        OSError("d"),
+        FakeConnection(["f2"]),
+    )
+    slept: list[float] = []
+    monkeypatch.setattr("time.sleep", slept.append)
+    r = LiveOkxStreamReader({})
+    rows, _ = r.read(r.initialOffset())
+    assert [row[0] for row in list(rows)] == ["f1", "f2"]
+    assert len(transport.connections) == 2
+    # first outage: 3 sleeps at attempts 0,1,2; second outage: 1 sleep
+    # back at attempt 0 (NOT attempt 3's 2.0 s band)
+    assert len(slept) == 4
+    assert slept[3] <= 0.25 * 1.2
+    assert slept[2] >= 1.0 * 0.8
