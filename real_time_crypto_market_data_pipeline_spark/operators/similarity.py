@@ -152,10 +152,16 @@ def ivf_kmeans_index(
 ):
     """IVF-k-means index build: train centroids, assign every vector.
 
-    Training input is capped at ``training_cap`` rows via ``limit`` (a
-    LocalLimit - the scan stops early; centroids converge on a tiny
-    fraction of the corpus, so at 100 TB the 20-iteration fit never
-    touches the full table). Unit normalization guards zero-norm
+    Training input is capped at ``training_cap`` rows chosen by
+    ordering on a stable hash of the id column (``xxhash64(id)``) -
+    a deterministic pseudo-random sample, so the trained centroids
+    (and therefore the index layout) are reproducible across cluster
+    sizes and partition layouts, unlike a bare ``limit`` whose
+    LocalLimit picks whichever partitions answer first. The order-by
+    compiles to TakeOrderedAndProject (per-partition top-cap, merged
+    on the driver side of the exchange) - linear in the corpus, no
+    global sort, and at 100 TB the 20-iteration fit still only ever
+    sees ``training_cap`` rows. Unit normalization guards zero-norm
     vectors with greatest(norm, eps) so MLlib never sees a null
     feature vector. Returns ``(model, assigned)`` where ``assigned``
     carries (id, vec, features, cell_id) - at scale it is written
@@ -169,9 +175,13 @@ def ivf_kmeans_index(
     base = embeddings.select(
         F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("features")
     )
-    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(
-        base.select("features").limit(training_cap)
+    train = (
+        base.select(F.col(id_col), "features")
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(training_cap)
+        .select("features")
     )
+    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(base).withColumnRenamed("prediction", "cell_id")
     return model, assigned
 

@@ -560,6 +560,17 @@ def _start_partials_sink(
     marker stores the checkpoint path it was written under and is
     ignored on mismatch - deleting/relocating the checkpoint while
     keeping the partials dir must not silently drop every new batch.
+
+    OPERATIONAL CONTRACT: a checkpoint reset makes the fresh stream
+    replay its source from the beginning, and this sink will merge
+    everything it replays into whatever partials already exist -
+    resetting ONLY the checkpoint double-counts history into the
+    stored aggregates. Pair every checkpoint reset with clearing (or
+    re-deriving) the partials dir. Markers written by the pre-binding
+    format (a bare epoch number with no checkpoint line) are treated
+    as belonging to the current checkpoint, preserving their replay
+    protection across the format upgrade instead of silently
+    discarding it.
     """
     import os
 
@@ -568,9 +579,16 @@ def _start_partials_sink(
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         try:
             with open(marker, encoding="utf-8") as f:
-                stored_ckpt, stored_epoch = f.read().split("\n", 1)
-                if stored_ckpt == checkpoint and epoch_id <= int(stored_epoch):
-                    return
+                content = f.read()
+            if "\n" in content:
+                stored_ckpt, stored_epoch = content.split("\n", 1)
+            else:
+                # legacy single-line marker (pre checkpoint-binding):
+                # attribute it to the current checkpoint so the last
+                # merged epoch keeps its replay protection
+                stored_ckpt, stored_epoch = checkpoint, content
+            if stored_ckpt == checkpoint and epoch_id <= int(stored_epoch):
+                return
         except (FileNotFoundError, ValueError):
             pass
         bp = to_partials(batch_df)

@@ -175,3 +175,19 @@ def test_ivf_kmeans_partial_probe_recall(spark):
     assert 0 in achievable
     for v in set(part) & set(exact):
         assert part[v] == exact[v]  # scores are exact, only the candidate set shrinks
+
+
+def test_ivf_kmeans_training_sample_is_partition_layout_invariant(spark):
+    """The training sample is chosen by stable-hash order, not by
+    whichever partitions answer a LocalLimit first - so the trained
+    centroids (and the index layout) are identical no matter how the
+    input happens to be partitioned (ADVICE r4: reproducible index
+    builds at scale)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model_a, _ = S.ivf_kmeans_index(emb, num_cells=4, training_cap=200)
+    model_b, _ = S.ivf_kmeans_index(
+        emb.repartition(7, "label"), num_cells=4, training_cap=200
+    )
+    centers_a = [list(c) for c in model_a.clusterCenters()]
+    centers_b = [list(c) for c in model_b.clusterCenters()]
+    assert centers_a == centers_b

@@ -934,3 +934,73 @@ def test_rollup_sink_checkpoint_reset_not_silently_dropped(spark, tmp_path):
     # (the fresh checkpoint re-reads the first file: at-least-once
     # across checkpoint resets, but NOT silent loss)
     assert n == 3
+
+
+def test_rollup_sink_legacy_single_line_marker_still_skips_replay(spark, tmp_path):
+    """Markers written by the pre-checkpoint-binding format are a bare
+    epoch number. They must keep their replay protection after the
+    format upgrade: a replayed epoch (forced here by deleting the
+    checkpoint's commit record, Spark's standard at-least-once
+    restart) is skipped, not double-merged (ADVICE r4)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_crypto_market_data_pipeline_spark.streaming.sinks import (
+        read_rollup,
+        start_rollup_sink,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ms", LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    target = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream() -> None:
+        q = start_rollup_sink(
+            spark.readStream.schema(schema).parquet(src),
+            target, ckpt, keys=["event_type"], value_col="value",
+            ts_ms_col="ms", grain_ms=3_600_000,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame([("a", 1.0, 0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()
+
+    # downgrade the marker to the legacy single-line format
+    marker = os.path.join(target, "_last_epoch")
+    with open(marker, encoding="utf-8") as f:
+        epoch_line = f.read().split("\n", 1)[1]
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(epoch_line)
+
+    # force an epoch-0 replay: remove the commit record (and its crc
+    # sidecar, which otherwise blocks the rewrite) so the restarted
+    # stream re-runs the batch (offsets are still present)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_stream()
+
+    [(n,)] = (
+        read_rollup(spark, target, ["event_type"]).select("val_count").collect()
+    )
+    assert n == 1  # replay skipped; without the legacy path it double-counts
