@@ -326,9 +326,10 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- X2+ (eval decontamination)
-@query(
-    "q_decontaminate",
-    oracle=f"""
+# One exact oracle shared by both decontamination variants: the bloom
+# path must produce the IDENTICAL answer (bloom prunes, the verify
+# join restores exactness), so both queries hash-match the same SQL.
+_DECONTAM_ORACLE = f"""
     WITH {_SHINGLES},
     dsh AS (
       SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
@@ -345,8 +346,29 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
     FROM tr JOIN ev USING (shingle)
     GROUP BY doc_id HAVING COUNT(*) >= 2
-    """,
-)
+    """
+
+
+def _decontam_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct word-3-shingles with source, the shared input
+    of both decontamination variants."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        T.spread_for_fanout(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(
+                F.array_distinct(
+                    T.word_shingles(T.tokens_col(F.col("text")), 3)
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+
+
+@query("q_decontaminate", oracle=_DECONTAM_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2+ decontamination: flag training docs that overlap the eval set.
 
@@ -360,25 +382,56 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint: the join becomes shuffle-based and Spark's runtime
     bloom-filter join pruning injects a bloom probe into the train
     scan automatically (the mechanism test_scale_patterns pins on the
-    fact-join case) - approximate membership with exact verification,
-    no hand-built sketch needed.
+    fact-join case); :func:`q_decontaminate_bloom` is that plan made
+    explicit.
     """
-    docs = load(spark, sf_dir, "documents")
-    sh = T.spread_for_fanout(docs).select(
-        "doc_id",
-        "source",
-        F.explode_outer(
-            F.array_distinct(
-                T.word_shingles(T.tokens_col(F.col("text")), 3)
-            )
-        ).alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
+    sh = _decontam_shingles(spark, sf_dir)
     ev = (
         sh.where(F.col("source") == "src0").select("shingle").distinct()
     )
     tr = sh.where(F.col("source") != "src0")
     return (
         tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .where(F.col("n_overlap") >= 2)
+    )
+
+
+@query("q_decontaminate_bloom", oracle=_DECONTAM_ORACLE)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ decontamination, bloom-prefiltered: the 100 TB eval-set plan.
+
+    Same answer as :func:`q_decontaminate`, different physical
+    strategy for the regime where the eval shingle SET is too big to
+    broadcast exactly but its BITMAP is not: the eval shingles reduce
+    to a 128 KB bloom bitmap (distributed build,
+    ``sketches.bloom_bitmap``), the bitmap broadcasts onto the train
+    scan, and each train shingle is probed with five O(1) bit tests
+    in whole-stage codegen - so the wide exact verify join only ever
+    sees the bloom-surviving sliver of the corpus. Survivors are then
+    verified with a plain shuffle equi-join (deliberately NOT
+    broadcast: on a 100 TB corpus the survivors, not the full train
+    side, are what shuffles), which removes bloom false positives and
+    restores exactness - the result hash-matches the exact oracle.
+    tests/test_sketches.py asserts both variants agree and pins the
+    false-positive margin of the bloom pass itself.
+    """
+    from ..operators import sketches as SK
+
+    sh = _decontam_shingles(spark, sf_dir)
+    ev = (
+        sh.where(F.col("source") == "src0").select("shingle").distinct()
+    )
+    bitmap = SK.bloom_bitmap(ev, "shingle")
+    survivors = (
+        sh.where(F.col("source") != "src0")
+        .crossJoin(F.broadcast(bitmap))
+        .where(SK.bloom_contains(F.col("bloom"), F.col("shingle")))
+        .drop("bloom")
+    )
+    return (
+        survivors.join(ev, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
         .where(F.col("n_overlap") >= 2)

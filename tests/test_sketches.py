@@ -68,3 +68,49 @@ def test_approx_quantiles_bracket_exact(spark, events):
         assert abs(a50 - e50) <= 0.05 * max(e50, 1)
         assert abs(a95 - e95) <= 0.05 * max(e95, 1)
         assert abs(a99 - e99) <= 0.05 * max(e99, 1)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every inserted key probes true (bloom contract: zero false
+    negatives); disjoint keys probe true at no more than a few times
+    the analytic (1 - e^{-kn/m})^k rate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n, m, k = 5_000, 1 << 16, 5
+    keys = spark.range(n).select(F.concat(F.lit("in"), F.col("id")).alias("key"))
+    other = spark.range(n).select(
+        F.concat(F.lit("out"), F.col("id")).alias("key")
+    )
+    bitmap = SK.bloom_bitmap(keys, "key", num_bits=m, num_hashes=k)
+
+    def hits(df):
+        return (
+            df.crossJoin(F.broadcast(bitmap))
+            .where(SK.bloom_contains(F.col("bloom"), F.col("key"), m, k))
+            .count()
+        )
+
+    assert hits(keys) == n
+    analytic_fp = (1 - math.exp(-k * n / m)) ** k
+    assert hits(other) <= max(3 * analytic_fp, 0.01) * n
+
+
+def test_decontaminate_bloom_matches_exact_variant(spark):
+    """The bloom-prefiltered decontamination returns the identical
+    flagged set: false positives of the bloom pass are removed by the
+    exact verify join."""
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(
+        (r.doc_id, r.n_overlap)
+        for r in QUERIES["q_decontaminate"](spark, sf).collect()
+    )
+    bloom = sorted(
+        (r.doc_id, r.n_overlap)
+        for r in QUERIES["q_decontaminate_bloom"](spark, sf).collect()
+    )
+    assert bloom == exact
+    assert len(exact) > 0  # non-vacuous at sf0.001
