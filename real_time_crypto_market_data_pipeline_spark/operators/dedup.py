@@ -415,6 +415,7 @@ def connected_components(
     max_iterations: int = 20,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pairs.
 
@@ -423,23 +424,38 @@ def connected_components(
     round joins labels across edges and keeps the minimum; stop when a
     round changes nothing. Rounds needed = graph diameter (dup
     clusters are near-cliques, so 2-3 in practice). Each round is two
-    shuffles (edge join + min agg); intermediates are cached and
-    materialized per round so lineage does not grow unboundedly -
-    the standard iterative-algorithm discipline on Spark.
+    shuffles (edge join + min agg); intermediates are checkpointed
+    per round so lineage does not grow unboundedly - the standard
+    iterative-algorithm discipline on Spark.
+
+    Checkpoint mode tradeoff: the default ``localCheckpoint`` keeps
+    each round's labels in executor block storage - no extra I/O, but
+    the blocks pin their executors, so losing ONE executor mid-run
+    kills the whole job (lineage was truncated; the blocks are not
+    recomputable). Fine on local mode and short interactive runs.
+    For a long run on a real cluster pass ``checkpoint_dir``: rounds
+    then use reliable ``checkpoint()`` to that (HDFS/S3) path, each
+    round costs one write+read of the label table, and an executor
+    loss only recomputes tasks from the last checkpoint. At 100 TB
+    always set it.
 
     Returns (doc_id, component) with component = min doc_id reachable.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist_round(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .cache()
     )
-    labels = (
+    labels = _persist_round(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iterations):
         # candidate labels: own label plus every neighbor's label
@@ -447,12 +463,11 @@ def connected_components(
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), F.col("component"))
         )
-        new_labels = (
+        new_labels = _persist_round(
             labels.select("doc_id", "component")
             .unionByName(neighbor_labels)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.join(

@@ -404,3 +404,23 @@ def test_pack_sequences_budget_and_order(spark):
     again = {(r.doc_id, r.chunk_id): r.bin for r in T.pack_sequences(
         chunks, budget_tokens=64, num_buckets=2).collect()}
     assert again == {(r.doc_id, r.chunk_id): r.bin for r in rows}
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode (reliable checkpoint, the 100 TB
+    restart-safe path) produces the identical labeling as the default
+    localCheckpoint mode, and actually materializes checkpoint data
+    under the given directory."""
+    import os
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    local = {r.doc_id: r.component for r in D.connected_components(chain).collect()}
+    ckpt = str(tmp_path / "cc_ckpt")
+    reliable = {
+        r.doc_id: r.component
+        for r in D.connected_components(chain, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert any(files for _, _, files in os.walk(ckpt))  # data really landed
