@@ -22,43 +22,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies a prefix of this dict (50 queries per round),
-# so ordering is evidence allocation. Round-4 allocation: the 57
-# queries whose last driver pass predates the round-2 timestamp[us]
-# storage change (all r3-checked queries are green on record in
-# CORRECTNESS_r03.json and are rotated out), ordered by exposure:
-#   1. events-table queries - the ts fix touched their input storage,
-#      so they carry the real (if small) regression risk;
-#   2. the full TPC-H spine q1-q22 + relational extras (pivot/cube/
-#      set-ops/...) - driver-green only pre-ts-fix;
-#   3. the two high-dim cosine twins, which gained real DuckDB
-#      oracles this round (previously rows-only) - first value check;
-#   4. highest-coverage documents-table dedup/ANN/text queries.
-# The 9 remaining documents-table variants (q_dedup_near_pairs,
-# q_dedup_simhash[_pairs], q_dedup_jaccard_pruned, q_corpus_prep,
-# q_decontaminate, q_dedup_embed, q_token_count_bpe, q_lang_id) share
-# their code paths with included base queries, never touch the events
-# table, and are re-verified by the local full-oracle pytest sweep;
-# they rotate into round 5.
+# so ordering is evidence allocation. Round-5 allocation:
+#   1. the 9 documents-table queries whose only driver evidence was
+#      round 1 (the r4 rotation comment scheduled them here) - after
+#      this round every registered query has driver evidence on
+#      post-ts-fix storage;
+#   2. q_decontaminate_bloom, new this round - first driver check;
+#   3. 40 of the r3 cohort, so their evidence does not age past two
+#      rounds; VERDICT-r4-named items (flagship q_csv_snapshot, the
+#      A-family, rollup/OHLC, TPC-H q13/q16/q21) are all included.
+# The 8 deferred r3 queries (q_profile_columns, q_sketch_distinct,
+# q_fingerprint, q_corpus_sample, q_corpus_split, q_scrub_text,
+# q_quality_score, q_media_summary - simple plans sharing code paths
+# with included queries) are placed immediately after the prefix and
+# lead the round-6 rotation. The r4 cohort (all green in
+# CORRECTNESS_r04.json) rotates back in round 6.
 _PRIORITY = [
-    # --- 1: events-table queries last checked pre-ts-fix ---
-    "q_json_decode", "q_filter_isin", "q_null_guard",
-    "q_channel_split", "q_element_at", "q_explode", "q_try_cast",
-    "q_array_transform", "q_best_levels", "q_struct_project",
-    "q_spread", "q_to_json", "q_format_string", "q_zero_rate",
-    "q_count_by_key", "q_having_gate", "q_window_variety",
-    # --- 2: TPC-H spine + relational extras ---
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q22",
-    "q_pivot", "q_rollup", "q_cube", "q_set_ops", "q_semi_anti",
-    "q_above_customer_avg",
-    # --- 3: newly-oracled high-dim twins (first value check) ---
-    "q_cosine_topk_arrow_highdim", "q_cosine_topk_fold_highdim",
-    # --- 4: documents-table family coverage ---
-    "q_dedup_exact", "q_dedup_near", "q_dedup_jaccard",
-    "q_cosine_topk", "q_ann_ivf", "q_token_stats",
+    # --- 1: r1-era documents-table queries (oldest driver evidence) ---
+    "q_dedup_near_pairs", "q_dedup_simhash", "q_dedup_simhash_pairs",
+    "q_dedup_jaccard_pruned", "q_corpus_prep", "q_decontaminate",
+    "q_dedup_embed", "q_token_count_bpe", "q_lang_id",
+    # --- 2: new this round ---
+    "q_decontaminate_bloom",
+    # --- 3: r3 cohort (evidence from two rounds ago) ---
+    "q_invariant_check", "q_latency_cols", "q_date_partition",
+    "q_lag_diff", "q_stale_stats", "q_window_range", "q_csv_snapshot",
+    "q_unpivot_percentiles", "q_asof_join", "q_sessionize", "q_twap",
+    "q_interval_count", "q_ohlc_bars", "q_scd2_history", "q_pit_read",
+    "q_tpch_q13", "q_tpch_q16", "q_salted_stats", "q_supplier_region",
+    "q_part_brand_stats", "q_join_enrich", "q_order_revenue_topk",
+    "q_grouping_sets", "q_first_last_value", "q_topk_per_group",
+    "q_dedup_lsh_jaccard", "q_dedup_clusters", "q_tfidf",
+    "q_chunk_documents", "q_media_features", "q_ann_lsh_buckets",
+    "q_repetition_stats", "q_rollup_merge", "q_ann_ivf_kmeans",
+    "q_pack_sequences", "q_ohlc_rollup", "q_percentiles",
+    "q_grouped_stats", "q_tpch_q21", "q_merge_upsert",
+    # --- beyond the 50-query prefix: r6 rotation leads ---
+    "q_profile_columns", "q_sketch_distinct", "q_fingerprint",
+    "q_corpus_sample", "q_corpus_split", "q_scrub_text",
+    "q_quality_score", "q_media_summary",
 ]
 
 

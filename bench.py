@@ -12,10 +12,12 @@ codegen compilation), then each query gets one untimed run at the
 TARGET SF immediately before its timed runs (HotSpot C2 needs hot
 loops over real data volumes to tier up - the small-SF pass alone
 left the first timed run of a round up to 1.8x its steady state).
-The reported number is the min of two timed runs at the target SF -
-steady state is what a long-running cluster actually executes. The
-"method" field records this so round-over-round deltas are known to
-compare like with like.
+The reported number is the min of three timed runs at the target SF -
+steady state is what a long-running cluster actually executes - and
+ALL timed runs are recorded ("runs", plus a per-query median in
+"queries_median") so a round-over-round delta can be judged against
+the run-to-run spread instead of guessed at. The "method" field
+records this so deltas are known to compare like with like.
 """
 
 from __future__ import annotations
@@ -56,22 +58,29 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     for name in [*keys, *extra_keys]:
         run_to_completion(QUERIES[name](spark, warm_dir))
 
-    def time_keys(names) -> dict[str, float]:
+    def time_keys(names, n_runs=3) -> tuple[dict[str, float], dict[str, list]]:
         timings: dict[str, float] = {}
+        runs: dict[str, list] = {}
         for name in names:
             # one untimed run at the target SF: C2-compile the hot
             # loops on real data volume before the clock starts
             run_to_completion(QUERIES[name](spark, sf_dir))
-            best = float("inf")
-            for _ in range(2):
+            samples = []
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 run_to_completion(QUERIES[name](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        return timings
+                samples.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(samples)
+            runs[name] = samples
+        return timings, runs
 
-    timings = time_keys(keys)
-    extra = time_keys(extra_keys)
+    timings, runs = time_keys(keys)
+    extra, extra_runs = time_keys(extra_keys)
+
+    def median(xs):
+        s = sorted(xs)
+        mid = len(s) // 2
+        return round((s[mid] + s[~mid]) / 2, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -79,11 +88,17 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": {k: median(v) for k, v in runs.items()},
+        "runs": runs,
         "sf": sf_dir,
-        "method": "warm@sf0.001 + 1 untimed target-SF run/query, min of 2 timed",
+        "method": (
+            "warm@sf0.001 + 1 untimed target-SF run/query; queries=min "
+            "of 3 timed, all runs recorded"
+        ),
     }
     if extra:
         out["extra_queries"] = extra
+        out["extra_runs"] = extra_runs
     print(json.dumps(out))
     spark.stop()
 
