@@ -27,23 +27,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #      round 1 (the r4 rotation comment scheduled them here) - after
 #      this round every registered query has driver evidence on
 #      post-ts-fix storage;
-#   2. q_decontaminate_bloom, new this round - first driver check;
-#   3. 40 of the r3 cohort, so their evidence does not age past two
+#   2. q_decontaminate_bloom + q_dedup_retention, new this round -
+#      first driver check;
+#   3. 39 of the r3 cohort, so their evidence does not age past two
 #      rounds; VERDICT-r4-named items (flagship q_csv_snapshot, the
 #      A-family, rollup/OHLC, TPC-H q13/q16/q21) are all included.
-# The 8 deferred r3 queries (q_profile_columns, q_sketch_distinct,
-# q_fingerprint, q_corpus_sample, q_corpus_split, q_scrub_text,
-# q_quality_score, q_media_summary - simple plans sharing code paths
-# with included queries) are placed immediately after the prefix and
-# lead the round-6 rotation. The r4 cohort (all green in
-# CORRECTNESS_r04.json) rotates back in round 6.
+# The 9 deferred r3 queries (q_merge_upsert, q_profile_columns,
+# q_sketch_distinct, q_fingerprint, q_corpus_sample, q_corpus_split,
+# q_scrub_text, q_quality_score, q_media_summary - simple plans
+# sharing code paths with included queries) are placed immediately
+# after the prefix and lead the round-6 rotation. The r4 cohort (all
+# green in CORRECTNESS_r04.json) rotates back in round 6.
 _PRIORITY = [
     # --- 1: r1-era documents-table queries (oldest driver evidence) ---
     "q_dedup_near_pairs", "q_dedup_simhash", "q_dedup_simhash_pairs",
     "q_dedup_jaccard_pruned", "q_corpus_prep", "q_decontaminate",
     "q_dedup_embed", "q_token_count_bpe", "q_lang_id",
     # --- 2: new this round ---
-    "q_decontaminate_bloom",
+    "q_decontaminate_bloom", "q_dedup_retention",
     # --- 3: r3 cohort (evidence from two rounds ago) ---
     "q_invariant_check", "q_latency_cols", "q_date_partition",
     "q_lag_diff", "q_stale_stats", "q_window_range", "q_csv_snapshot",
@@ -56,11 +57,11 @@ _PRIORITY = [
     "q_chunk_documents", "q_media_features", "q_ann_lsh_buckets",
     "q_repetition_stats", "q_rollup_merge", "q_ann_ivf_kmeans",
     "q_pack_sequences", "q_ohlc_rollup", "q_percentiles",
-    "q_grouped_stats", "q_tpch_q21", "q_merge_upsert",
+    "q_grouped_stats", "q_tpch_q21",
     # --- beyond the 50-query prefix: r6 rotation leads ---
-    "q_profile_columns", "q_sketch_distinct", "q_fingerprint",
-    "q_corpus_sample", "q_corpus_split", "q_scrub_text",
-    "q_quality_score", "q_media_summary",
+    "q_merge_upsert", "q_profile_columns", "q_sketch_distinct",
+    "q_fingerprint", "q_corpus_sample", "q_corpus_split",
+    "q_scrub_text", "q_quality_score", "q_media_summary",
 ]
 
 

@@ -1087,6 +1087,76 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_retention",
+    oracle=_MINHASH.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buck a JOIN buck b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT component,
+           CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lab GROUP BY component
+    """,
+)
+def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 retention policy: pick ONE survivor per near-dup cluster.
+
+    The step dedup exists for: near-dup clusters (LSH candidates ->
+    connected components) each keep their longest member (ties -> min
+    doc_id); docs outside any cluster are their own component and
+    survive. Emits (component, kept_doc_id, n_members) - the kept set
+    IS the deduplicated corpus, the rest is the drop list. Scale
+    shape: CC over candidate pairs only (bounded by LSH bucket
+    co-membership), one left join of the corpus against the label
+    table on doc_id, one groupBy(component) with an argmax carried as
+    a struct-min - no sort, no window, no driver-side state. The
+    tie-break is total (n_chars DESC then doc_id ASC), so the kept
+    set is deterministic under any partitioning/merge order.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(D.lsh_bucket_table(docs))
+    comp = D.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    return labeled.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("_neg_len"),
+                F.col("doc_id").alias("_id"),
+            )
+        )["_id"].alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+
+
+@query(
     "q_corpus_sample",
     oracle="""
     SELECT doc_id, source FROM documents
