@@ -1133,9 +1133,12 @@ def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: CC over candidate pairs only (bounded by LSH bucket
     co-membership), one left join of the corpus against the label
     table on doc_id, one groupBy(component) with an argmax carried as
-    a struct-min - no sort, no window, no driver-side state. The
-    tie-break is total (n_chars DESC then doc_id ASC), so the kept
-    set is deterministic under any partitioning/merge order.
+    a struct-min - no window, no global sort, no driver-side state
+    (composite-ordering argmax compiles to a SortAggregate: partial
+    agg with per-partition sorts before the single exchange, the
+    standard Spark plan for this shape). The tie-break is total
+    (n_chars DESC then doc_id ASC), so the kept set is deterministic
+    under any partitioning/merge order.
     """
     docs = load(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(D.lsh_bucket_table(docs))
