@@ -152,6 +152,34 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_near_dedup(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """X2 (streaming): ingest-time near-dup suppression, bounded state.
+
+    Keys the watermark dedup on the row-local MinHash signature
+    (``dedup.minhash_signature_col`` - computed per row with HOFs, no
+    shuffle, so the only stateful operator is the dedup itself):
+    signature-identical documents - same shingle SET, i.e. whitespace
+    variants, re-serializations, Jaccard ~= 1 rewraps - are dropped
+    inline, with per-signature state held only until the watermark
+    passes. Partial-overlap near-dups (banded-LSH recall) remain the
+    offline batch pass (``dedup.lsh_candidate_pairs``): the standard
+    production split between cheap inline suppression at ingest and
+    thorough offline dedup. State key is one 256-char string per
+    unique signature in the watermark horizon - at 100 TB/day the
+    horizon, not the corpus, bounds memory.
+    """
+    from ..operators.dedup import minhash_signature_col
+
+    keyed = docs.withColumn(
+        "minhash_sig", minhash_signature_col(F.col("text"))
+    ).withWatermark(time_col, watermark)
+    return keyed.dropDuplicatesWithinWatermark(["minhash_sig"])
+
+
 def stream_stream_enrich(
     events: DataFrame,
     max_quote_age: str = "10 seconds",

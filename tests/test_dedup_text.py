@@ -424,3 +424,24 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     }
     assert reliable == local == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     assert any(files for _, _, files in os.walk(ckpt))  # data really landed
+
+
+def test_rowlocal_minhash_signature_matches_batch(spark):
+    """minhash_signature_col (HOF, shuffle-free, the streaming form)
+    is bit-identical to minhash_wide's exploded groupBy aggregation
+    for every doc that has shingles."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wide = D.minhash_wide(docs)
+    batch = wide.select(
+        "doc_id",
+        F.concat_ws("", *[F.col(f"sig{j}") for j in range(8)]).alias("sig"),
+    )
+    local = docs.select(
+        "doc_id", D.minhash_signature_col(F.col("text")).alias("sig")
+    )
+    joined = batch.alias("b").join(local.alias("l"), "doc_id")
+    n = batch.count()
+    assert n > 0
+    assert joined.where(F.col("b.sig") == F.col("l.sig")).count() == n

@@ -1004,3 +1004,68 @@ def test_rollup_sink_legacy_single_line_marker_still_skips_replay(spark, tmp_pat
         read_rollup(spark, target, ["event_type"]).select("val_count").collect()
     )
     assert n == 1  # replay skipped; without the legacy path it double-counts
+
+
+def test_streaming_near_dedup_drops_signature_identical_docs(spark, tmp_path):
+    """Ingest-time near-dup suppression: a whitespace variant (same
+    shingle set, DIFFERENT raw text - exact dedup would keep it) is
+    dropped; distinct docs and short-text docs survive. Exercised as
+    a real stream through dropDuplicatesWithinWatermark."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from real_time_crypto_market_data_pipeline_spark.streaming.pipeline import (
+        streaming_near_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("event_time", TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, "alpha beta gamma delta epsilon", t0),
+        # same token sequence, doubled spaces: same shingles, new text
+        (2, "alpha  beta gamma  delta epsilon", t0),
+        (3, "a completely different document body here", t0),
+        (4, "short", t0),          # no shingles: exact-hash fallback
+        (5, "short", t0),          # exact duplicate of 4 -> dropped
+        (6, "shorter", t0),        # different short text -> kept
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    out = (
+        streaming_near_dedup(
+            spark.readStream.schema(schema).parquet(src), watermark="1 minute"
+        )
+        .writeStream.format("memory")
+        .queryName("near_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        out.processAllAvailable()
+    finally:
+        out.stop()
+
+    kept = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM near_dedup_out").collect()
+    }
+    # one of {1,2} survives (signature-identical), one of {4,5}
+    # (exact-identical); 3 and 6 always survive
+    assert len(kept & {1, 2}) == 1
+    assert len(kept & {4, 5}) == 1
+    assert {3, 6} <= kept
+    assert len(kept) == 4
