@@ -314,3 +314,42 @@ def test_bucketized_q12_shape_single_exchange(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path_factory):
+    """The IVF scale story, executed: the k-means assignment table
+    written partitionBy(cell_id) and probed with the model's chosen
+    cells reads ONLY those cells' directories (PartitionFilters on
+    cell_id), and the pruned probe returns the exact same top-k as
+    filtering the unpartitioned assignment table."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model, assigned = S.ivf_kmeans_index(emb, num_cells=4)
+    path = str(tmp_path_factory.mktemp("ivf") / "assigned_by_cell")
+    assigned.select("vec_id", "embedding", "cell_id").write.partitionBy(
+        "cell_id"
+    ).mode("overwrite").parquet(path)
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    probe = S.ivf_kmeans_probe_cells(model, qvec, n_probe=2)
+    probed = spark.read.parquet(path).where(F.col("cell_id").isin(probe))
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("FileScan")[-1]
+    part_filters = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell_id" in part_filters  # directory-level skip, not row filter
+
+    # pruned read == logical filter of the full table (same rows)
+    want = sorted(
+        r.vec_id
+        for r in assigned.where(F.col("cell_id").isin(probe))
+        .select("vec_id")
+        .collect()
+    )
+    got = sorted(r.vec_id for r in probed.select("vec_id").collect())
+    assert got == want and len(got) > 0
