@@ -410,3 +410,142 @@ def scrub_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         t.alias("clean_text"),
         (F.length(F.col(text_col)) - F.length(t)).cast("long").alias("bytes_removed"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-flattened source mixing (T=2): downsample big sources.
+
+    The multilingual-pretraining mixing rule (sample sources
+    proportional to n^(1/T) instead of n): with T=2 every source's
+    keep-rate is sqrt(n_min / n_source) - the smallest source keeps
+    100%, a source 4x its size keeps 50%, flattening the source
+    distribution toward uniform without upsampling. Membership is a
+    deterministic md5-bucket test against floor(rate * 16^6), so the
+    sample is a pure function of content, stable under repartitioning.
+
+    T is pinned to 2 so the rate is a single IEEE-754 ``sqrt`` of a
+    single division - both operations are *correctly rounded* by the
+    standard, so any IEEE-double engine (the DuckDB oracle included)
+    computes a bit-identical threshold; a general pow(x, 1-1/T) is
+    only 1-ulp-accurate and could flip a boundary bucket between
+    engines.
+
+    Scale: the per-source census is a ~|sources|-row aggregate
+    (map-side combined), broadcast back onto the corpus; the filter
+    itself is codegen'd in the scan stage. No corpus-sized shuffle.
+    """
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    n_min = counts.agg(F.min("n_source").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_source").cast("double"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.floor(rate * F.lit(16777216.0)).cast("bigint").alias("thr"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        docs.join(F.broadcast(thresholds), source_col)
+        .where(bucket < F.col("thr"))
+        .select("doc_id", source_col)
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate detection: per-doc repeated-n-gram ratio.
+
+    A shingle is *boilerplate* when it occurs in >= ``min_docs``
+    distinct documents (headers, footers, license blurbs, template
+    text). Emits one row per document with its distinct-shingle count,
+    how many of those are boilerplate, and the ratio - the standard
+    drop/trim signal (RefinedWeb-style) one thresholds during corpus
+    cleaning. Complements repetition_stats, which is *within*-doc.
+
+    Scale: one explode + distinct (shuffle keyed on (doc, shingle)),
+    one shingle-keyed count (map-side combined). The boilerplate set
+    itself is tiny by construction (only shingles crossing the
+    ``min_docs`` document-frequency bar survive), so membership comes
+    back as a broadcast left-join flag and n_shingles + n_boiler fall
+    out of ONE doc-keyed aggregation - not two parallel agg branches,
+    which would re-explode the corpus a third time. At 100 TB the one
+    remaining recompute (dsh feeds both the DF census and the flag
+    join) is the cache/persist point; the DF count itself is the same
+    aggregation a TF-IDF pass already runs. No pairwise work anywhere.
+    """
+    dsh = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(tokens_col(F.col(text_col)), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    boiler = (
+        dsh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("shingle", F.lit(1).alias("is_boiler"))
+    )
+    per_doc = (
+        dsh.join(F.broadcast(boiler), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.coalesce("n_boiler", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_ratio"),
+    )
+
+
+def shuffle_shard(docs: DataFrame, num_shards: int = 8) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment.
+
+    Assigns every document a shard (md5(doc_id) bucket mod
+    ``num_shards``) and a position within that shard (rank by the same
+    hash) - the "globally shuffled, sharded" layout a training job
+    reads. Hash-derived order means no RNG state: the epoch-0 data
+    order is reproducible from the table alone, on any cluster layout.
+
+    Scale: deliberately NOT a global sort. The window partitions by
+    shard, so the plan is one hash exchange on shard + per-shard
+    local sort - each shard sorts independently in parallel, and at
+    100 TB / 10k shards each sort is ~10 GB, spillable. A naive
+    row_number() over a global ORDER BY would funnel the corpus
+    through a single-partition window; sharding first is the
+    difference between the two.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % num_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -1252,3 +1252,109 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(daily.select("dt").withColumn("dt", F.col("dt").cast("string")), "dt", "left_semi")
     )
+
+
+# ------------------------------------------------- X4 (temperature mixing)
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MIN(n_source) AS n_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_source AS DOUBLE))
+                        * 16777216.0) AS BIGINT) AS thr
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(d.text), 1, 6)) AS BIGINT) < thr
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: T=2 temperature-flattened language mixing (deterministic).
+
+    The canonical multilingual-sampling rule: keep-rate per language =
+    sqrt(n_min / n_lang), flattening the language distribution toward
+    uniform (the synthetic corpus is en-heavy, so ~half the en docs
+    are dropped while the smallest language keeps 100%). Division and
+    sqrt are both correctly rounded under IEEE 754, so the Spark
+    threshold and the DuckDB oracle threshold are bit-identical (a
+    general pow() would only be 1-ulp accurate). Census is a 5-row
+    aggregate broadcast back; the filter runs in the scan stage.
+    """
+    return T.temperature_mix(load(spark, sf_dir, "documents"), source_col="lang")
+
+
+# ------------------------------------------------- X4 (cross-doc boilerplate)
+@query(
+    "q_boilerplate",
+    oracle=f"""
+    WITH {_SHINGLES},
+    dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
+    ),
+    boiler AS (
+      SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) >= 5
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM dsh GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+      FROM dsh WHERE shingle IN (SELECT shingle FROM boiler)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN COALESCE(s.n_shingles, 0) > 0
+                THEN CAST(COALESCE(h.n_boiler, 0) AS DOUBLE)
+                     / CAST(s.n_shingles AS DOUBLE)
+                ELSE 0.0 END AS boiler_ratio
+    FROM documents d
+    LEFT JOIN sizes s ON s.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: cross-document boilerplate ratio per doc (DF >= 5 trigrams).
+
+    Complements q_repetition_stats (within-doc): a shingle seen in >=5
+    distinct documents is template text; the per-doc ratio is the
+    RefinedWeb-style trim/drop signal. Boilerplate set is tiny by
+    construction -> broadcast left-semi back onto per-doc shingles.
+    """
+    return T.boilerplate_ngrams(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- X4 (training-order shuffle)
+@query(
+    "q_shuffle_shard",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 8 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: deterministic global shuffle into training shards.
+
+    md5-derived shard + in-shard rank: the epoch-0 read order of a
+    training job, reproducible with no RNG state. The window
+    partitions by shard, so the plan is one hash exchange + per-shard
+    sort - never a single-partition global ORDER BY window.
+    """
+    return T.shuffle_shard(load(spark, sf_dir, "documents"))

@@ -445,3 +445,62 @@ def test_rowlocal_minhash_signature_matches_batch(spark):
     n = batch.count()
     assert n > 0
     assert joined.where(F.col("b.sig") == F.col("l.sig")).count() == n
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    # 16 docs in lang a, 4 in lang b: rate_a = sqrt(4/16) = 0.5,
+    # rate_b = 1.0 - every b doc must survive, and the kept set is a
+    # pure function of content (identical across two invocations).
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}", "a") for i in range(16)]
+        + [(100 + i, f"other text {i}", "b") for i in range(4)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    kept1 = {r.doc_id for r in T.temperature_mix(docs, source_col="lang").collect()}
+    kept2 = {
+        r.doc_id
+        for r in T.temperature_mix(
+            docs.repartition(7), source_col="lang"
+        ).collect()
+    }
+    assert kept1 == kept2  # layout-invariant
+    assert {100, 101, 102, 103} <= kept1  # smallest source keeps 100%
+    n_a = sum(1 for d in kept1 if d < 100)
+    assert 0 < n_a < 16  # big source actually downsampled
+
+
+def test_boilerplate_ngrams_flags_template_text(spark):
+    # "here shared footer" and "shared footer text" occur in 5 docs
+    # -> boilerplate; every shingle containing the doc number is
+    # unique. Doc 9 is too short to shingle.
+    docs = spark.createDataFrame(
+        [(i, f"unique words {i} here shared footer text") for i in range(5)]
+        + [(8, "entirely fresh content with no repeats at all"), (9, "tiny")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in T.boilerplate_ngrams(docs, min_docs=5).collect()}
+    assert len(rows) == 7  # one row per doc, short docs included
+    for i in range(5):
+        assert rows[i].n_boiler == 2 and rows[i].n_shingles == 5
+        assert abs(rows[i].boiler_ratio - 0.4) < 1e-12
+    assert rows[8].n_boiler == 0 and rows[8].boiler_ratio == 0.0
+    assert rows[9].n_shingles == 0 and rows[9].boiler_ratio == 0.0
+
+
+def test_shuffle_shard_positions_dense_and_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    out = T.shuffle_shard(docs, num_shards=8).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    # stable under physical layout changes
+    again = T.shuffle_shard(docs.repartition(13), num_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
