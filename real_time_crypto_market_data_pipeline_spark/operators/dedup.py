@@ -571,3 +571,53 @@ def simhash_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_cells: int = 8,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    The two-stage policy of Abbas et al. 2023 ("SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    corpus (here the deterministic IVF assignment, so the whole
+    pipeline is oracle-checkable; swap in ``ivf_kmeans_assign`` in
+    production), then inside each cluster drop every vector that has a
+    lower-id neighbor with cosine >= ``threshold`` - keeping exactly
+    one representative (the smallest id) per epsilon-ball, greedily.
+    Returns the KEPT set as (id, cell_id).
+
+    Scale: pairwise work only inside a cell - sum(cell^2), never n^2 -
+    and the cell self-join shuffles both sides on cell_id once. The
+    dropped-id set is distinct'd before the anti-join, so the final
+    pass is corpus vs a small id list (broadcastable under AQE). The
+    threshold is corpus-calibrated: this synthetic table is random
+    vectors (within-cell cosine tops out ~0.49), so the default 0.40
+    prunes the most-similar tail; real embedded text uses ~0.95+.
+    """
+    from .similarity import cosine_sim, ivf_assign
+
+    assigned = ivf_assign(
+        embeddings, num_cells, id_col=id_col, vec_col=vec_col
+    )
+    e = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    a = e.select(
+        F.col(id_col).alias("_id_a"), "cell_id", F.col(vec_col).alias("_va")
+    )
+    b = e.select(
+        F.col(id_col).alias("_id_b"), "cell_id", F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cell_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, F.col("cell_id").cast("int").alias("cell_id")
+    )

@@ -1358,3 +1358,45 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort - never a single-partition global ORDER BY window.
     """
     return T.shuffle_shard(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- X2/X3 (SemDeDup)
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             {_COS.format(a='e.embedding', b='c.cvec')} AS csim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, cell_id) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM best a JOIN best b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.40
+    )
+    SELECT k.vec_id, CAST(k.cell_id AS INTEGER) AS cell_id
+    FROM best k
+    WHERE k.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: SemDeDup - IVF-cluster the embeddings, keep one
+    representative (min id) per within-cell epsilon-ball.
+
+    Pairwise cosine only inside a cell (sum(cell^2), never n^2); the
+    deterministic IVF assignment makes the full cluster->pair->policy
+    pipeline value-checkable against SQL. Threshold 0.40 is calibrated
+    to this random-vector corpus (within-cell max ~0.49).
+    """
+    return D.semantic_dedup(load(spark, sf_dir, "embeddings"))

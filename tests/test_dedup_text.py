@@ -504,3 +504,32 @@ def test_shuffle_shard_positions_dense_and_stable(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in again} == {
         (r.doc_id, r.shard, r.pos) for r in out
     }
+
+
+def test_semantic_dedup_keeps_min_id_per_ball(spark):
+    # Vectors 0-7 are the IVF centroids (ids < num_cells). 10 and 11
+    # duplicate vector 0's direction (cosine 1.0 -> same cell as 0,
+    # dropped in favor of id 0); 12 is near-orthogonal noise on top of
+    # vector 1 (kept); 13 exactly duplicates 11 (also dropped).
+    import math
+
+    def unit(i, dims=8):
+        v = [0.0] * dims
+        v[i % dims] = 1.0
+        return v
+
+    rows = [(i, unit(i), 0) for i in range(8)]
+    rows += [
+        (10, [x * 2.0 for x in unit(0)], 0),  # scaled dup of centroid 0
+        (11, unit(0), 0),                     # exact dup of centroid 0
+        # noisy neighbor of centroid 1: cosine 1/sqrt(1.25) = 0.894 < 0.95
+        (12, [1.0 if j == 1 else (0.5 if j == 2 else 0.0) for j in range(8)], 0),
+        (13, unit(0), 0),                     # dup of 11
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    kept = {r.vec_id for r in D.semantic_dedup(emb, threshold=0.95).collect()}
+    assert 0 in kept and 12 in kept          # ball representative + distinct doc
+    assert kept.isdisjoint({10, 11, 13})     # every higher-id dup dropped
+    assert {1, 2, 3, 4, 5, 6, 7} <= kept     # orthogonal centroids untouched
