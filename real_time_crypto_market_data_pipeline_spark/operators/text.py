@@ -438,12 +438,17 @@ def temperature_mix(
     (map-side combined), broadcast back onto the corpus; the filter
     itself is codegen'd in the scan stage. No corpus-sized shuffle.
     """
+    from pyspark.sql.window import Window
+
     counts = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_source")
     )
-    n_min = counts.agg(F.min("n_source").alias("n_min"))
-    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_source").cast("double"))
-    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+    # n_min via an unpartitioned window over the |sources|-row census -
+    # the census subtree is computed ONCE (a cross-join against a
+    # separate min-aggregate would make Catalyst scan the corpus again)
+    n_min = F.min("n_source").over(Window.partitionBy())
+    rate = F.sqrt(n_min.cast("double") / F.col("n_source").cast("double"))
+    thresholds = counts.select(
         source_col,
         F.floor(rate * F.lit(16777216.0)).cast("bigint").alias("thr"),
     )
