@@ -52,6 +52,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """X1 (ingest form): admit only batch docs new to the corpus.
+
+    The production shape of exact dedup: every ingest batch is checked
+    against the already-ingested corpus, not against itself alone.
+    Two stages, both on 32-byte md5 keys: (1) collapse intra-batch
+    copies to the min-id representative, (2) anti-join the survivors
+    against the corpus hash set. Returns (doc_id, text_hash) of
+    admitted docs.
+
+    Scale: the corpus side reduces to its hash column before the
+    anti-join, so the shuffle carries 32-byte keys - at 100 TB the
+    hash set is the thing you keep materialized between ingests
+    (partitioned by hash prefix), and the anti-join becomes a
+    partition-local probe. A bloom prefilter (sketches.bloom_bitmap,
+    the q_decontaminate_bloom machinery) cuts the probe volume when
+    the batch-to-corpus ratio is tiny; the streaming twin is
+    pipeline.streaming_near_dedup's dropDuplicatesWithinWatermark.
+    """
+    b = (
+        batch.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").cast("long").alias("doc_id"))
+    )
+    seen = corpus.select(F.md5(F.col(text_col)).alias("text_hash"))
+    return b.join(seen, "text_hash", "left_anti").select("doc_id", "text_hash")
+
+
 def minhash_wide(
     docs: DataFrame,
     text_col: str = "text",

@@ -1400,3 +1400,39 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     to this random-vector corpus (within-cell max ~0.49).
     """
     return D.semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------- X1 (ingest form)
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    reps AS (
+      SELECT h AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM batch GROUP BY h
+    )
+    SELECT doc_id, text_hash FROM reps
+    WHERE text_hash NOT IN (SELECT h FROM corpus)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: incremental ingest dedup - even doc_ids play the existing
+    corpus, every third doc the incoming re-crawl batch (the overlap
+    at doc_id % 6 == 0 simulates re-crawled pages, so ~a third of the
+    batch is genuinely rejected); admitted = intra-batch min-id
+    representatives whose hash is unseen in the corpus.
+
+    Both stages shuffle 32-byte md5 keys only; see
+    dedup.incremental_dedup for the materialized-hash-set /
+    bloom-prefilter scale notes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return D.incremental_dedup(
+        docs.where(F.col("doc_id") % 3 == 0),
+        docs.where(F.col("doc_id") % 2 == 0),
+    ).select("doc_id", "text_hash")

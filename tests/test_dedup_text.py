@@ -533,3 +533,21 @@ def test_semantic_dedup_keeps_min_id_per_ball(spark):
     assert 0 in kept and 12 in kept          # ball representative + distinct doc
     assert kept.isdisjoint({10, 11, 13})     # every higher-id dup dropped
     assert {1, 2, 3, 4, 5, 6, 7} <= kept     # orthogonal centroids untouched
+
+
+def test_incremental_dedup_rejects_seen_and_intra_batch(spark):
+    corpus = spark.createDataFrame(
+        [(0, "already ingested page"), (2, "another known page")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested page"),   # re-crawl of corpus doc 0
+            (11, "fresh page one"),
+            (12, "fresh page one"),          # intra-batch dup of 11
+            (13, "fresh page two"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    admitted = {r.doc_id for r in D.incremental_dedup(batch, corpus).collect()}
+    assert admitted == {11, 13}  # min-id rep kept, re-crawl + dup rejected
