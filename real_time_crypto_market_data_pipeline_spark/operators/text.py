@@ -438,6 +438,19 @@ def temperature_mix(
     (map-side combined), broadcast back onto the corpus; the filter
     itself is codegen'd in the scan stage. No corpus-sized shuffle.
     """
+    thresholds = mix_thresholds(docs, source_col=source_col)
+    return apply_mix(docs, thresholds, source_col=source_col, text_col=text_col)
+
+
+def mix_thresholds(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """The census half of ``temperature_mix``: per-source md5-bucket
+    keep-thresholds, floor(sqrt(n_min / n_source) * 16^6).
+
+    Split out so the thresholds can be materialized once and reused -
+    in particular broadcast into a STREAMING ingest filter
+    (``streaming.pipeline.streaming_temperature_mix``), where the
+    census must come from a batch pass (a global census is not
+    computable inside an unbounded stream)."""
     from pyspark.sql.window import Window
 
     counts = docs.groupBy(source_col).agg(
@@ -448,10 +461,22 @@ def temperature_mix(
     # separate min-aggregate would make Catalyst scan the corpus again)
     n_min = F.min("n_source").over(Window.partitionBy())
     rate = F.sqrt(n_min.cast("double") / F.col("n_source").cast("double"))
-    thresholds = counts.select(
+    return counts.select(
         source_col,
         F.floor(rate * F.lit(16777216.0)).cast("bigint").alias("thr"),
     )
+
+
+def apply_mix(
+    docs: DataFrame,
+    thresholds: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The filter half of ``temperature_mix``: keep a doc iff its md5
+    bucket clears its source's threshold. Pure row-local predicate
+    after the broadcast join - works identically on a batch frame or
+    a streaming microbatch (stateless stream-static join)."""
     bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast(
         "bigint"
     )

@@ -1069,3 +1069,61 @@ def test_streaming_near_dedup_drops_signature_identical_docs(spark, tmp_path):
     assert len(kept & {4, 5}) == 1
     assert {3, 6} <= kept
     assert len(kept) == 4
+
+
+def test_streaming_temperature_mix_matches_batch(spark, tmp_path):
+    """Ingest-time temperature mixing: the batch census broadcasts
+    into a stateless stream-static join, and the streamed kept set is
+    EXACTLY the batch operator's kept set (both halves share code)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_crypto_market_data_pipeline_spark.operators.text import (
+        mix_thresholds,
+        temperature_mix,
+    )
+    from real_time_crypto_market_data_pipeline_spark.streaming.pipeline import (
+        streaming_temperature_mix,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    rows = [(i, f"document body number {i}", "big") for i in range(24)] + [
+        (100 + i, f"rare document {i}", "small") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(src)
+
+    thresholds = mix_thresholds(docs)  # batch census over the corpus
+    out = (
+        streaming_temperature_mix(
+            spark.readStream.schema(schema).parquet(src), thresholds
+        )
+        .writeStream.format("memory")
+        .queryName("mix_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        out.processAllAvailable()
+    finally:
+        out.stop()
+
+    streamed = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM mix_out").collect()
+    }
+    batch = {r.doc_id for r in temperature_mix(docs).collect()}
+    assert streamed == batch
+    assert {100, 101, 102, 103} <= streamed   # smallest source keeps all
+    assert len(streamed) < 28                 # big source downsampled
