@@ -27,14 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      round 1 (the r4 rotation comment scheduled them here) - after
 #      this round every registered query has driver evidence on
 #      post-ts-fix storage;
-#   2. the 7 queries new in round 5 (q_decontaminate_bloom,
+#   2. the 8 queries new in round 5 (q_decontaminate_bloom,
 #      q_dedup_retention, q_mix_temperature, q_boilerplate,
-#      q_shuffle_shard, q_semdedup, q_dedup_incremental) - first
-#      driver check;
-#   3. 34 of the r3 cohort, so their evidence does not age past two
+#      q_shuffle_shard, q_semdedup, q_dedup_incremental,
+#      q_quality_topp) - first driver check;
+#   3. 33 of the r3 cohort, so their evidence does not age past two
 #      rounds; VERDICT-r4-named items (flagship q_csv_snapshot, the
 #      A-family, rollup/OHLC, TPC-H q13/q16/q21) are all included.
-# The 14 deferred r3 queries (simple plans sharing code paths with
+# The 15 deferred r3 queries (simple plans sharing code paths with
 # included queries) are placed immediately after the prefix and lead
 # the round-6 rotation. The r4 cohort (all green in
 # CORRECTNESS_r04.json) rotates back in round 6.
@@ -46,12 +46,12 @@ _PRIORITY = [
     # --- 2: new this round ---
     "q_decontaminate_bloom", "q_dedup_retention",
     "q_mix_temperature", "q_boilerplate", "q_shuffle_shard", "q_semdedup",
-    "q_dedup_incremental",
+    "q_dedup_incremental", "q_quality_topp",
     # --- 3: r3 cohort (evidence from two rounds ago) ---
     "q_invariant_check", "q_latency_cols", "q_date_partition",
     "q_lag_diff", "q_stale_stats", "q_window_range", "q_csv_snapshot",
     "q_asof_join", "q_sessionize",
-    "q_interval_count", "q_ohlc_bars", "q_scd2_history", "q_pit_read",
+    "q_interval_count", "q_scd2_history", "q_pit_read",
     "q_tpch_q13", "q_tpch_q16", "q_salted_stats",
     "q_join_enrich", "q_order_revenue_topk",
     "q_grouping_sets", "q_topk_per_group",
@@ -62,13 +62,13 @@ _PRIORITY = [
     "q_grouped_stats", "q_tpch_q21",
     # --- beyond the 50-query prefix: r6 rotation leads ---
     # (q_unpivot_percentiles / q_supplier_region / q_part_brand_stats /
-    # q_first_last_value / q_twap were demoted here to make room for
-    # the five new round-5 queries; each shares its code path with a
-    # query still in the prefix - percentiles, join_enrich,
-    # topk_per_group, scd2's window family - and has green r3 driver
-    # evidence.)
+    # q_first_last_value / q_twap / q_ohlc_bars were demoted here to
+    # make room for the six new round-5 queries; each shares its code
+    # path with a query still in the prefix - percentiles,
+    # join_enrich, topk_per_group, scd2's window family, the OHLC
+    # rollup - and has green r3 driver evidence.)
     "q_unpivot_percentiles", "q_supplier_region", "q_part_brand_stats",
-    "q_first_last_value", "q_twap",
+    "q_first_last_value", "q_twap", "q_ohlc_bars",
     "q_merge_upsert", "q_profile_columns", "q_sketch_distinct",
     "q_fingerprint", "q_corpus_sample", "q_corpus_split",
     "q_scrub_text", "q_quality_score", "q_media_summary",

@@ -579,3 +579,46 @@ def shuffle_shard(docs: DataFrame, num_shards: int = 8) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def quality_top_p(
+    docs: DataFrame,
+    source_col: str = "source",
+    p: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """FineWeb-style per-source quality gate: keep the top p fraction.
+
+    Ranks documents by the composite quality score WITHIN each source
+    (so a low-quality-on-average source still contributes its best
+    docs rather than being wiped out by a global cutoff) and keeps
+    rank <= ceil(p * n_source). doc_id breaks quality ties, making
+    the kept set deterministic and engine-portable.
+
+    Scale: the rank window partitions by source, so parallelism is
+    bounded by |sources| - fine for tens-to-thousands of sources, and
+    each per-source sort spills independently. For few-source corpora
+    at 100 TB, swap the exact rank for a percentile_approx cutoff
+    (one map-side-combined aggregate, broadcast back, filter in the
+    scan stage) - same semantics modulo sketch error - or a two-phase
+    per-partition top-k merge. The count window shares the rank
+    window's partitioning: ONE exchange total.
+    """
+    from pyspark.sql.window import Window
+
+    qs = quality_score(docs, text_col=text_col, keep_cols=(source_col,))
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    w_all = Window.partitionBy(source_col)
+    return (
+        qs.select(
+            "doc_id",
+            source_col,
+            "quality",
+            F.row_number().over(w_rank).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(w_all).cast("long").alias("n_source"),
+        )
+        .where(F.col("rn") <= F.ceil(F.lit(p) * F.col("n_source")))
+        .select("doc_id", source_col, "quality")
+    )

@@ -1436,3 +1436,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 3 == 0),
         docs.where(F.col("doc_id") % 2 == 0),
     ).select("doc_id", "text_hash")
+
+
+# ------------------------------------------------- X4 (per-source quality gate)
+@query(
+    "q_quality_topp",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','of','to','and','in','is','on','for'], x))) AS stop_hits
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             LEAST(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.4
+               + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END) * 0.4
+               + LEAST((CASE WHEN n_tok > 0 THEN CAST(stop_hits AS DOUBLE) / n_tok ELSE 0.0 END) * 10.0, 1.0) * 0.2
+               AS quality
+      FROM feat
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_source
+      FROM scored
+    )
+    SELECT doc_id, source, quality FROM ranked
+    WHERE rn <= CEIL(0.5 * n_source)
+    """,
+)
+def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-source top-50% quality gate (FineWeb-style).
+
+    Ranking within source keeps every source represented by its best
+    half; doc_id tie-break makes the kept set deterministic. Rank and
+    count windows share one source-keyed exchange. The 100 TB
+    few-source variant (percentile_approx cutoff broadcast back) is
+    documented in text.quality_top_p.
+    """
+    return T.quality_top_p(load(spark, sf_dir, "documents"))

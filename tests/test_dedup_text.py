@@ -551,3 +551,22 @@ def test_incremental_dedup_rejects_seen_and_intra_batch(spark):
     )
     admitted = {r.doc_id for r in D.incremental_dedup(batch, corpus).collect()}
     assert admitted == {11, 13}  # min-id rep kept, re-crawl + dup rejected
+
+
+def test_quality_top_p_keeps_best_half_per_source(spark):
+    # source A: 4 docs with clearly ordered quality (longer + alpha-ier
+    # = better); source B: 2 docs. ceil(0.5*4)=2 and ceil(0.5*2)=1.
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again", "A"),
+            (1, "the small cat sat on the warm mat today", "A"),
+            (2, "x", "A"),
+            (3, "9 9 9", "A"),
+            (4, "a reasonably long and wordy document for source b", "B"),
+            (5, "z", "B"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    kept = {r.doc_id: r.quality for r in T.quality_top_p(docs).collect()}
+    assert set(kept) == {0, 1, 4}
+    assert kept[0] >= kept[1]
