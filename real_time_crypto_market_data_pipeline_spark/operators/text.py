@@ -622,3 +622,55 @@ def quality_top_p(
         .where(F.col("rn") <= F.ceil(F.lit(p) * F.col("n_source")))
         .select("doc_id", source_col, "quality")
     )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    target_lang: str = "en",
+    min_chars: int = 150,
+    max_digit_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.55,
+) -> DataFrame:
+    """X4: corpus filter funnel with first-failing-rule attribution.
+
+    Every production corpus-cleaning run needs the attrition report:
+    how many documents each rule removed, and how much text survived.
+    Rules fire in a fixed order (short -> wrong language -> too
+    numeric -> low alpha); a document is attributed to the FIRST rule
+    it fails, which makes the counts a proper funnel (stages sum to
+    the corpus) rather than overlapping rule tallies. Emits one row
+    per (source, stage) with document and character counts, so both
+    the global funnel and per-source health fall out of one pass.
+
+    Plan: single scan, all rules are codegen'd scalar expressions on
+    that scan, one map-side-combined groupBy on (source, stage) whose
+    shuffle carries only O(sources x 5) rows. At 100 TB the report
+    costs exactly one pass over the corpus - the same shape the
+    quality gate (quality_top_p) and mix planner (mix_thresholds)
+    already use, so the funnel can share their scan.
+    """
+    t = F.col("text")
+    n_chars = F.length(t)
+    digit_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    stage = (
+        F.when(n_chars < min_chars, F.lit("too_short"))
+        .when(F.col("lang") != target_lang, F.lit("non_target_lang"))
+        .when(digit_ratio > max_digit_ratio, F.lit("too_numeric"))
+        .when(alpha_ratio < min_alpha_ratio, F.lit("low_alpha"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("source", n_chars.alias("_nc"), stage.alias("stage"))
+        .groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+        )
+    )

@@ -1485,3 +1485,85 @@ def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented in text.quality_top_p.
     """
     return T.quality_top_p(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM s
+    ),
+    q AS (
+      SELECT vec_id, v, amax,
+             CASE WHEN amax > 0
+                  THEN list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+      FROM a
+    )
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS dims,
+           amax,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CASE WHEN amax > 0 THEN
+             list_sum(list_transform(generate_series(1, len(v)),
+                 i -> POWER(v[i] - CAST(codes[i] AS DOUBLE) * amax / 127.0, 2)))
+               / CAST(len(v) AS DOUBLE)
+           ELSE 0.0 END AS mse
+    FROM q
+    """,
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: int8 scalar quantization of the embedding corpus.
+
+    The exact BIGINT code checksum proves the quantized codes match
+    the oracle element-for-element; mse audits reconstruction error.
+    See operators/similarity.scalar_quantize_int8 for the scale story
+    (4x storage cut before IVF partitioning; pure map, no shuffle).
+    """
+    return S.scalar_quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_filter_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT source, length(text) AS n_chars,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS digit_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_ratio,
+             lang
+      FROM documents
+    ),
+    staged AS (
+      SELECT source, n_chars,
+             CASE WHEN n_chars < 150 THEN 'too_short'
+                  WHEN lang <> 'en' THEN 'non_target_lang'
+                  WHEN digit_ratio > 0.2 THEN 'too_numeric'
+                  WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+                  ELSE 'kept' END AS stage
+      FROM f
+    )
+    SELECT source, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM staged GROUP BY source, stage
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: first-failing-rule attrition report per source.
+
+    See operators/text.filter_funnel: one corpus pass, rules ordered
+    so stages partition the corpus (a funnel, not overlapping rule
+    counts); the shuffle carries O(sources x stages) rows.
+    """
+    return T.filter_funnel(load(spark, sf_dir, "documents"))
