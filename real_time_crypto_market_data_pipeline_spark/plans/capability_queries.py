@@ -531,3 +531,127 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown"
         ),
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS s,
+             epoch_ms(ts) + 1800000 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.user_id, p.event_id,
+           CAST(COUNT(v.ms) AS BIGINT) AS n_views,
+           CAST(COALESCE(SUM(v.cents), 0) AS BIGINT) AS view_cents
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ms >= p.s AND v.ms <= p.e
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bin rewrite: views landing in each purchase window.
+
+    Each purchase opens a 30-minute window; count/sum the same user's
+    views inside it. The oracle is the naive inequality join; the
+    Spark plan is operators/rangejoin.interval_join_binned - an
+    equi-join on (user_id, time-bin) with an exact BETWEEN recheck,
+    so no BroadcastNestedLoopJoin appears anywhere in the plan (the
+    O(n x m) trap a literal translation would hit at 100 TB). The bin
+    width equals the window length, so each interval explodes to at
+    most 2 bins. Sums ride in integer cents (exact under any merge
+    order); purchases with zero views are restored by a left join
+    against the interval side - broadcast-sized here, key-partitioned
+    at scale.
+    """
+    from ..operators.rangejoin import interval_join_binned
+
+    ev = _events(spark, sf_dir)
+    win_ms = 1_800_000
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("ms").alias("s"),
+        (F.col("ms") + win_ms).alias("e"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ms").alias("v_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    matched = interval_join_binned(
+        views.withColumnRenamed("v_user_id", "user_id"),
+        purchases,
+        keys=["user_id"],
+        point_ts="v_ms",
+        start_col="s",
+        end_col="e",
+        bin_width=win_ms,
+    )
+    counts = matched.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum("cents").cast("long").alias("view_cents"),
+    )
+    return (
+        purchases.select("user_id", "event_id")
+        .join(counts, ["user_id", "event_id"], "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("n_views"), F.lit(0)).cast("long").alias("n_views"),
+            F.coalesce(F.col("view_cents"), F.lit(0))
+            .cast("long")
+            .alias("view_cents"),
+        )
+    )
+
+
+@query(
+    "q_zorder_key",
+    oracle="""
+    WITH d AS (
+      SELECT event_id,
+             user_id % 65536 AS x,
+             (epoch_ms(ts) // 3600000) % 65536 AS y
+      FROM events
+    )
+    SELECT event_id, x, y,
+           CAST(list_sum(list_transform(generate_series(0, 15),
+                i -> (((x >> i) & 1) << (2 * i))
+                     + (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+    FROM d
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user, hour) - layout op.
+
+    Interleaves the low 16 bits of the user dimension with the low 16
+    bits of the hour bucket: rows close in EITHER dimension land close
+    in zkey order. Writing the table sorted by zkey (sortWithinPartitions
+    -> parquet row groups) gives min/max stats that are tight in BOTH
+    dimensions, so a 2-D predicate (user range x time range) prunes row
+    groups the way a 1-D sort can only prune for one dimension - the
+    Delta/Iceberg OPTIMIZE ZORDER primitive, expressed as a pure
+    codegen'd projection (no shuffle, no UDF; the write-side sort is
+    the only exchange and it replaces the one the writer needs anyway).
+    The oracle replays the interleave bit-for-bit, proving the key is
+    engine-portable (a DuckDB reader would prune identically).
+    """
+    ev = _events(spark, sf_dir)
+    x = (F.col("user_id") % 65536).alias("x")
+    y = ((F.col("ms") / F.lit(3_600_000)).cast("bigint") % 65536).alias("y")
+    d = ev.select("event_id", x, y)
+    zkey = None
+    for i in range(16):
+        bit_x = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        bit_y = F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        term = bit_x + bit_y
+        zkey = term if zkey is None else zkey + term
+    return d.select("event_id", "x", "y", zkey.cast("long").alias("zkey"))

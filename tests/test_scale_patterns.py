@@ -353,3 +353,47 @@ def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path_factory):
     )
     got = sorted(r.vec_id for r in probed.select("vec_id").collect())
     assert got == want and len(got) > 0
+
+
+def test_interval_join_binned_plans_equi_join_and_matches_naive(spark):
+    """The bin-rewrite range join must (a) never plan a nested-loop or
+    cartesian join - the O(points x intervals) trap the rewrite exists
+    to avoid - and (b) return exactly the rows of the naive inequality
+    join."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    points = spark.range(0, 2000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 13 % 5000).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    intervals = spark.range(0, 300).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 31 % 4500).alias("s"),
+        (F.col("id") * 31 % 4500 + 250).alias("e"),
+        F.col("id").alias("iid"),
+    )
+    joined = interval_join_binned(
+        points, intervals, keys=["k"], point_ts="ts",
+        start_col="s", end_col="e", bin_width=250,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = sorted((r.iid, r.pid) for r in joined.select("iid", "pid").collect())
+    naive = (
+        intervals.alias("i")
+        .join(
+            points.alias("p"),
+            (F.col("i.k") == F.col("p.k"))
+            & F.col("p.ts").between(F.col("i.s"), F.col("i.e")),
+        )
+        .select("iid", "pid")
+    )
+    want = sorted((r.iid, r.pid) for r in naive.collect())
+    assert got == want and len(got) > 0
