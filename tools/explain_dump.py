@@ -51,6 +51,12 @@ COMMENTARY = {
     "q_boilerplate": "Cross-doc boilerplate: the DF>=5 shingle census comes back as a broadcast LEFT-join flag, so n_shingles and n_boiler fall out of ONE doc-keyed aggregation - two Generates total, never a third corpus re-explode, and no doc-keyed shuffle of raw shingles.",
     "q_shuffle_shard": "Training-order shuffle: the window partitions by the md5-derived shard, so the plan is ONE hash exchange plus per-shard local sort - at 10k shards each sort is corpus/10k and spillable, where a global ORDER BY row_number would funnel everything through one partition.",
     "q_semdedup": "SemDeDup: pairwise cosine only inside an IVF cell (the cell self-join shuffles on cell_id once, sum(cell^2) work), and the dropped-id set is distinct'd to a small list so the survivors anti-join is broadcastable under AQE.",
+    "q_realized_vol": "Realized volatility: the lag window and the aggregation both key on user_id, so one exchange+sort serves both; the squared-log-return map is codegen'd inside the window stage.",
+    "q_drawdown": "Max drawdown: running max is a rows-frame window (no self-join); the groupBy reuses the window's user_id exchange - one shuffle end to end.",
+    "q_quantize_int8": "int8 scalar quantization: pure per-row higher-order functions over the corpus scan - zero exchanges, zero Python; codes and error audit come out of the same projection.",
+    "q_filter_funnel": "Filter funnel: all rules are scalar expressions fused into the scan stage; the only exchange is the map-side-combined (source, stage) aggregate - O(sources x 5) rows of shuffle for a full-corpus report.",
+    "q_interval_join": "Range join via bin rewrite: the point-in-window match is an equi-join on (user_id, time-bin) with the BETWEEN as residual - no BroadcastNestedLoopJoin anywhere; each interval explodes to <= 2 bins, and the zero-match restore is a key-partitioned left join.",
+    "q_zorder_key": "Z-order layout key: the Morton interleave compiles to 16 shift/mask terms in one codegen'd projection - no shuffle, no UDF; write-side sortWithinPartitions on zkey is the only exchange a clustered rewrite needs.",
 }
 
 
