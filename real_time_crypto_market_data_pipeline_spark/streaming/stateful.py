@@ -282,3 +282,59 @@ def streaming_idle_flush(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+RVOL_OUTPUT_DDL = "user_id LONG, n_returns LONG, realized_var DOUBLE"
+_RVOL_STATE_DDL = "last_price DOUBLE, n LONG, ssq DOUBLE"
+
+
+def _rvol_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    last, n, ssq = state.get if state.exists else (None, 0, 0.0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ms", "event_id"], kind="stable")
+        for p in pdf["value"]:
+            p = float(p)
+            # mirror the batch lag exactly: every observation advances
+            # the "previous" slot, but a return is only accumulated
+            # when BOTH sides are positive (q_realized_vol's guard)
+            if last is not None and last > 0 and p > 0:
+                lr = math.log(p / last)
+                ssq += lr * lr
+                n += 1
+            last = p
+    state.update((last, n, ssq))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_returns": [n], "realized_var": [ssq]}
+    )
+
+
+def streaming_realized_vol(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_realized_vol: cumulative realized variance.
+
+    Per-key state is (last_price, n, sum of squared log returns) - 24
+    bytes regardless of stream length, the O(1)-state property that
+    makes the estimator streamable at all (contrast a rolling
+    percentile, which needs the window's values). Each microbatch
+    emits the key's updated cumulative (n_returns, realized_var);
+    the latest emission always equals the batch query over everything
+    ingested so far (parity asserted on replayed sf0.01 in
+    tests/test_streaming.py). Same shuffle as the batch window - one
+    hash exchange on the key - plus checkpointed state for restarts.
+    """
+    cols = ["user_id", "ms", "event_id", "value"]
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rvol_fn,
+            outputStructType=RVOL_OUTPUT_DDL,
+            stateStructType=_RVOL_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1127,3 +1127,61 @@ def test_streaming_temperature_mix_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert {100, 101, 102, 103} <= streamed   # smallest source keeps all
     assert len(streamed) < 28                 # big source downsampled
+
+
+def test_streaming_realized_vol_matches_batch_query(spark, tmp_path):
+    """Replay sf0.01 events through streaming_realized_vol in three
+    time-ordered chunks; the last emission per key must equal the
+    batch q_realized_vol over the whole table (same n bit-identical,
+    variance to float tolerance - the stream accumulates in the same
+    (ms, event_id) order the batch window sorts by)."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_realized_vol,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "value")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_realized_vol(stream)
+        .writeStream.format("memory")
+        .queryName("rvol_parity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends every emission; keep the last
+    # per key (cumulative state snapshots are monotone in n_returns)
+    emitted = spark.sql(
+        "SELECT user_id, n_returns, realized_var FROM rvol_parity"
+    ).toPandas()
+    last = emitted.sort_values("n_returns").groupby("user_id").tail(1)
+    got = {int(r.user_id): (int(r.n_returns), float(r.realized_var))
+           for r in last.itertuples()}
+
+    want = {
+        int(r["user_id"]): (int(r["n_returns"]), float(r["realized_var"]))
+        for r in QUERIES["q_realized_vol"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n_g, v_g) in got.items():
+        n_w, v_w = want[k]
+        assert n_g == n_w
+        assert abs(v_g - v_w) <= 1e-9 * max(1.0, abs(v_w))
