@@ -655,3 +655,172 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = bit_x + bit_y
         zkey = term if zkey is None else zkey + term
     return d.select("event_id", "x", "y", zkey.cast("long").alias("zkey"))
+
+
+@query(
+    "q_correlation",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             AVG(value) AS mean_val
+      FROM events GROUP BY event_type, epoch_ms(ts) // 86400000
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.mean_val AS x, b.mean_val AS y
+      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                    * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))) AS corr
+    FROM p GROUP BY type_a, type_b
+    """,
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation matrix (pairs-trading screen).
+
+    Pearson correlation of daily mean values between every pair of
+    event types. The scale property is the ORDER of operations:
+    aggregate each series to the common (type, day) grain FIRST, so
+    the pairwise self-join runs over |types| x |days| rows - thousands
+    - instead of aligning raw streams (the naive form joins 10^11 raw
+    events against themselves). The correlation is spelled out as the
+    explicit sum formula on both sides rather than each engine's
+    corr() builtin, so the only divergence is float rounding (inside
+    the driver's 6-significant-digit hash window).
+    """
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (F.col("ms") / F.lit(86_400_000)).cast("bigint").alias("day"),
+        )
+        .agg(F.avg("value").alias("mean_val"))
+    )
+    a = d.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("mean_val").alias("x"),
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("mean_val").alias("y"),
+    )
+    p = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sx2, sy2 = (
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    return p.groupBy("type_a", "type_b").agg(
+        n.cast("long").alias("n_days"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).alias(
+            "corr"
+        ),
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, MIN(epoch_ms(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_click
+      FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= a.t_view
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_purchase
+      FROM events e JOIN b ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= b.t_click
+      GROUP BY e.user_id
+    )
+    SELECT a.user_id, a.t_view, b.t_click, c.t_purchase,
+           CAST(CASE WHEN c.user_id IS NOT NULL THEN 3
+                     WHEN b.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stages_reached
+    FROM a LEFT JOIN b ON a.user_id = b.user_id
+            LEFT JOIN c ON a.user_id = c.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view -> click -> purchase, in order.
+
+    Stage N counts only events AT OR AFTER the user's stage-N-1 entry
+    time, the semantics product-analytics engines call a strict-order
+    funnel (a click before the first view does not advance). The
+    oracle spells it as three chained aggregate+join CTEs; the Spark
+    plan compiles the same semantics to ONE scan, ONE exchange:
+
+    - a RANGE-frame running min per user marks, at every event, the
+      earliest view so far ("a view at-or-before me exists") - so a
+      click qualifies exactly when that running min is non-null (the
+      frame only holds ms <= current, making `>=` structural);
+    - a second running min over the QUALIFIED click times does the
+      same for purchases (both windows share one partitioning+sort);
+    - one groupBy on the window's user_id partitioning takes the
+      stage minimums.
+
+    The chained-join form (the naive translation) re-scans events
+    five times because each stage's DataFrame is reused in two
+    places; this windowed form was adopted after reading that plan.
+    No per-user event-array collect either - a hot user streams
+    through the sort, never materializing in memory.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ms")
+    # RANGE frame on ms: equal-ms peers are IN the frame, so the
+    # running mins implement the oracle's `>=` comparisons exactly
+    # (ordering by event_id instead would drop same-ms qualifiers).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ms = F.when(F.col("event_type") == "view", F.col("ms"))
+    run_view = F.min(view_ms).over(w)
+    qual_click = F.when(
+        (F.col("event_type") == "click") & run_view.isNotNull(), F.col("ms")
+    )
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        "ms",
+        view_ms.alias("v_ms"),
+        qual_click.alias("qc_ms"),
+    )
+    run_click = F.min(F.col("qc_ms")).over(w)
+    qual_purchase = F.when(
+        (F.col("event_type") == "purchase") & run_click.isNotNull(), F.col("ms")
+    )
+    per_user = (
+        staged.select(
+            "user_id", "v_ms", "qc_ms", qual_purchase.alias("qp_ms")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("v_ms").alias("t_view"),
+            F.min("qc_ms").alias("t_click"),
+            F.min("qp_ms").alias("t_purchase"),
+        )
+        .where(F.col("t_view").isNotNull())
+    )
+    return per_user.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("stages_reached"),
+    )
