@@ -824,3 +824,50 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stages_reached"),
     )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH presence AS (
+      SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+      FROM events
+    ),
+    cohorted AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM presence
+    )
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohorted GROUP BY cohort_week, week - cohort_week
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users by first-seen week x weeks since.
+
+    The product-analytics staple: bucket every user into the week of
+    their first event (the cohort), then count how many of each
+    cohort are still active N weeks later. Order of operations is the
+    scale property: the raw stream first collapses to DISTINCT
+    (user, week) presence - one map-side-combined exchange that
+    shrinks 10^11 events to |users| x |weeks| rows - and the cohort
+    window plus the final count run over that small relation (the
+    per-user min window costs a second, tiny exchange; count(*) over
+    presence rows equals count(distinct user) because presence is
+    already distinct).
+    """
+    wk = (F.col("ms") / F.lit(604_800_000)).cast("bigint").alias("week")
+    presence = (
+        _events(spark, sf_dir).select("user_id", wk).distinct()
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = presence.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -59,6 +59,7 @@ COMMENTARY = {
     "q_zorder_key": "Z-order layout key: the Morton interleave compiles to 16 shift/mask terms in one codegen'd projection - no shuffle, no UDF; write-side sortWithinPartitions on zkey is the only exchange a clustered rewrite needs.",
     "q_correlation": "Cross-series correlation: each series aggregates to the (type, day) grain FIRST, so the pairwise self-join runs over |types| x |days| rows instead of aligning raw events - the join inputs are thousands of rows at any corpus size.",
     "q_funnel": "Strict-order funnel: ONE scan, ONE exchange - two chained RANGE-frame running mins share the user-keyed sort, and the per-user aggregate reuses the window's partitioning; the chained-join form re-scans events five times.",
+    "q_retention_cohort": "Retention cohorts: the raw stream collapses to DISTINCT (user, week) presence FIRST (map-side combine shrinks 10^11 events to |users| x |weeks| rows); the cohort window and final count run over that small relation.",
 }
 
 
