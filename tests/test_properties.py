@@ -231,3 +231,48 @@ def test_exact_stats_match_reference_formula(spark, rows):
         assert math.isclose(e.s_std, p.s_std, rel_tol=1e-6, abs_tol=1e-9)
         if e.s_count == 1:
             assert e.s_std == 0.0
+
+
+def test_funnel_stage_times_monotone(spark):
+    """Strict-order funnel invariant: whenever a later stage time is
+    present, it is >= every earlier stage time, and stages_reached
+    encodes exactly which times are present."""
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["q_funnel"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.t_view is not None
+        if r.t_click is not None:
+            assert r.t_click >= r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase >= r.t_click
+        want = 3 if r.t_purchase is not None else 2 if r.t_click is not None else 1
+        assert r.stages_reached == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_zorder_interleave_is_invertible(pairs):
+    """The Morton key is a bijection on (x, y): de-interleaving the
+    engine's bit formula recovers both coordinates, so sorting by zkey
+    loses no information (pure pre-python check of the q_zorder_key
+    bit logic - the Spark/DuckDB twin parity is the oracle test)."""
+    for x, y in pairs:
+        z = sum(
+            (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))
+            for i in range(16)
+        )
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (rx, ry) == (x, y)
