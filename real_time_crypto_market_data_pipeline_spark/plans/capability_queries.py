@@ -553,6 +553,7 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.user_id = v.user_id AND v.ms >= p.s AND v.ms <= p.e
     GROUP BY p.user_id, p.event_id
     """,
+    bench="extra",
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via bin rewrite: views landing in each purchase window.
@@ -751,6 +752,7 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a LEFT JOIN b ON a.user_id = b.user_id
             LEFT JOIN c ON a.user_id = c.user_id
     """,
+    bench="extra",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: view -> click -> purchase, in order.
