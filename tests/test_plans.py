@@ -275,3 +275,68 @@ def test_csv_snapshot_fused_single_pass(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_realized_vol_window_shuffle_reused_by_agg(spark):
+    # lag window partitioning (user_id) == aggregation key: one
+    # exchange serves both
+    plan = physical(QUERIES["q_realized_vol"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_drawdown_single_shuffle_single_scan(spark):
+    plan = physical(QUERIES["q_drawdown"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_quantize_int8_pure_projection(spark):
+    # per-vector quantization is a map: no exchange of any kind, no
+    # Python boundary
+    plan = physical(QUERIES["q_quantize_int8"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_zorder_key_pure_projection(spark):
+    plan = physical(QUERIES["q_zorder_key"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_filter_funnel_one_scan_one_small_shuffle(spark):
+    # rules fuse into the scan; the only exchange carries the
+    # (source, stage) partial aggregates
+    plan = physical(QUERIES["q_filter_funnel"](spark, SF))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_funnel_one_scan_one_exchange(spark):
+    # the strict-order funnel compiles to one user-keyed sort shared
+    # by both RANGE-frame windows and the final aggregate - the
+    # chained-join form this replaced scanned events five times
+    plan = physical(QUERIES["q_funnel"](spark, SF))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_interval_join_never_nested_loop(spark):
+    with no_auto_broadcast(spark):
+        plan = physical(QUERIES["q_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_cohort_presence_collapses_first(spark):
+    # the DISTINCT (user, week) aggregate must sit below the cohort
+    # window: the corpus-sized exchange happens once, everything
+    # after runs over the small presence relation
+    plan = physical(QUERIES["q_retention_cohort"](spark, SF))
+    assert plan.count("FileScan") == 1
+    # exchanges: presence distinct (user, week) + window (user) +
+    # final (cohort, offset) agg - all post-collapse ones are tiny
+    assert plan.count("Exchange hashpartitioning") <= 3
