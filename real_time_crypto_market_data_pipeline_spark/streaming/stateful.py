@@ -338,3 +338,58 @@ def streaming_realized_vol(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DD_OUTPUT_DDL = "user_id LONG, n_obs LONG, peak DOUBLE, max_drawdown DOUBLE"
+_DD_STATE_DDL = "runmax DOUBLE, maxdd DOUBLE, n LONG"
+
+
+def _drawdown_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    runmax, maxdd, n = state.get if state.exists else (None, 0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ms", "event_id"], kind="stable")
+        for p in pdf["value"]:
+            p = float(p)
+            if p <= 0:
+                continue  # q_drawdown's positivity filter
+            runmax = p if runmax is None or p > runmax else runmax
+            dd = (runmax - p) / runmax
+            maxdd = dd if dd > maxdd else maxdd
+            n += 1
+    state.update((runmax, maxdd, n))
+    if n > 0:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_obs": [n],
+                "peak": [runmax],
+                "max_drawdown": [maxdd],
+            }
+        )
+
+
+def streaming_drawdown(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_drawdown: running peak + max drawdown.
+
+    Like `streaming_realized_vol`, the estimator is O(1)-state by
+    construction: (running max, max drawdown, count) - both running
+    quantities are monotone, so cross-batch accumulation in event
+    order is exactly the batch window's running max. The latest
+    emission per key equals the batch query over everything ingested
+    (parity test in tests/test_streaming.py).
+    """
+    cols = ["user_id", "ms", "event_id", "value"]
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _drawdown_fn,
+            outputStructType=DD_OUTPUT_DDL,
+            stateStructType=_DD_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

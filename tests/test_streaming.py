@@ -1185,3 +1185,58 @@ def test_streaming_realized_vol_matches_batch_query(spark, tmp_path):
         n_w, v_w = want[k]
         assert n_g == n_w
         assert abs(v_g - v_w) <= 1e-9 * max(1.0, abs(v_w))
+
+
+def test_streaming_drawdown_matches_batch_query(spark, tmp_path):
+    """Replay sf0.01 events through streaming_drawdown in three
+    time-ordered chunks; last emission per key == batch q_drawdown
+    (counts and peak bit-identical, drawdown to float tolerance)."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_drawdown,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "value")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_drawdown(stream)
+        .writeStream.format("memory")
+        .queryName("dd_parity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql(
+        "SELECT user_id, n_obs, peak, max_drawdown FROM dd_parity"
+    ).toPandas()
+    last = emitted.sort_values("n_obs").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (int(r.n_obs), float(r.peak), float(r.max_drawdown))
+        for r in last.itertuples()
+    }
+    want = {
+        int(r["user_id"]): (int(r["n_obs"]), float(r["peak"]), float(r["max_drawdown"]))
+        for r in QUERIES["q_drawdown"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n_g, p_g, d_g) in got.items():
+        n_w, p_w, d_w = want[k]
+        assert n_g == n_w and p_g == p_w
+        assert abs(d_g - d_w) <= 1e-12 * max(1.0, abs(d_w))
