@@ -685,12 +685,18 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson correlation of daily mean values between every pair of
     event types. The scale property is the ORDER of operations:
     aggregate each series to the common (type, day) grain FIRST, so
-    the pairwise self-join runs over |types| x |days| rows - thousands
+    the pairwise expansion runs over |types| x |days| rows - thousands
     - instead of aligning raw streams (the naive form joins 10^11 raw
-    events against themselves). The correlation is spelled out as the
-    explicit sum formula on both sides rather than each engine's
-    corr() builtin, so the only divergence is float rounding (inside
-    the driver's 6-significant-digit hash window).
+    events against themselves). The oracle writes the pairing as a
+    self-join; the Spark plan instead collects each day's (type, mean)
+    structs and expands pairs with higher-order functions, because a
+    DataFrame self-join duplicates lineage and re-scans the corpus
+    twice (observed in the joined form's plan) - this form has ONE
+    FileScan, and every post-collapse exchange carries day-grain rows.
+    The correlation is spelled out as the explicit sum formula on both
+    sides rather than each engine's corr() builtin, so the only
+    divergence is float rounding (inside the driver's
+    6-significant-digit hash window).
     """
     d = (
         _events(spark, sf_dir)
@@ -700,17 +706,28 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.avg("value").alias("mean_val"))
     )
-    a = d.select(
-        F.col("event_type").alias("type_a"),
-        "day",
-        F.col("mean_val").alias("x"),
+    per_day = d.groupBy("day").agg(
+        F.collect_list(F.struct("event_type", "mean_val")).alias("series")
     )
-    b = d.select(
-        F.col("event_type").alias("type_b"),
-        "day",
-        F.col("mean_val").alias("y"),
+    arr = F.col("series")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                arr,
+                lambda s: F.transform(
+                    arr,
+                    lambda t: F.struct(
+                        s["event_type"].alias("type_a"),
+                        t["event_type"].alias("type_b"),
+                        s["mean_val"].alias("x"),
+                        t["mean_val"].alias("y"),
+                    ),
+                ),
+            )
+        ),
+        lambda pr: pr["type_a"] < pr["type_b"],
     )
-    p = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    p = per_day.select(F.explode(pairs).alias("pr")).select("pr.*")
     n = F.count(F.lit(1))
     sx, sy = F.sum("x"), F.sum("y")
     sxy, sx2, sy2 = (

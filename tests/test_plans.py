@@ -340,3 +340,11 @@ def test_retention_cohort_presence_collapses_first(spark):
     # exchanges: presence distinct (user, week) + window (user) +
     # final (cohort, offset) agg - all post-collapse ones are tiny
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_correlation_single_scan(spark):
+    # pairing via per-day collect_list + HOF expansion, not a
+    # self-join: a self-join duplicates lineage and re-scans the
+    # corpus twice
+    plan = physical(QUERIES["q_correlation"](spark, SF))
+    assert plan.count("FileScan") == 1

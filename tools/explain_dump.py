@@ -57,7 +57,7 @@ COMMENTARY = {
     "q_filter_funnel": "Filter funnel: all rules are scalar expressions fused into the scan stage; the only exchange is the map-side-combined (source, stage) aggregate - O(sources x 5) rows of shuffle for a full-corpus report.",
     "q_interval_join": "Range join via bin rewrite: the point-in-window match is an equi-join on (user_id, time-bin) with the BETWEEN as residual - no BroadcastNestedLoopJoin anywhere; each interval explodes to <= 2 bins, and the zero-match restore is a key-partitioned left join.",
     "q_zorder_key": "Z-order layout key: the Morton interleave compiles to 16 shift/mask terms in one codegen'd projection - no shuffle, no UDF; write-side sortWithinPartitions on zkey is the only exchange a clustered rewrite needs.",
-    "q_correlation": "Cross-series correlation: each series aggregates to the (type, day) grain FIRST, so the pairwise self-join runs over |types| x |days| rows instead of aligning raw events - the join inputs are thousands of rows at any corpus size.",
+    "q_correlation": "Cross-series correlation: each series aggregates to the (type, day) grain FIRST, then pairs expand via per-day collect_list + higher-order functions - ONE corpus scan (the self-join form re-scans events twice); every post-collapse exchange carries day-grain rows.",
     "q_funnel": "Strict-order funnel: ONE scan, ONE exchange - two chained RANGE-frame running mins share the user-keyed sort, and the per-user aggregate reuses the window's partitioning; the chained-join form re-scans events five times.",
     "q_retention_cohort": "Retention cohorts: the raw stream collapses to DISTINCT (user, week) presence FIRST (map-side combine shrinks 10^11 events to |users| x |weeks| rows); the cohort window and final count run over that small relation.",
 }
