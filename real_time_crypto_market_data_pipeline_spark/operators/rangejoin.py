@@ -40,13 +40,23 @@ def interval_join_binned(
     start_col: str,
     end_col: str,
     bin_width: int,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join points into intervals via the bin rewrite.
+    """Join points into intervals via the bin rewrite.
 
-    Returns matched (interval x point) rows carrying all columns from
-    both sides (point columns win name clashes only if disjoint -
-    callers should pre-alias). ``bin_width`` is in the ts unit
-    (typically ms); intervals must satisfy ``start <= end``.
+    ``how="inner"`` returns matched (interval x point) rows carrying
+    all columns from both sides (callers should pre-alias clashes).
+    ``how="left"`` keeps zero-match intervals with null point columns
+    - note a multi-bin interval with no match yields one null row PER
+    BIN, so left-mode callers must aggregate with null-skipping
+    functions (count(point_col), sum) rather than count(*). That is
+    still the right trade at scale: restoring zero-match intervals
+    with a second join would re-scan the interval source (lineage
+    duplication re-executes it), where the per-bin null rows cost
+    O(bins(interval)) extra rows through one aggregate.
+
+    ``bin_width`` is in the ts unit (typically ms); intervals must
+    satisfy ``start <= end``.
     """
     binned_points = points.withColumn(
         "_bin", F.floor(F.col(point_ts) / F.lit(bin_width))
@@ -60,8 +70,28 @@ def interval_join_binned(
             )
         ),
     )
-    return (
-        binned_intervals.join(binned_points, [*keys, "_bin"])
-        .where(F.col(point_ts).between(F.col(start_col), F.col(end_col)))
-        .drop("_bin")
+    if how == "inner":
+        return (
+            binned_intervals.join(binned_points, [*keys, "_bin"])
+            .where(F.col(point_ts).between(F.col(start_col), F.col(end_col)))
+            .drop("_bin")
+        )
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    # left: keep the BETWEEN as part of the join condition (a WHERE
+    # after a left join would drop the unmatched rows again)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (binned_intervals[k] == binned_points[k])
+    cond = (
+        cond
+        & (binned_intervals["_bin"] == binned_points["_bin"])
+        & binned_points[point_ts].between(
+            binned_intervals[start_col], binned_intervals[end_col]
+        )
+    )
+    joined = binned_intervals.join(binned_points, cond, "left")
+    # drop the point side's duplicated key/bin columns
+    return joined.drop(binned_points["_bin"]).drop(binned_intervals["_bin"]).drop(
+        *[binned_points[k] for k in keys]
     )

@@ -566,9 +566,11 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n x m) trap a literal translation would hit at 100 TB). The bin
     width equals the window length, so each interval explodes to at
     most 2 bins. Sums ride in integer cents (exact under any merge
-    order); purchases with zero views are restored by a left join
-    against the interval side - broadcast-sized here, key-partitioned
-    at scale.
+    order); purchases with zero views survive through the operator's
+    LEFT mode (null point rows that the count/sum skip), so each
+    source is scanned exactly once - an inner join + restore-join
+    would re-scan the purchase side (lineage duplication, observed as
+    a third FileScan in that form's plan).
     """
     from ..operators.rangejoin import interval_join_binned
 
@@ -593,22 +595,13 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="s",
         end_col="e",
         bin_width=win_ms,
+        how="left",
     )
-    counts = matched.groupBy("user_id", "event_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_views"),
-        F.sum("cents").cast("long").alias("view_cents"),
-    )
-    return (
-        purchases.select("user_id", "event_id")
-        .join(counts, ["user_id", "event_id"], "left")
-        .select(
-            "user_id",
-            "event_id",
-            F.coalesce(F.col("n_views"), F.lit(0)).cast("long").alias("n_views"),
-            F.coalesce(F.col("view_cents"), F.lit(0))
-            .cast("long")
-            .alias("view_cents"),
-        )
+    # count(v_ms)/sum skip the nulls LEFT mode emits for zero-match
+    # (interval, bin) rows, so unmatched purchases come out as 0/0
+    return matched.groupBy("user_id", "event_id").agg(
+        F.count("v_ms").cast("long").alias("n_views"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("view_cents"),
     )
 
 

@@ -348,3 +348,10 @@ def test_correlation_single_scan(spark):
     # corpus twice
     plan = physical(QUERIES["q_correlation"](spark, SF))
     assert plan.count("FileScan") == 1
+
+
+def test_interval_join_each_source_scanned_once(spark):
+    # LEFT-mode bin join: no restore-join, so purchases and views
+    # each scan exactly once
+    plan = physical(QUERIES["q_interval_join"](spark, SF))
+    assert plan.count("FileScan") == 2

@@ -397,3 +397,51 @@ def test_interval_join_binned_plans_equi_join_and_matches_naive(spark):
     )
     want = sorted((r.iid, r.pid) for r in naive.collect())
     assert got == want and len(got) > 0
+
+
+def test_interval_join_binned_left_matches_naive_left(spark):
+    """LEFT mode: zero-match intervals survive as null point rows and
+    aggregate to zero with null-skipping functions, matching the
+    naive left inequality join exactly."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    points = spark.range(0, 500).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 17 % 3000).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    intervals = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 97 % 6000).alias("s"),  # half beyond max ts: no match
+        (F.col("id") * 97 % 6000 + 100).alias("e"),
+        F.col("id").alias("iid"),
+    )
+    got = {
+        (r.iid): r.n
+        for r in interval_join_binned(
+            points, intervals, keys=["k"], point_ts="ts",
+            start_col="s", end_col="e", bin_width=100, how="left",
+        )
+        .groupBy("iid")
+        .agg(F.count("pid").alias("n"))
+        .collect()
+    }
+    naive = {
+        r.iid: r.n
+        for r in intervals.alias("i")
+        .join(
+            points.alias("p"),
+            (F.col("i.k") == F.col("p.k"))
+            & F.col("p.ts").between(F.col("i.s"), F.col("i.e")),
+            "left",
+        )
+        .groupBy("iid")
+        .agg(F.count("pid").alias("n"))
+        .collect()
+    }
+    assert got == naive
+    assert 0 in set(got.values())  # zero-match intervals really occur

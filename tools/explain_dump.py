@@ -55,7 +55,7 @@ COMMENTARY = {
     "q_drawdown": "Max drawdown: running max is a rows-frame window (no self-join); the groupBy reuses the window's user_id exchange - one shuffle end to end.",
     "q_quantize_int8": "int8 scalar quantization: pure per-row higher-order functions over the corpus scan - zero exchanges, zero Python; codes and error audit come out of the same projection.",
     "q_filter_funnel": "Filter funnel: all rules are scalar expressions fused into the scan stage; the only exchange is the map-side-combined (source, stage) aggregate - O(sources x 5) rows of shuffle for a full-corpus report.",
-    "q_interval_join": "Range join via bin rewrite: the point-in-window match is an equi-join on (user_id, time-bin) with the BETWEEN as residual - no BroadcastNestedLoopJoin anywhere; each interval explodes to <= 2 bins, and the zero-match restore is a key-partitioned left join.",
+    "q_interval_join": "Range join via bin rewrite: the point-in-window match is a LEFT equi-join on (user_id, time-bin) with the BETWEEN in the join condition - no BroadcastNestedLoopJoin anywhere; each interval explodes to <= 2 bins, zero-match windows survive as null rows the count/sum skip, and each source scans exactly once.",
     "q_zorder_key": "Z-order layout key: the Morton interleave compiles to 16 shift/mask terms in one codegen'd projection - no shuffle, no UDF; write-side sortWithinPartitions on zkey is the only exchange a clustered rewrite needs.",
     "q_correlation": "Cross-series correlation: each series aggregates to the (type, day) grain FIRST, then pairs expand via per-day collect_list + higher-order functions - ONE corpus scan (the self-join form re-scans events twice); every post-collapse exchange carries day-grain rows.",
     "q_funnel": "Strict-order funnel: ONE scan, ONE exchange - two chained RANGE-frame running mins share the user-keyed sort, and the per-user aggregate reuses the window's partitioning; the chained-join form re-scans events five times.",
