@@ -627,16 +627,22 @@ def semantic_dedup(
     and the cell self-join shuffles both sides on cell_id once. The
     dropped-id set is distinct'd before the anti-join, so the final
     pass is corpus vs a small id list (broadcastable under AQE). The
-    threshold is corpus-calibrated: this synthetic table is random
+    assignment (id, cell, vector) is computed ONCE and materialized
+    with ``localCheckpoint`` before its three uses (both self-join
+    sides + the survivors anti-join) - as a lazy lineage it would
+    re-execute per use, which planned as EIGHT corpus scans before
+    this was caught; at 100 TB the materialization is the assignment
+    table the IVF scale path writes partitioned by cell_id anyway
+    (tests/test_scale_patterns.py::test_ivf_partitioned_probe...).
+    The threshold is corpus-calibrated: this synthetic table is random
     vectors (within-cell cosine tops out ~0.49), so the default 0.40
     prunes the most-similar tail; real embedded text uses ~0.95+.
     """
     from .similarity import cosine_sim, ivf_assign
 
-    assigned = ivf_assign(
-        embeddings, num_cells, id_col=id_col, vec_col=vec_col
-    )
-    e = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    e = ivf_assign(
+        embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).localCheckpoint()
     a = e.select(
         F.col(id_col).alias("_id_a"), "cell_id", F.col(vec_col).alias("_va")
     )
@@ -650,6 +656,6 @@ def semantic_dedup(
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )
-    return assigned.join(dropped, id_col, "left_anti").select(
+    return e.join(dropped, id_col, "left_anti").select(
         id_col, F.col("cell_id").cast("int").alias("cell_id")
     )

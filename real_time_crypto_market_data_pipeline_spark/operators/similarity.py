@@ -80,6 +80,7 @@ def ivf_assign(
     num_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
@@ -87,7 +88,10 @@ def ivf_assign(
     ``num_cells`` smallest ids (a fixed, reproducible sample - real
     pipelines would run k-means; the assignment topology is identical).
     Broadcast join against C centroids + argmax-by-struct, no shuffle
-    of the corpus.
+    of the corpus. ``keep_vec=True`` carries the vector through the
+    argmax aggregate (it is constant per id, so ``first`` is
+    deterministic) - callers that need (id, cell, vector) then avoid
+    a join back to the corpus, i.e. a second corpus scan.
     """
     cents = embeddings.where(F.col(id_col) < num_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
@@ -99,12 +103,16 @@ def ivf_assign(
         cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim"),
     )
     # argmax via max(struct(sim, -cell_id)): highest sim, ties -> lowest cell
-    best = scored.groupBy(id_col).agg(
+    aggs = [
         F.max(F.struct(F.col("csim"), (-F.col("cell_id")).alias("_neg"))).alias("_best")
-    )
-    return best.select(
-        F.col(id_col), (-F.col("_best._neg")).cast("int").alias("cell_id")
-    )
+    ]
+    if keep_vec:
+        aggs.append(F.first(F.col(vec_col)).alias(vec_col))
+    best = scored.groupBy(id_col).agg(*aggs)
+    keep = [F.col(id_col), (-F.col("_best._neg")).cast("int").alias("cell_id")]
+    if keep_vec:
+        keep.append(F.col(vec_col))
+    return best.select(*keep)
 
 
 def ivf_topk(

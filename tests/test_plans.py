@@ -355,3 +355,13 @@ def test_interval_join_each_source_scanned_once(spark):
     # each scan exactly once
     plan = physical(QUERIES["q_interval_join"](spark, SF))
     assert plan.count("FileScan") == 2
+
+
+def test_semdedup_assignment_materialized_once(spark):
+    # the (id, cell, vector) assignment is localCheckpoint'd before
+    # its three uses; as lazy lineage the final plan re-derived it
+    # per use (eight corpus scans). The returned plan must read the
+    # materialized copy, not parquet.
+    plan = physical(QUERIES["q_semdedup"](spark, SF))
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
