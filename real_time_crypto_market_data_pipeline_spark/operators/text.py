@@ -513,17 +513,23 @@ def boilerplate_ngrams(
     join) is the cache/persist point; the DF count itself is the same
     aggregation a TF-IDF pass already runs. No pairwise work anywhere.
     """
+    # explode_outer keeps shingle-less docs (< shingle_n tokens) as a
+    # null-shingle row, so they flow through the doc-keyed aggregate
+    # with zero counts instead of needing a third corpus scan to
+    # restore them via a left join (lineage duplication re-executes
+    # the source per use - same lesson as q_semdedup/q_interval_join)
     dsh = (
         docs.select(
             "doc_id",
-            F.explode(word_shingles(tokens_col(F.col(text_col)), shingle_n)).alias(
-                "shingle"
-            ),
+            F.explode_outer(
+                word_shingles(tokens_col(F.col(text_col)), shingle_n)
+            ).alias("shingle"),
         )
         .distinct()
     )
     boiler = (
-        dsh.groupBy("shingle")
+        dsh.where(F.col("shingle").isNotNull())
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
         .select("shingle", F.lit(1).alias("is_boiler"))
@@ -532,18 +538,18 @@ def boilerplate_ngrams(
         dsh.join(F.broadcast(boiler), "shingle", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            # count("shingle") skips the null rows explode_outer added
+            F.count("shingle").cast("long").alias("n_shingles"),
             F.sum(F.coalesce("is_boiler", F.lit(0))).cast("long").alias("n_boiler"),
         )
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
-        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
-        F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+        "n_shingles",
+        "n_boiler",
         F.when(
-            F.coalesce("n_shingles", F.lit(0)) > 0,
-            F.coalesce("n_boiler", F.lit(0)).cast("double")
-            / F.col("n_shingles").cast("double"),
+            F.col("n_shingles") > 0,
+            F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"),
         )
         .otherwise(F.lit(0.0))
         .alias("boiler_ratio"),

@@ -365,3 +365,11 @@ def test_semdedup_assignment_materialized_once(spark):
     plan = physical(QUERIES["q_semdedup"](spark, SF))
     assert plan.count("FileScan parquet") == 0
     assert "ExistingRDD" in plan
+
+
+def test_boilerplate_two_scans_no_restore_join(spark):
+    # explode_outer keeps shingle-less docs in the stream, so the two
+    # documented dsh uses (census + flag join) are the ONLY corpus
+    # scans - no third restore-join scan
+    plan = physical(QUERIES["q_boilerplate"](spark, SF))
+    assert plan.count("FileScan") == 2
