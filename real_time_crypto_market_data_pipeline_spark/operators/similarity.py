@@ -127,19 +127,17 @@ def ivf_topk(
 
     At scale the assignment table is written partitioned by cell_id, so
     this probe is a partition-pruned scan of ~1/C of the corpus
-    followed by a local top-k.
+    followed by a local top-k. ``keep_vec`` assignment means the
+    corpus contributes ONE full scan; the broadcast query row
+    (cell + vector together) re-derives through an id-pushed point
+    lookup, not a corpus rescan.
     """
-    assign = ivf_assign(embeddings, num_cells, id_col, vec_col)
-    e = embeddings.join(assign, on=id_col)
-    qcell = assign.where(F.col(id_col) == query_vec_id).select(
-        F.col("cell_id").alias("_qcell")
-    )
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+    e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True)
+    qrow = e.where(F.col(id_col) == query_vec_id).select(
+        F.col("cell_id").alias("_qcell"), F.col(vec_col).alias("_qvec")
     )
     return (
-        e.join(F.broadcast(qcell), e.cell_id == F.col("_qcell"))
-        .crossJoin(F.broadcast(q))
+        e.join(F.broadcast(qrow), e.cell_id == F.col("_qcell"))
         .select(
             F.col(id_col),
             F.col("cell_id").cast("int").alias("cell_id"),
