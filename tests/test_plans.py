@@ -373,3 +373,19 @@ def test_boilerplate_two_scans_no_restore_join(spark):
     # scans - no third restore-join scan
     plan = physical(QUERIES["q_boilerplate"](spark, SF))
     assert plan.count("FileScan") == 2
+
+
+def test_jaccard_distinct_exchange_reused_at_runtime(spark):
+    """The (doc, shingle) distinct feeds both self-join sides and the
+    size census through canonically identical exchanges, so AQE's
+    runtime exchange reuse computes it ONCE - the docstring's claim,
+    asserted on the final adaptive plan. (Initial-plan FileScan counts
+    over-state the cost for identical subtrees: audit final plans.)"""
+    df = QUERIES["q_dedup_jaccard"](spark, SF)
+    df.collect()
+    es = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    final = df._jdf.queryExecution().explainString(es)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
