@@ -32,9 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q_shuffle_shard, q_semdedup, q_dedup_incremental,
 #      q_quality_topp, q_realized_vol, q_drawdown, q_quantize_int8,
 #      q_filter_funnel, q_interval_join, q_zorder_key,
-#      q_correlation, q_funnel, q_retention_cohort; 17 total) -
-#      first driver check;
-#   3. 24 of the r3 cohort, so their evidence does not age past two
+#      q_correlation, q_funnel, q_retention_cohort,
+#      q_session_stats; 18 total) - first driver check;
+#   3. 23 of the r3 cohort, so their evidence does not age past two
 #      rounds; VERDICT-r4-named items (flagship q_csv_snapshot, the
 #      A-family, rollup/OHLC, TPC-H q13/q16/q21) are all included.
 # The 15 deferred r3 queries (simple plans sharing code paths with
@@ -52,7 +52,7 @@ _PRIORITY = [
     "q_dedup_incremental", "q_quality_topp",
     "q_realized_vol", "q_drawdown", "q_quantize_int8", "q_filter_funnel",
     "q_interval_join", "q_zorder_key", "q_correlation", "q_funnel",
-    "q_retention_cohort",
+    "q_retention_cohort", "q_session_stats",
     # --- 3: r3 cohort (evidence from two rounds ago) ---
     "q_invariant_check", "q_latency_cols", "q_date_partition",
     "q_lag_diff", "q_window_range", "q_csv_snapshot",
@@ -63,7 +63,7 @@ _PRIORITY = [
     "q_dedup_lsh_jaccard", "q_dedup_clusters",
     "q_media_features", "q_ann_lsh_buckets",
     "q_repetition_stats",
-    "q_pack_sequences", "q_ohlc_rollup", "q_percentiles",
+    "q_pack_sequences", "q_ohlc_rollup",
     "q_tpch_q21",
     # --- beyond the 50-query prefix: r6 rotation leads ---
     # (q_stale_stats / q_interval_count / q_grouping_sets /
@@ -84,7 +84,10 @@ _PRIORITY = [
     # streaming/batch parity tests. q_ann_ivf_kmeans made room for
     # q_retention_cohort: the r4-green q_ann_ivf plus q_ann_lsh_buckets
     # keep the ANN family driver-covered, and the kmeans recall/cap
-    # unit tests run locally.)
+    # unit tests run locally. q_percentiles made room for
+    # q_session_stats: its exact lower-rule path also runs inside
+    # q_unpivot_percentiles' r6-leading rotation slot.)
+    "q_percentiles",
     "q_ann_ivf_kmeans",
     "q_chunk_documents", "q_rollup_merge",
     "q_tfidf", "q_grouped_stats",

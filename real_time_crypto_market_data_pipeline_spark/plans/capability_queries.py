@@ -883,3 +883,70 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ms(ts), event_id) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ms, value,
+             CASE WHEN prev IS NULL OR ms - prev > 86400000 THEN 1 ELSE 0 END AS is_new
+      FROM d
+    ),
+    sess AS (
+      SELECT user_id, ms, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ms) AS BIGINT) AS start_ms,
+           CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session summary stats over the 24 h-gap sessionization.
+
+    What an analyst reads off sessions: events per session, start,
+    duration, and total value (exact integer cents). Composes the
+    q_sessionize window (lag-gap mark + running sum) with a grouped
+    aggregate whose keys (user_id, session_id) are a SUPERSET of the
+    window's user_id partitioning - HashPartitioning(user_id)
+    satisfies the aggregate's clustered distribution, so the whole
+    query is one scan, one exchange, one sort (plan-audited).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ms", "value")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    marked = ev.withColumn("prev", F.lag("ms").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev").isNull() | (F.col("ms") - F.col("prev") > 86_400_000), 1
+        ).otherwise(0),
+    )
+    sess = marked.select(
+        "user_id",
+        "ms",
+        "value",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ms").cast("long").alias("start_ms"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("duration_ms"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("long")
+        .alias("value_cents"),
+    )

@@ -389,3 +389,12 @@ def test_jaccard_distinct_exchange_reused_at_runtime(spark):
     final = df._jdf.queryExecution().explainString(es)
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+
+
+def test_session_stats_one_scan_one_exchange(spark):
+    # the (user_id, session_id) grouping keys are a superset of the
+    # window's user_id partitioning, so the aggregate reuses the
+    # window's exchange
+    plan = physical(QUERIES["q_session_stats"](spark, SF))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -59,6 +59,7 @@ COMMENTARY = {
     "q_zorder_key": "Z-order layout key: the Morton interleave compiles to 16 shift/mask terms in one codegen'd projection - no shuffle, no UDF; write-side sortWithinPartitions on zkey is the only exchange a clustered rewrite needs.",
     "q_correlation": "Cross-series correlation: each series aggregates to the (type, day) grain FIRST, then pairs expand via per-day collect_list + higher-order functions - ONE corpus scan (the self-join form re-scans events twice); every post-collapse exchange carries day-grain rows.",
     "q_funnel": "Strict-order funnel: ONE scan, ONE exchange - two chained RANGE-frame running mins share the user-keyed sort, and the per-user aggregate reuses the window's partitioning; the chained-join form re-scans events five times.",
+    "q_session_stats": "Per-session stats: the (user_id, session_id) grouping keys superset the window's user_id partitioning, so the aggregate reuses the sessionizer's exchange - one scan, one exchange, one sort end to end; value sums ride in exact integer cents.",
     "q_retention_cohort": "Retention cohorts: the raw stream collapses to DISTINCT (user, week) presence FIRST (map-side combine shrinks 10^11 events to |users| x |weeks| rows); the cohort window and final count run over that small relation.",
 }
 
