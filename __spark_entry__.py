@@ -22,7 +22,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies a prefix of this dict (50 queries per round),
-# so ordering is evidence allocation. Round-5 allocation:
+# so ordering is evidence allocation: the prefix is always the 50
+# queries whose driver evidence is OLDEST ("oldest-first" rotation).
+# With 122 registered queries and 50 slots per round, oldest-first
+# keeps every query's evidence at most 2 rounds old in steady state
+# (tools/selfcheck.py --evidence-age mechanizes the check).
+#
+# Round-6 allocation:
+#   1. the 25 queries whose latest driver evidence is round 3
+#      (CORRECTNESS_r03) - two rounds old, the oldest in the registry;
+#   2. 25 of the 49 round-4-evidence queries: the eight that are also
+#      bench-headline lines (q_token_stats - the r5 bench watch item -
+#      dedup/cosine/tpch q1/q5/q9), the protocol F-family
+#      (json_decode..to_json), and a TPC-H spread (q2-q4, q6-q8, q10).
+#   3. beyond the prefix: the remaining 24 r4-evidence queries - these
+#      lead the round-7 prefix - then the r5-evidence cohort (via the
+#      registry-order fallback in queries()).
+# Registry delta this round: 125 -> 122. q_dedup_simhash folded into
+# q_dedup_simhash_pairs (pairs runs the fingerprint stage internally),
+# q_dedup_jaccard_pruned folded into q_dedup_jaccard (max_df knob keeps
+# its unit test), q_cosine_topk_fold_highdim retired after its
+# fold-vs-Arrow contrast was recorded in SCALING.md (agreement stays a
+# unit test). See plans/ext_queries.py consolidation notes.
+#
+# Round-5 allocation (history):
 #   1. the 9 documents-table queries whose only driver evidence was
 #      round 1 (the r4 rotation comment scheduled them here) - after
 #      this round every registered query has driver evidence on
@@ -42,62 +65,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # the round-6 rotation. The r4 cohort (all green in
 # CORRECTNESS_r04.json) rotates back in round 6.
 _PRIORITY = [
-    # --- 1: r1-era documents-table queries (oldest driver evidence) ---
-    "q_dedup_near_pairs", "q_dedup_simhash", "q_dedup_simhash_pairs",
-    "q_dedup_jaccard_pruned", "q_corpus_prep", "q_decontaminate",
-    "q_dedup_embed", "q_token_count_bpe", "q_lang_id",
-    # --- 2: new this round ---
-    "q_decontaminate_bloom", "q_dedup_retention",
-    "q_mix_temperature", "q_boilerplate", "q_shuffle_shard", "q_semdedup",
-    "q_dedup_incremental", "q_quality_topp",
-    "q_realized_vol", "q_drawdown", "q_quantize_int8", "q_filter_funnel",
-    "q_interval_join", "q_zorder_key", "q_correlation", "q_funnel",
-    "q_retention_cohort", "q_session_stats",
-    # --- 3: r3 cohort (evidence from two rounds ago) ---
-    "q_invariant_check", "q_latency_cols", "q_date_partition",
-    "q_lag_diff", "q_window_range", "q_csv_snapshot",
-    "q_asof_join", "q_sessionize",
-    "q_scd2_history", "q_pit_read",
-    "q_tpch_q13", "q_tpch_q16", "q_salted_stats",
-    "q_join_enrich", "q_order_revenue_topk",
-    "q_dedup_lsh_jaccard", "q_dedup_clusters",
-    "q_media_features", "q_ann_lsh_buckets",
-    "q_repetition_stats",
-    "q_pack_sequences", "q_ohlc_rollup",
-    "q_tpch_q21",
-    # --- beyond the 50-query prefix: r6 rotation leads ---
-    # (q_stale_stats / q_interval_count / q_grouping_sets /
-    # q_topk_per_group were demoted to make room for the four
-    # late-round-5 queries above; each shares its code path with a
-    # query still in the prefix - q_lag_diff's staleness source,
-    # q_sessionize's window family, the multi-grouping family,
-    # q_quality_topp's rank gate - and has green r3 driver evidence.
-    # Likewise the earlier demotions: percentiles, join_enrich,
-    # scd2's window family, the OHLC rollup cover them. q_tfidf and
-    # q_grouped_stats made room for q_interval_join/q_zorder_key:
-    # grouped_stats' exact-sum family runs inside the flagship
-    # q_csv_snapshot; tfidf's tokenize/explode path runs inside
-    # q_token_count_bpe and the funnel. q_chunk_documents and
-    # q_rollup_merge made room for q_correlation/q_funnel: chunking
-    # executes inside q_pack_sequences' first stage, and the rollup
-    # merge machinery is exercised by q_ohlc_rollup plus the
-    # streaming/batch parity tests. q_ann_ivf_kmeans made room for
-    # q_retention_cohort: the r4-green q_ann_ivf plus q_ann_lsh_buckets
-    # keep the ANN family driver-covered, and the kmeans recall/cap
-    # unit tests run locally. q_percentiles made room for
-    # q_session_stats: its exact lower-rule path also runs inside
-    # q_unpivot_percentiles' r6-leading rotation slot.)
-    "q_percentiles",
-    "q_ann_ivf_kmeans",
-    "q_chunk_documents", "q_rollup_merge",
-    "q_tfidf", "q_grouped_stats",
+    # --- 1: r3-evidence cohort (25; oldest driver evidence, 2 rounds) ---
+    "q_percentiles", "q_ann_ivf_kmeans", "q_chunk_documents",
+    "q_rollup_merge", "q_tfidf", "q_grouped_stats",
     "q_stale_stats", "q_interval_count", "q_grouping_sets",
-    "q_topk_per_group",
-    "q_unpivot_percentiles", "q_supplier_region", "q_part_brand_stats",
-    "q_first_last_value", "q_twap", "q_ohlc_bars",
+    "q_topk_per_group", "q_unpivot_percentiles", "q_supplier_region",
+    "q_part_brand_stats", "q_first_last_value", "q_twap", "q_ohlc_bars",
     "q_merge_upsert", "q_profile_columns", "q_sketch_distinct",
     "q_fingerprint", "q_corpus_sample", "q_corpus_split",
     "q_scrub_text", "q_quality_score", "q_media_summary",
+    # --- 2: r4-evidence cohort part A (25 of 49) ---
+    # bench-headline lines first (q_token_stats is the r5 watch item):
+    "q_token_stats", "q_dedup_exact", "q_dedup_near", "q_dedup_jaccard",
+    "q_cosine_topk", "q_tpch_q1", "q_tpch_q5", "q_tpch_q9",
+    # protocol F-family:
+    "q_json_decode", "q_filter_isin", "q_channel_split", "q_element_at",
+    "q_explode", "q_try_cast", "q_array_transform", "q_best_levels",
+    "q_struct_project", "q_to_json",
+    # TPC-H spread:
+    "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q10",
+    # --- 3: beyond the 50-slot prefix: r4-evidence part B (24) ---
+    # these are the registry's oldest evidence after round 6 closes,
+    # so they lead the round-7 prefix.
+    "q_above_customer_avg", "q_ann_ivf", "q_cosine_topk_arrow_highdim",
+    "q_count_by_key", "q_cube", "q_format_string", "q_having_gate",
+    "q_null_guard", "q_pivot", "q_rollup", "q_semi_anti", "q_set_ops",
+    "q_spread", "q_window_variety", "q_zero_rate",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q22",
+    # --- 4: the 48 r5-evidence queries follow in registry order via the
+    #        fallback in queries(); they rotate back in rounds 7-8. ---
 ]
 
 

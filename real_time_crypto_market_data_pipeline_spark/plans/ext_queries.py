@@ -135,15 +135,10 @@ _SIMHASH = f"""
 
 
 # ---------------------------------------------------------------- X2 (SimHash)
-@query(
-    "q_dedup_simhash",
-    oracle=_SIMHASH + "SELECT doc_id, simhash FROM fp",
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: 32-bit SimHash fingerprints (token-hash bit voting)."""
-    return D.simhash(load(spark, sf_dir, "documents"))
-
-
+# (q_dedup_simhash was consolidated into q_dedup_simhash_pairs in round 6:
+# simhash_pairs() calls simhash() as its first stage - dedup.py:572 - so the
+# pairs oracle value-checks the full fingerprint path; the fingerprint
+# contract also has a direct unit test, tests/test_dedup_text.py:52.)
 @query(
     "q_dedup_simhash_pairs",
     oracle=_SIMHASH
@@ -206,48 +201,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- X2 (df-pruned Jaccard)
-@query(
-    "q_dedup_jaccard_pruned",
-    oracle=f"""
-    WITH {_SHINGLES},
-    dsh AS (
-      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
-    hot AS (
-      SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) > 4
-    ),
-    pruned AS (
-      SELECT * FROM dsh WHERE shingle NOT IN (SELECT shingle FROM hot)
-    ),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM pruned a JOIN pruned b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE)
-             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
-    """,
-)
-def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 skew mitigation: document-frequency-pruned Jaccard.
-
-    A shingle in >max_df docs contributes df^2 join rows and ~zero
-    similarity signal - the stopword-shingle skew key. Dropping it
-    before the self-join bounds per-key fanout (sizes keep the full
-    sets, so pruned jaccard is a LOWER bound of exact). This is the
-    knob that keeps the pairwise stage alive at 100 TB when a boilerplate
-    phrase appears in half the corpus.
-    """
-    return D.jaccard_pairs(
-        load(spark, sf_dir, "documents"), top_k=20, max_df=4
-    )
+# (q_dedup_jaccard_pruned was consolidated into q_dedup_jaccard in round 6:
+# both run D.jaccard_pairs; the max_df skew knob - the only code the pruned
+# variant added - keeps its lower-bound/connectivity contract test at
+# tests/test_dedup_text.py:135, and the skew rationale lives in the
+# jaccard_pairs docstring, operators/dedup.py.)
 
 
 # --------------------------------------------- X4+ (composed corpus prep)
@@ -509,15 +467,14 @@ _HIGHDIM_TOPK_ORACLE = f"""
     """
 
 
-@query("q_cosine_topk_fold_highdim", oracle=_HIGHDIM_TOPK_ORACLE, bench="extra")
-def q_cosine_topk_fold_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 perf twin A: expression-fold cosine at 1024 dims.
-
-    The documented crossover case: per-element Catalyst HOF work grows
-    linearly with dims and loses whole-stage codegen, so past a few
-    hundred dims this is the WRONG plan - kept as the bench twin that
-    proves it (see q_cosine_topk_arrow_highdim)."""
-    return S.cosine_topk(_highdim_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+# (q_cosine_topk_fold_highdim - the deliberately-bad expression-fold plan at
+# 1024 dims - was retired from the registry in round 6 after its contrast
+# lesson was recorded in SCALING.md "High-dim cosine: fold vs Arrow": the
+# fold path lost 0.93 s vs 0.32 s Arrow at sf0.1 in BENCH_r05, ~3x, because
+# per-element HOF work grows linearly with dims outside whole-stage codegen.
+# The operator it exercised (S.cosine_topk) stays oracle-checked at 64 dims
+# via q_cosine_topk, and the fold-vs-Arrow agreement at 1024 dims stays a
+# unit test: tests/test_similarity.py::test_highdim_fold_and_arrow_paths_agree.)
 
 
 @query("q_cosine_topk_arrow_highdim", oracle=_HIGHDIM_TOPK_ORACLE, bench="extra")

@@ -115,11 +115,19 @@ def test_hyperplane_lsh_deterministic_and_shuffle_free(emb):
 def test_highdim_fold_and_arrow_paths_agree(spark):
     """The 1024-dim perf twins must return the same top-k (same ids,
     same cosines to float tolerance) - and both must equal the base
-    64-dim ranking, since tiling preserves cosine."""
+    64-dim ranking, since tiling preserves cosine.
+
+    The fold path is built directly from the operator here (its registry
+    entry q_cosine_topk_fold_highdim was retired in round 6 - see
+    SCALING.md "High-dim cosine: fold vs Arrow"), so the expression-fold
+    kernel at high dims stays value-checked against the Arrow kernel."""
     from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.plans.ext_queries import (
+        _highdim_embeddings,
+    )
 
     sf = "/root/testdata/sf0.001"
-    fold = QUERIES["q_cosine_topk_fold_highdim"](spark, sf).collect()
+    fold = S.cosine_topk(_highdim_embeddings(spark, sf), query_vec_id=0, k=10).collect()
     arrow = QUERIES["q_cosine_topk_arrow_highdim"](spark, sf).collect()
     base = QUERIES["q_cosine_topk"](spark, sf).collect()
     assert [r.vec_id for r in fold] == [r.vec_id for r in arrow]
