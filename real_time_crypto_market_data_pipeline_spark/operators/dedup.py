@@ -611,6 +611,7 @@ def semantic_dedup(
     threshold: float = 0.40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -628,21 +629,38 @@ def semantic_dedup(
     dropped-id set is distinct'd before the anti-join, so the final
     pass is corpus vs a small id list (broadcastable under AQE). The
     assignment (id, cell, vector) is computed ONCE and materialized
-    with ``localCheckpoint`` before its three uses (both self-join
-    sides + the survivors anti-join) - as a lazy lineage it would
-    re-execute per use, which planned as EIGHT corpus scans before
-    this was caught; at 100 TB the materialization is the assignment
-    table the IVF scale path writes partitioned by cell_id anyway
+    by checkpointing before its three uses (both self-join sides + the
+    survivors anti-join) - as a lazy lineage it would re-execute per
+    use, which planned as EIGHT corpus scans before this was caught;
+    at 100 TB the materialization is the assignment table the IVF
+    scale path writes partitioned by cell_id anyway
     (tests/test_scale_patterns.py::test_ivf_partitioned_probe...).
+
+    NOTE the materialization is EAGER: merely calling this function
+    runs the assignment job (a full corpus scan) at DataFrame-
+    construction time, before the returned plan is ever executed.
+    Without ``checkpoint_dir`` it uses ``localCheckpoint`` - blocks
+    live in non-fault-tolerant executor storage with truncated
+    lineage, so an executor loss cannot recompute them; fine on local
+    mode and short interactive runs. On a real cluster pass
+    ``checkpoint_dir`` (HDFS/S3): the assignment is then reliably
+    ``checkpoint()``-ed there, same policy as ``connected_components``
+    above. At 100 TB always set it.
+
     The threshold is corpus-calibrated: this synthetic table is random
     vectors (within-cell cosine tops out ~0.49), so the default 0.40
     prunes the most-similar tail; real embedded text uses ~0.95+.
     """
     from .similarity import cosine_sim, ivf_assign
 
-    e = ivf_assign(
+    assign = ivf_assign(
         embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True
-    ).localCheckpoint()
+    )
+    if checkpoint_dir is not None:
+        assign.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        e = assign.checkpoint()
+    else:
+        e = assign.localCheckpoint()
     a = e.select(
         F.col(id_col).alias("_id_a"), "cell_id", F.col(vec_col).alias("_va")
     )

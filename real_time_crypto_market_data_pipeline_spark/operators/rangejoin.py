@@ -41,6 +41,7 @@ def interval_join_binned(
     end_col: str,
     bin_width: int,
     how: str = "inner",
+    max_bins_per_interval: int = 4096,
 ) -> DataFrame:
     """Join points into intervals via the bin rewrite.
 
@@ -55,20 +56,55 @@ def interval_join_binned(
     duplication re-executes it), where the per-bin null rows cost
     O(bins(interval)) extra rows through one aggregate.
 
-    ``bin_width`` is in the ts unit (typically ms); intervals must
-    satisfy ``start <= end``.
+    ``bin_width`` is in the ts unit (typically ms). Malformed input is
+    rejected at runtime rather than silently joined: an interval with
+    ``start > end`` raises (Spark's ``sequence(a, b)`` would otherwise
+    auto-negate the step and emit a DESCENDING bin list - bins the
+    point side never maps to - silently producing zero matches), and
+    an interval spanning more than ``max_bins_per_interval`` bins
+    raises instead of fanning out unboundedly (a single [0, 2^63]
+    sentinel row would otherwise explode the interval side; raise the
+    cap or widen ``bin_width`` deliberately, per the module doc's
+    bin-width-near-median-interval-length rule). Both checks ride the
+    expression that feeds ``explode`` (per-row, codegen'd, no extra
+    pass; consuming the guard in ``sequence`` keeps Catalyst from
+    pruning it away).
     """
     binned_points = points.withColumn(
         "_bin", F.floor(F.col(point_ts) / F.lit(bin_width))
     )
+    bin_lo = F.floor(F.col(start_col) / F.lit(bin_width))
+    bin_hi = F.floor(F.col(end_col) / F.lit(bin_width))
+    checked_hi = (
+        F.when(
+            F.col(start_col) > F.col(end_col),
+            F.raise_error(
+                F.format_string(
+                    "interval_join_binned: malformed interval %s > %s "
+                    f"({start_col} must be <= {end_col})",
+                    F.col(start_col).cast("string"),
+                    F.col(end_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .when(
+            bin_hi - bin_lo >= F.lit(int(max_bins_per_interval)),
+            F.raise_error(
+                F.format_string(
+                    "interval_join_binned: interval [%s, %s] spans %s bins "
+                    f"of width {bin_width}, over max_bins_per_interval="
+                    f"{int(max_bins_per_interval)}; widen bin_width or raise "
+                    "the cap",
+                    F.col(start_col).cast("string"),
+                    F.col(end_col).cast("string"),
+                    (bin_hi - bin_lo + F.lit(1)).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(bin_hi)
+    )
     binned_intervals = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / F.lit(bin_width)),
-                F.floor(F.col(end_col) / F.lit(bin_width)),
-            )
-        ),
+        "_bin", F.explode(F.sequence(bin_lo, checked_hi))
     )
     if how == "inner":
         return (

@@ -638,7 +638,10 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _events(spark, sf_dir)
     x = (F.col("user_id") % 65536).alias("x")
-    y = ((F.col("ms") / F.lit(3_600_000)).cast("bigint") % 65536).alias("y")
+    # integer `div`, not float /: keeps the repo's integer-only
+    # time-bucketing convention (tables.py events_ms_col) exact at any
+    # future ts magnitude
+    y = (F.expr("ms div 3600000") % 65536).alias("y")
     d = ev.select("event_id", x, y)
     zkey = None
     for i in range(16):
@@ -695,7 +698,7 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy(
             "event_type",
-            (F.col("ms") / F.lit(86_400_000)).cast("bigint").alias("day"),
+            F.expr("ms div 86400000").alias("day"),  # integer div: exact at any ts magnitude
         )
         .agg(F.avg("value").alias("mean_val"))
     )
@@ -869,7 +872,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence rows equals count(distinct user) because presence is
     already distinct).
     """
-    wk = (F.col("ms") / F.lit(604_800_000)).cast("bigint").alias("week")
+    wk = F.expr("ms div 604800000").alias("week")  # integer div: exact at any ts magnitude
     presence = (
         _events(spark, sf_dir).select("user_id", wk).distinct()
     )

@@ -445,3 +445,41 @@ def test_interval_join_binned_left_matches_naive_left(spark):
     }
     assert got == naive
     assert 0 in set(got.values())  # zero-match intervals really occur
+
+
+def test_interval_join_binned_rejects_malformed_and_oversized_intervals(spark):
+    """Guard contract: start > end raises (instead of sequence()
+    silently emitting a descending bin list that matches nothing),
+    and an interval wider than max_bins_per_interval bins raises
+    (instead of exploding to unbounded rows). Well-formed intervals
+    at exactly the cap still join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    points = spark.range(0, 100).select(
+        F.lit(0).alias("k"), (F.col("id") * 10).alias("ts"), F.col("id").alias("pid")
+    )
+
+    def run(intervals, **kw):
+        interval_join_binned(
+            points, intervals, keys=["k"], point_ts="ts",
+            start_col="s", end_col="e", bin_width=100, **kw,
+        ).count()
+
+    malformed = spark.createDataFrame([(0, 500, 400, 0)], "k INT, s LONG, e LONG, iid INT")
+    with pytest.raises(Exception, match="malformed interval"):
+        run(malformed)
+
+    sentinel = spark.createDataFrame(
+        [(0, 0, 2**40, 0)], "k INT, s LONG, e LONG, iid INT"
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        run(sentinel)
+
+    # exactly at the cap: 4 bins with max 4 passes and matches
+    ok = spark.createDataFrame([(0, 0, 399, 0)], "k INT, s LONG, e LONG, iid INT")
+    run(ok, max_bins_per_interval=4)
