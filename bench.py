@@ -22,6 +22,7 @@ records this so deltas are known to compare like with like.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -42,6 +43,36 @@ def run_to_completion(df) -> int:
     return 0
 
 
+def load_snapshot() -> dict:
+    """Machine-load evidence recorded alongside the timings.
+
+    The r5 bench read 1.23x slower than r4 on mostly-unchanged code -
+    judged container noise, but only because SCALING.md happened to
+    have a measured spread on file. Recording 1/5/15-min loadavg and
+    the count of currently-runnable tasks WITH each bench run makes
+    the environment-vs-regression call evidence-based per run.
+    """
+    snap: dict = {}
+    try:
+        snap["loadavg"] = list(os.getloadavg())
+    except OSError:
+        pass
+    running = 0
+    try:
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                with open(stat) as f:
+                    # field 3 (after the parenthesized comm) is the state
+                    state = f.read().rsplit(")", 1)[1].split()[0]
+                running += state == "R"
+            except OSError:
+                continue
+        snap["procs_running"] = running
+    except Exception:
+        pass
+    return snap
+
+
 def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -58,7 +89,10 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     for name in [*keys, *extra_keys]:
         run_to_completion(QUERIES[name](spark, warm_dir))
 
-    def time_keys(names, n_runs=3) -> tuple[dict[str, float], dict[str, list]]:
+    n_runs_env = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_start = load_snapshot()
+
+    def time_keys(names, n_runs=n_runs_env) -> tuple[dict[str, float], dict[str, list]]:
         timings: dict[str, float] = {}
         runs: dict[str, list] = {}
         for name in names:
@@ -93,14 +127,29 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         "sf": sf_dir,
         "method": (
             "warm@sf0.001 + 1 untimed target-SF run/query; queries=min "
-            "of 3 timed, all runs recorded"
+            f"of {n_runs_env} timed, all runs recorded"
         ),
+        "load_start": load_start,
+        "load_end": load_snapshot(),
     }
     if extra:
         out["extra_queries"] = extra
         out["extra_runs"] = extra_runs
-    print(json.dumps(out))
+    # stop Spark BEFORE printing so the headline JSON is the very last
+    # stdout line (nothing - progress bars, shutdown chatter - can push
+    # it out of a bounded captured tail), and keep an in-repo copy so a
+    # truncated capture is recoverable (BENCH_r05 lesson).
     spark.stop()
+    line = json.dumps(out)
+    local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r06.json")
+    if local_copy:
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   local_copy), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

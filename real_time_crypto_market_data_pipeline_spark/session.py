@@ -35,6 +35,11 @@ def get_spark(app_name: str = "real_time_crypto_market_data_pipeline_spark") -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # no console progress bars: they interleave with stdout under
+        # output capture and can push the bench's headline JSON line
+        # out of a bounded captured tail (BENCH_r05 lost its parse to
+        # exactly this)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

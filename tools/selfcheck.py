@@ -5,6 +5,18 @@ the driver's correctness gate.
 Usage:
     python tools/selfcheck.py [sf_dir] [query ...]
     python tools/selfcheck.py --schema [sf_dir]   # schema contract only
+    python tools/selfcheck.py --evidence-age      # driver-evidence ledger
+
+``--evidence-age`` needs no Spark: it reads the committed
+CORRECTNESS_r*.json files and prints, for every registered query, the
+most recent driver round that value-checked it and whether that check
+passed. Exit nonzero if any query's evidence is MORE THAN 2 rounds
+behind the newest committed round, was never driver-checked, or failed
+its latest check - mechanizing the oldest-first prefix-rotation
+discipline that rounds 3-5 maintained via hand-written comments in
+``__spark_entry__.py`` (122 queries / 50 driver slots per round = a
+3-round refresh period, so steady-state max age under oldest-first
+rotation is exactly 2).
 
 Every run starts with a testdata schema-contract check (prints each
 table's dtypes, fails loudly on drift) - an environment change in the
@@ -16,7 +28,11 @@ Exit code 0 iff the contract holds and every checked query matches.
 
 from __future__ import annotations
 
+import glob
+import json
 import math
+import os
+import re
 import sys
 import time
 
@@ -120,8 +136,58 @@ def check_schema(spark, sf_dir: str) -> list[str]:
     return drift
 
 
+def evidence_age(max_age: int = 2) -> int:
+    """Per-query driver-evidence ledger from committed CORRECTNESS files."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    verdict: dict[str, bool] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name, res in json.load(open(path)).items():
+            latest[name] = rnd
+            ok = bool(res.get("rows_match")) and res.get("err") is None
+            # hash/schema checks exist only for oracle-checked queries
+            for k in ("schema_match", "hash_match"):
+                if k in res and res[k] is not None:
+                    ok = ok and bool(res[k])
+            verdict[name] = ok
+    if not rounds:
+        print("no CORRECTNESS_r*.json files found - nothing to audit")
+        return 1
+    newest = max(rounds)
+    stale, never, failing = [], [], []
+    for name in sorted(QUERIES):
+        if name not in latest:
+            never.append(name)
+            print(f"NEVER {name:28s} no driver evidence")
+            continue
+        age = newest - latest[name]
+        ok = verdict[name]
+        tag = "PASS" if ok else "FAIL"
+        flag = "STALE" if age > max_age else "ok"
+        print(f"{tag}  {name:28s} last=r{latest[name]} age={age} {flag}")
+        if age > max_age:
+            stale.append(name)
+        if not ok:
+            failing.append(name)
+    print()
+    print(
+        f"{len(QUERIES)} registered; newest committed round r{newest}; "
+        f"{len(stale)} stale (age>{max_age}), {len(never)} never-checked, "
+        f"{len(failing)} failing-at-latest-check"
+    )
+    return 1 if (stale or never or failing) else 0
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    if "--evidence-age" in args:
+        return evidence_age()
     schema_only = "--schema" in args
     args = [a for a in args if a != "--schema"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
