@@ -18,20 +18,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_for_fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
+def spread_for_fanout(
+    df: DataFrame, key: str = "doc_id", min_bytes: int = 0
+) -> DataFrame:
     """Repartition a compact table before a high-fanout explode.
 
-    A small parquet file arrives as one partition; exploding shingles x
-    seeds multiplies rows ~100-400x, so whatever parallelism the scan
-    had is what the fan-out is stuck with. Hash-repartitioning the
-    compact side first costs a tiny shuffle and sizes partitions for
-    the post-explode volume - the same sizing rule that matters at
-    100 TB (partition for output volume of a fan-out, not input).
-    Skipped when the input is already wider than the shuffle width.
+    A single medium-size parquet file arrives as one scan partition;
+    exploding shingles x seeds multiplies rows ~100-400x, so whatever
+    parallelism the scan had is what the fan-out is stuck with.
+    Hash-repartitioning the compact side first sizes partitions for
+    the post-explode volume - the sizing rule that matters at 100 TB
+    is partition for the OUTPUT volume of a fan-out, not the input.
+    Skipped when the input is already at least shuffle-width
+    partitions (the 100 TB case: a big table's scan is naturally
+    wide).
+
+    ``min_bytes`` additionally skips the spread when the input's
+    estimated size (optimized-plan statistics) is below it. Whether
+    that pays depends on the COMPUTE DENSITY of the fan-out, so the
+    default is 0 (always spread a narrow input) and each call site
+    chooses - measured on the 594 KB / 1-partition sf0.1 corpus, r6:
+
+    - token_stats (cheap per row: split+explode+count) is 0.45 s
+      without the spread vs 0.68 s with it - the exchange's stage
+      barrier dominates, so it passes ``min_bytes=8 MB`` (the r5
+      "q_token_stats drift" watch item was exactly this overhead);
+    - the minhash / shingle / n-gram operators (64 hashes or n-grams
+      per shingle) are 3-6x SLOWER single-partition (dedup_near
+      3.2 s vs 0.6 s, repetition_stats 6.6 s vs 0.74 s) - for them
+      the spread pays even at toy input sizes, so they keep the
+      unconditional default.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes > 0:
+        try:
+            # py4j auto-converts the BigInteger to a Python int
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # stats unavailable: keep the conservative spread
+            est = None
+        if est is not None and est < min_bytes:
+            return df
     return df.repartition(target, F.col(key))
 
 # A tiny embedded English stopword list - enough for ratio features and
@@ -67,7 +95,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     aggregation makes the shuffle proportional to vocabulary size, not
     corpus size - the right shape at 100 TB.
     """
-    toks = spread_for_fanout(docs).select(
+    toks = spread_for_fanout(docs, min_bytes=8 << 20).select(
         F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     return toks.groupBy("token").agg(
