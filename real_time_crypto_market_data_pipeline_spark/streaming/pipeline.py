@@ -281,6 +281,59 @@ def windowed_ohlc(
     )
 
 
+def streaming_session_stats(
+    events: DataFrame,
+    gap_ms: int = 86_400_000,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of q_session_stats: per-session summaries via
+    the native ``session_window`` aggregate.
+
+    The batch query sessionizes with a lag-gap window (new session
+    when ms - prev > gap) then aggregates per (user, session).
+    ``session_window`` is the streaming-native form of the same
+    grouping: the state store keeps one open session per user, merges
+    events that extend it, and the watermark closes sessions whose
+    gap has passed - O(open sessions) state, not O(events).
+
+    Gap semantics: ``session_window`` keeps an event inside the
+    session while it lands strictly BEFORE last_event + gap, i.e. a
+    gap of exactly ``gap_ms`` would start a new session, where the
+    batch query's ``> gap_ms`` keeps it. Passing ``gap_ms + 1`` as
+    the window gap makes the two rules identical, so emissions match
+    the batch query bit-for-bit on any input (not just gap-free
+    ones); the parity test replays sf0.01 and compares every session.
+
+    Output keys sessions by (user_id, start_ms) - the batch query's
+    ordinal session_id is inherently a batch construct (it numbers
+    sessions 1..n per user over the whole history; a stream cannot
+    know the ordinal without total history) - and carries the same
+    n_events / start_ms / duration_ms / value_cents the batch emits.
+    """
+    ev = events.select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("event_time"),
+        F.col("ms"),
+        F.col("value"),
+    )
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", f"{gap_ms + 1} milliseconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ms").cast("long").alias("start_ms"),
+            (F.max("ms") - F.min("ms")).cast("long").alias("duration_ms"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .drop("session_window")
+    )
+
+
 def enrich_with_static(
     events: DataFrame, dim: DataFrame, on: str = "symbol", how: str = "left"
 ) -> DataFrame:

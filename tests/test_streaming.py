@@ -1240,3 +1240,63 @@ def test_streaming_drawdown_matches_batch_query(spark, tmp_path):
         n_w, p_w, d_w = want[k]
         assert n_g == n_w and p_g == p_w
         assert abs(d_g - d_w) <= 1e-12 * max(1.0, abs(d_w))
+
+
+def test_streaming_session_stats_matches_batch_query(spark, tmp_path):
+    """Replay sf0.01 events through streaming_session_stats in three
+    time-ordered chunks; the final session table must equal batch
+    q_session_stats exactly, keyed by (user_id, start_ms) - the
+    ordinal session_id is the only batch-side construct a stream
+    cannot reproduce (it requires numbering over total history)."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.pipeline import (
+        streaming_session_stats,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "value")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # complete mode: every trigger emits the whole session table, so
+    # the final snapshot includes sessions still open at end-of-stream
+    # (append mode would hold them back until the watermark passes)
+    q = (
+        streaming_session_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stats_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (int(r.user_id), int(r.start_ms)): (
+            int(r.n_events), int(r.duration_ms), int(r.value_cents)
+        )
+        for r in spark.sql(
+            "SELECT user_id, n_events, start_ms, duration_ms, value_cents"
+            " FROM sess_stats_parity"
+        ).collect()
+    }
+    want = {
+        (int(r["user_id"]), int(r["start_ms"])): (
+            int(r["n_events"]), int(r["duration_ms"]), int(r["value_cents"])
+        )
+        for r in QUERIES["q_session_stats"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 5  # the gap really splits: several sessions exist
