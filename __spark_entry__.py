@@ -44,26 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # its unit test), q_cosine_topk_fold_highdim retired after its
 # fold-vs-Arrow contrast was recorded in SCALING.md (agreement stays a
 # unit test). See plans/ext_queries.py consolidation notes.
-#
-# Round-5 allocation (history):
-#   1. the 9 documents-table queries whose only driver evidence was
-#      round 1 (the r4 rotation comment scheduled them here) - after
-#      this round every registered query has driver evidence on
-#      post-ts-fix storage;
-#   2. the queries new in round 5 (q_decontaminate_bloom,
-#      q_dedup_retention, q_mix_temperature, q_boilerplate,
-#      q_shuffle_shard, q_semdedup, q_dedup_incremental,
-#      q_quality_topp, q_realized_vol, q_drawdown, q_quantize_int8,
-#      q_filter_funnel, q_interval_join, q_zorder_key,
-#      q_correlation, q_funnel, q_retention_cohort,
-#      q_session_stats; 18 total) - first driver check;
-#   3. 23 of the r3 cohort, so their evidence does not age past two
-#      rounds; VERDICT-r4-named items (flagship q_csv_snapshot, the
-#      A-family, rollup/OHLC, TPC-H q13/q16/q21) are all included.
-# The 15 deferred r3 queries (simple plans sharing code paths with
-# included queries) are placed immediately after the prefix and lead
-# the round-6 rotation. The r4 cohort (all green in
-# CORRECTNESS_r04.json) rotates back in round 6.
+# (Past allocations are reconstructible from CORRECTNESS_r0N.json:
+# each round's file lists exactly the prefix the driver checked.)
 _PRIORITY = [
     # --- 1: r3-evidence cohort (25; oldest driver evidence, 2 rounds) ---
     "q_percentiles", "q_ann_ivf_kmeans", "q_chunk_documents",
