@@ -2,9 +2,8 @@
 
 ``entry(spark)`` runs the flagship metrics-snapshot query (the
 reference's CSV export composition A5+A6+A7, rolling.py:147-212) at
-sf0.001. ``queries()`` exposes every implemented operator from
-SURVEY.md section 2 (plus the section-2.7 extension operators);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+sf0.001; ``queries()`` exposes every implemented operator from SURVEY
+section 2 (+2.7); ``oracle_sql()`` gives each one's DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -28,22 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps every query's evidence at most 2 rounds old in steady state
 # (tools/selfcheck.py --evidence-age mechanizes the check).
 #
-# Round-6 allocation:
-#   1. the 25 queries whose latest driver evidence is round 3
-#      (CORRECTNESS_r03) - two rounds old, the oldest in the registry;
-#   2. 25 of the 49 round-4-evidence queries: the eight that are also
-#      bench-headline lines (q_token_stats - the r5 bench watch item -
-#      dedup/cosine/tpch q1/q5/q9), the protocol F-family
-#      (json_decode..to_json), and a TPC-H spread (q2-q4, q6-q8, q10).
-#   3. beyond the prefix: the remaining 24 r4-evidence queries - these
-#      lead the round-7 prefix - then the r5-evidence cohort (via the
-#      registry-order fallback in queries()).
-# Registry delta this round: 125 -> 122. q_dedup_simhash folded into
-# q_dedup_simhash_pairs (pairs runs the fingerprint stage internally),
-# q_dedup_jaccard_pruned folded into q_dedup_jaccard (max_df knob keeps
-# its unit test), q_cosine_topk_fold_highdim retired after its
-# fold-vs-Arrow contrast was recorded in SCALING.md (agreement stays a
-# unit test). See plans/ext_queries.py consolidation notes.
+# Round-6 allocation: (1) the 25 r3-evidence queries (oldest in the
+# registry); (2) 25 of the 49 r4-evidence queries - the 8 that are
+# bench-headline lines (incl. q_token_stats, the r5 watch item), the
+# protocol F-family, a TPC-H spread; (3) beyond the prefix, the
+# remaining 24 r4-evidence queries (these lead round 7), then the
+# r5 cohort via the registry-order fallback. Registry 125 -> 122 by
+# the three consolidations noted in plans/ext_queries.py + COVERAGE.md.
 # (Past allocations are reconstructible from CORRECTNESS_r0N.json:
 # each round's file lists exactly the prefix the driver checked.)
 _PRIORITY = [

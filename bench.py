@@ -4,20 +4,17 @@ Prints ONE JSON line:
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": "<dir>"}
 
-Each query is executed to completion with the noop sink (full plan
-runs, nothing is shipped to the driver), so timings measure engine
-work, not result transfer. Warm-up is two-stage: every bench query
-first runs once at the smallest SF (JVM classloading + whole-stage-
-codegen compilation), then each query gets one untimed run at the
-TARGET SF immediately before its timed runs (HotSpot C2 needs hot
-loops over real data volumes to tier up - the small-SF pass alone
-left the first timed run of a round up to 1.8x its steady state).
-The reported number is the min of three timed runs at the target SF -
-steady state is what a long-running cluster actually executes - and
-ALL timed runs are recorded ("runs", plus a per-query median in
-"queries_median") so a round-over-round delta can be judged against
-the run-to-run spread instead of guessed at. The "method" field
-records this so deltas are known to compare like with like.
+Each query runs to completion with the noop sink (full plan, no result
+transfer). Warm-up is two-stage: every query once at the smallest SF
+(classloading + codegen compile), then one untimed run at the TARGET
+SF before its timed runs (HotSpot C2 needs hot loops on real volume;
+without this the first timed run sat up to 1.8x steady state). The
+reported number is the min of N timed runs (N from
+$SPARK_GRAFT_BENCH_RUNS, default 3); ALL runs plus a per-query median
+are recorded so round-over-round deltas are judged against measured
+spread, and machine-load snapshots ride in the JSON ("load_start"/
+"load_end") for the environment-vs-regression call. The headline JSON
+is the final stdout line and is mirrored to BENCH_LOCAL_r06.json.
 """
 
 from __future__ import annotations
@@ -44,32 +41,23 @@ def run_to_completion(df) -> int:
 
 
 def load_snapshot() -> dict:
-    """Machine-load evidence recorded alongside the timings.
-
-    The r5 bench read 1.23x slower than r4 on mostly-unchanged code -
-    judged container noise, but only because SCALING.md happened to
-    have a measured spread on file. Recording 1/5/15-min loadavg and
-    the count of currently-runnable tasks WITH each bench run makes
-    the environment-vs-regression call evidence-based per run.
-    """
+    """Machine-load evidence (1/5/15-min loadavg + runnable-task count)
+    recorded with each bench run, so an environment-vs-regression call
+    (like r5's noise-induced 1.23x scare) is evidence-based per run."""
     snap: dict = {}
     try:
         snap["loadavg"] = list(os.getloadavg())
     except OSError:
         pass
     running = 0
-    try:
-        for stat in glob.glob("/proc/[0-9]*/stat"):
-            try:
-                with open(stat) as f:
-                    # field 3 (after the parenthesized comm) is the state
-                    state = f.read().rsplit(")", 1)[1].split()[0]
-                running += state == "R"
-            except OSError:
-                continue
-        snap["procs_running"] = running
-    except Exception:
-        pass
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                # field 3 (after the parenthesized comm) is the state
+                running += f.read().rsplit(")", 1)[1].split()[0] == "R"
+        except OSError:
+            continue
+    snap["procs_running"] = running
     return snap
 
 
@@ -142,13 +130,12 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     spark.stop()
     line = json.dumps(out)
     local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r06.json")
-    if local_copy:
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   local_copy), "w") as f:
-                f.write(line + "\n")
-        except OSError:
-            pass
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), local_copy)
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     print(line, flush=True)
 
 

@@ -148,63 +148,8 @@ def minhash_signature_col(
     )
 
 
-def minhash_signatures(
-    docs: DataFrame,
-    text_col: str = "text",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """X2 stage 1 (long form): (doc_id, seed, sig) signature rows.
-
-    Unpivot of ``minhash_wide`` - kept for consumers that want the
-    classic signature-matrix shape.
-    """
-    wide = minhash_wide(docs, text_col, num_hashes, shingle_n)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("int").alias("seed"), F.col(f"sig{j}").alias("sig")
-            )
-            for j in range(num_hashes)
-        ]
-    )
-    return wide.select("doc_id", F.explode(pairs).alias("_s")).select(
-        "doc_id", F.col("_s.seed").alias("seed"), F.col("_s.sig").alias("sig")
-    )
-
-
-def lsh_buckets(
-    signatures: DataFrame, band_rows: int = DEFAULT_BAND_ROWS
-) -> DataFrame:
-    """X2 stage 2: band the signature matrix into LSH buckets.
-
-    band = seed div band_rows; bucket = md5(band || concat of its sigs
-    in seed order). Docs sharing any (band, bucket) are candidates.
-    """
-    banded = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("sig")))
-                    ),
-                    lambda s: s["sig"],
-                ),
-            ).alias("band_sig")
-        )
-        .select(
-            "doc_id",
-            "band",
-            F.md5(
-                F.concat(F.col("band").cast("string"), F.lit("|"), F.col("band_sig"))
-            ).alias("bucket"),
-        )
-    )
-
-
+# (The long-form signature-matrix + banding composition moved to
+# tests/_reference_impls.py in r6: it cross-checks the fused plan below.)
 def lsh_bucket_table(
     docs: DataFrame,
     text_col: str = "text",
@@ -215,8 +160,9 @@ def lsh_bucket_table(
     """X2 stages 1+2 fused: docs -> (doc_id, band, bucket).
 
     ``minhash_wide`` (one partial-aggregated shuffle of |docs| rows)
-    followed by a pure-projection banding explode. Equivalent to
-    ``lsh_buckets(minhash_signatures(docs))`` - asserted in tests.
+    followed by a pure-projection banding explode. Equivalent to the
+    textbook signatures->banding composition - asserted against the
+    reference implementation in tests/_reference_impls.py.
     """
     wide = minhash_wide(docs, text_col, num_hashes, shingle_n)
     bands = F.array(
@@ -637,15 +583,12 @@ def semantic_dedup(
     (tests/test_scale_patterns.py::test_ivf_partitioned_probe...).
 
     NOTE the materialization is EAGER: merely calling this function
-    runs the assignment job (a full corpus scan) at DataFrame-
-    construction time, before the returned plan is ever executed.
-    Without ``checkpoint_dir`` it uses ``localCheckpoint`` - blocks
-    live in non-fault-tolerant executor storage with truncated
-    lineage, so an executor loss cannot recompute them; fine on local
-    mode and short interactive runs. On a real cluster pass
-    ``checkpoint_dir`` (HDFS/S3): the assignment is then reliably
-    ``checkpoint()``-ed there, same policy as ``connected_components``
-    above. At 100 TB always set it.
+    runs the assignment job (a full corpus scan) before the returned
+    plan is ever executed. Without ``checkpoint_dir`` it uses
+    ``localCheckpoint`` (executor-pinned blocks, truncated lineage -
+    unrecoverable on executor loss; fine locally). On a cluster pass
+    ``checkpoint_dir`` (HDFS/S3) for a reliable ``checkpoint()``,
+    same policy as ``connected_components``. At 100 TB always set it.
 
     The threshold is corpus-calibrated: this synthetic table is random
     vectors (within-cell cosine tops out ~0.49), so the default 0.40

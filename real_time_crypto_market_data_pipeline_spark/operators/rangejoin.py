@@ -56,19 +56,15 @@ def interval_join_binned(
     duplication re-executes it), where the per-bin null rows cost
     O(bins(interval)) extra rows through one aggregate.
 
-    ``bin_width`` is in the ts unit (typically ms). Malformed input is
-    rejected at runtime rather than silently joined: an interval with
-    ``start > end`` raises (Spark's ``sequence(a, b)`` would otherwise
-    auto-negate the step and emit a DESCENDING bin list - bins the
-    point side never maps to - silently producing zero matches), and
-    an interval spanning more than ``max_bins_per_interval`` bins
-    raises instead of fanning out unboundedly (a single [0, 2^63]
-    sentinel row would otherwise explode the interval side; raise the
-    cap or widen ``bin_width`` deliberately, per the module doc's
-    bin-width-near-median-interval-length rule). Both checks ride the
-    expression that feeds ``explode`` (per-row, codegen'd, no extra
-    pass; consuming the guard in ``sequence`` keeps Catalyst from
-    pruning it away).
+    ``bin_width`` is in the ts unit (typically ms). Malformed input
+    raises instead of silently joining: ``start > end`` (sequence()
+    would auto-negate the step into a DESCENDING bin list that
+    matches nothing), and an interval wider than
+    ``max_bins_per_interval`` bins (a [0, 2^63] sentinel row would
+    otherwise explode the interval side - widen ``bin_width`` or
+    raise the cap deliberately). Both checks ride the expression
+    feeding ``explode``, so they are per-row codegen and Catalyst
+    cannot prune them.
     """
     binned_points = points.withColumn(
         "_bin", F.floor(F.col(point_ts) / F.lit(bin_width))

@@ -24,30 +24,22 @@ def spread_for_fanout(
     """Repartition a compact table before a high-fanout explode.
 
     A single medium-size parquet file arrives as one scan partition;
-    exploding shingles x seeds multiplies rows ~100-400x, so whatever
-    parallelism the scan had is what the fan-out is stuck with.
-    Hash-repartitioning the compact side first sizes partitions for
-    the post-explode volume - the sizing rule that matters at 100 TB
-    is partition for the OUTPUT volume of a fan-out, not the input.
-    Skipped when the input is already at least shuffle-width
-    partitions (the 100 TB case: a big table's scan is naturally
-    wide).
+    exploding shingles x seeds multiplies rows ~100-400x, so the
+    fan-out is stuck with the scan's parallelism. Hash-repartitioning
+    the compact side first sizes partitions for the post-explode
+    OUTPUT volume - the sizing rule that matters at 100 TB. Skipped
+    when the input is already shuffle-width (a big table's scan is
+    naturally wide).
 
     ``min_bytes`` additionally skips the spread when the input's
     estimated size (optimized-plan statistics) is below it. Whether
     that pays depends on the COMPUTE DENSITY of the fan-out, so the
     default is 0 (always spread a narrow input) and each call site
-    chooses - measured on the 594 KB / 1-partition sf0.1 corpus, r6:
-
-    - token_stats (cheap per row: split+explode+count) is 0.45 s
-      without the spread vs 0.68 s with it - the exchange's stage
-      barrier dominates, so it passes ``min_bytes=8 MB`` (the r5
-      "q_token_stats drift" watch item was exactly this overhead);
-    - the minhash / shingle / n-gram operators (64 hashes or n-grams
-      per shingle) are 3-6x SLOWER single-partition (dedup_near
-      3.2 s vs 0.6 s, repetition_stats 6.6 s vs 0.74 s) - for them
-      the spread pays even at toy input sizes, so they keep the
-      unconditional default.
+    chooses. Measured at 594 KB / 1 partition (r6, SCALING.md "Bench
+    drift A/B"): cheap-per-row token_stats is 0.45 s unspread vs
+    0.68 s spread (stage barrier dominates), so it passes 8 MB; the
+    minhash/shingle/n-gram operators are 3-6x SLOWER single-partition
+    even at this size and keep the unconditional default.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() >= target:

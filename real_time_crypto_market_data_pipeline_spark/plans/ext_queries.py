@@ -135,10 +135,8 @@ _SIMHASH = f"""
 
 
 # ---------------------------------------------------------------- X2 (SimHash)
-# (q_dedup_simhash was consolidated into q_dedup_simhash_pairs in round 6:
-# simhash_pairs() calls simhash() as its first stage - dedup.py:572 - so the
-# pairs oracle value-checks the full fingerprint path; the fingerprint
-# contract also has a direct unit test, tests/test_dedup_text.py:52.)
+# (q_dedup_simhash folded into q_dedup_simhash_pairs in r6: pairs runs the
+# fingerprint stage internally; direct unit test in tests/test_dedup_text.py.)
 @query(
     "q_dedup_simhash_pairs",
     oracle=_SIMHASH
@@ -200,12 +198,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load(spark, sf_dir, "documents"), top_k=20)
 
 
-# ------------------------------------------------- X2 (df-pruned Jaccard)
-# (q_dedup_jaccard_pruned was consolidated into q_dedup_jaccard in round 6:
-# both run D.jaccard_pairs; the max_df skew knob - the only code the pruned
-# variant added - keeps its lower-bound/connectivity contract test at
-# tests/test_dedup_text.py:135, and the skew rationale lives in the
-# jaccard_pairs docstring, operators/dedup.py.)
+# (q_dedup_jaccard_pruned folded into q_dedup_jaccard in r6: same operator;
+# the max_df skew knob keeps its contract test in tests/test_dedup_text.py
+# and its rationale in the jaccard_pairs docstring.)
 
 
 # --------------------------------------------- X4+ (composed corpus prep)
@@ -467,14 +462,10 @@ _HIGHDIM_TOPK_ORACLE = f"""
     """
 
 
-# (q_cosine_topk_fold_highdim - the deliberately-bad expression-fold plan at
-# 1024 dims - was retired from the registry in round 6 after its contrast
-# lesson was recorded in SCALING.md "High-dim cosine: fold vs Arrow": the
-# fold path lost 0.93 s vs 0.32 s Arrow at sf0.1 in BENCH_r05, ~3x, because
-# per-element HOF work grows linearly with dims outside whole-stage codegen.
-# The operator it exercised (S.cosine_topk) stays oracle-checked at 64 dims
-# via q_cosine_topk, and the fold-vs-Arrow agreement at 1024 dims stays a
-# unit test: tests/test_similarity.py::test_highdim_fold_and_arrow_paths_agree.)
+# (q_cosine_topk_fold_highdim - the deliberately-bad 1024-dim fold plan -
+# retired in r6 after its ~3x fold-vs-Arrow lesson was recorded in SCALING.md
+# "High-dim cosine: fold vs Arrow"; the operator stays oracle-checked via
+# q_cosine_topk and the 1024-dim agreement stays a test in test_similarity.py.)
 
 
 @query("q_cosine_topk_arrow_highdim", oracle=_HIGHDIM_TOPK_ORACLE, bench="extra")

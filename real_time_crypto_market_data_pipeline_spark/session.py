@@ -35,23 +35,11 @@ def get_spark(app_name: str = "real_time_crypto_market_data_pipeline_spark") -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # no console progress bars: they interleave with stdout under
-        # output capture and can push the bench's headline JSON line
-        # out of a bounded captured tail (BENCH_r05 lost its parse to
-        # exactly this)
+        # no console progress bars: they interleave with captured stdout
+        # (BENCH_r05 lost its headline JSON parse to exactly this)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
-
-
-def ensure_oracle_parity_conf(spark: SparkSession) -> SparkSession:
-    """Pin the session-level runtime confs that oracle parity depends on.
-
-    Safe to call on a session we did not create (the driver passes its
-    own): these are runtime confs, not cluster confs.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark

@@ -286,29 +286,17 @@ def streaming_session_stats(
     gap_ms: int = 86_400_000,
     watermark: str = "0 seconds",
 ) -> DataFrame:
-    """Streaming twin of q_session_stats: per-session summaries via
-    the native ``session_window`` aggregate.
+    """Streaming twin of q_session_stats via native ``session_window``:
+    one open session per user in the state store, gap-merge on arrival,
+    watermark-driven close - O(open sessions) state, not O(events).
 
-    The batch query sessionizes with a lag-gap window (new session
-    when ms - prev > gap) then aggregates per (user, session).
-    ``session_window`` is the streaming-native form of the same
-    grouping: the state store keeps one open session per user, merges
-    events that extend it, and the watermark closes sessions whose
-    gap has passed - O(open sessions) state, not O(events).
-
-    Gap semantics: ``session_window`` keeps an event inside the
-    session while it lands strictly BEFORE last_event + gap, i.e. a
-    gap of exactly ``gap_ms`` would start a new session, where the
-    batch query's ``> gap_ms`` keeps it. Passing ``gap_ms + 1`` as
-    the window gap makes the two rules identical, so emissions match
-    the batch query bit-for-bit on any input (not just gap-free
-    ones); the parity test replays sf0.01 and compares every session.
-
-    Output keys sessions by (user_id, start_ms) - the batch query's
-    ordinal session_id is inherently a batch construct (it numbers
-    sessions 1..n per user over the whole history; a stream cannot
-    know the ordinal without total history) - and carries the same
-    n_events / start_ms / duration_ms / value_cents the batch emits.
+    Gap semantics: ``session_window`` splits when an event lands AT
+    last + gap, where the batch lag-rule (``ms - prev > gap``) still
+    merges it; a window gap of ``gap_ms + 1`` makes the rules identical,
+    so emissions match the batch query bit-for-bit (parity test replays
+    sf0.01). Sessions are keyed by (user_id, start_ms): the batch
+    ordinal session_id needs total history - the one column a stream
+    cannot reproduce; the other four columns match exactly.
     """
     ev = events.select(
         "user_id",

@@ -211,26 +211,9 @@ def metrics_line(stats: DataFrame, min_samples: int = 20) -> DataFrame:
     )
 
 
-def start_metrics_console_sink(
-    events: DataFrame,
-    checkpoint: str,
-    trigger_seconds: float = 1.0,
-    min_samples: int = 20,
-) -> StreamingQuery:
-    """A9: throttled metrics printer - the reference's 1 s stats loop
-    (app.py:63-66) as a windowed-agg query on its own trigger."""
-    from .pipeline import windowed_latency_stats
-
-    stats = windowed_latency_stats(events)
-    return (
-        metrics_line(stats, min_samples)
-        .writeStream.outputMode("complete")
-        .format("console")
-        .option("truncate", "false")
-        .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+# (The reference's 1 s stats print loop, app.py:63-66, is metrics_line
+# over windowed_latency_stats on a 1 s-trigger console writer; the
+# pre-wired helper was dropped in r6 - both components stay tested.)
 
 
 def compact_partitions(

@@ -323,18 +323,14 @@ def streaming_realized_vol(events: DataFrame) -> DataFrame:
     emits the key's updated cumulative (n_returns, realized_var).
 
     Ordering caveat: the lag accumulator is ORDER-SENSITIVE. Rows are
-    sorted by (ms, event_id) *within* each microbatch, so batch parity
-    - the latest emission equals q_realized_vol over everything
-    ingested so far - holds when arrival is event-time-ordered ACROSS
-    microbatches, which is what the parity test replays
-    (tests/test_streaming.py feeds time-ordered chunks). A late event
-    whose ms precedes already-processed rows is folded in as if it
-    were newest, and the result silently diverges from the batch
-    window; if the source can deliver late data, either pre-sort the
-    stream (watermark + window re-emit) or treat emissions as
-    approximate until the stream is quiesced. Same shuffle as the
-    batch window - one hash exchange on the key - plus checkpointed
-    state for restarts.
+    sorted by (ms, event_id) only WITHIN a microbatch, so batch parity
+    (latest emission == q_realized_vol over everything ingested) holds
+    for event-time-ordered arrival ACROSS microbatches - what the
+    parity test replays. A late event is folded in as if newest and
+    silently diverges from the batch window; with late-capable sources
+    pre-sort the stream or treat emissions as approximate. Same
+    shuffle as the batch window (one hash exchange on the key) plus
+    checkpointed state for restarts.
     """
     cols = ["user_id", "ms", "event_id", "value"]
     return (
@@ -389,13 +385,11 @@ def streaming_drawdown(events: DataFrame) -> DataFrame:
     quantities are monotone, so cross-batch accumulation in event
     order is exactly the batch window's running max, and the latest
     emission per key equals the batch query over everything ingested
-    (parity test in tests/test_streaming.py). The same ordering
-    caveat as `streaming_realized_vol` applies to the DRAWDOWN ratio:
-    n_obs and peak are order-insensitive, but an out-of-order low
-    price arriving after a later high inflates max_drawdown relative
-    to the batch window (which computes it in event order). Parity is
-    guaranteed only for event-time-ordered arrival across microbatches
-    - what the parity test replays.
+    (parity test in tests/test_streaming.py). `streaming_realized_vol`'s
+    ordering caveat applies to the DRAWDOWN ratio: n_obs and peak are
+    order-insensitive, but a late low price arriving after a later
+    high inflates max_drawdown vs the batch window; parity is
+    guaranteed only for event-time-ordered arrival across microbatches.
     """
     cols = ["user_id", "ms", "event_id", "value"]
     return (

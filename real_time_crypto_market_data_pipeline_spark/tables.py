@@ -73,12 +73,6 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ms", events_ms_col(df))
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (for spark.sql paths)."""
-    for name in TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
 # The join key each fact table gets bucketed on: the spine key of the
 # TPC-H-shape fact-fact joins (lineitem-orders on orderkey, orders/
 # customer on custkey). Dims stay unbucketed - they broadcast.

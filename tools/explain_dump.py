@@ -1,8 +1,5 @@
 """Regenerate EXPLAIN.md: formatted physical plans of the headline
-queries with the scale-relevant properties called out.
-
-Usage: python tools/explain_dump.py
-"""
+queries with the scale-relevant properties called out."""
 
 from __future__ import annotations
 
@@ -26,6 +23,7 @@ COMMENTARY = {
     "q_percentiles": "Nearest-rank-lower rule: the rank and count windows share one partitioning - one scan, one exchange, one sort; no interpolation, no collect.",
     "q_csv_snapshot": "The flagship composition fused to ONE pass: the lag window keeps first-per-key rows (null stale_ms), so latency AND staleness stats aggregate from the same windowed frame - one scan, one exchange (the grouped agg reuses the window's key partitioning), zero joins (previously two scans + a full-outer merge). Mean/std from exact integer partial sums (long cents for values, 128-bit decimal for staleness squares): bit-reproducible under any merge order.",
     "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
+    "q_token_stats": "Vocabulary census: explode -> partial-aggregated groupBy(token), shuffle O(vocab) not O(corpus); the pre-explode spread is size-gated (8 MB) because for this cheap per-row fan-out the exchange's stage barrier costs more than single-stage tokenization below that (SCALING.md r6 A/B) - a compact-but-large single file still spreads.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
     "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",

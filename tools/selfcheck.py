@@ -7,16 +7,11 @@ Usage:
     python tools/selfcheck.py --schema [sf_dir]   # schema contract only
     python tools/selfcheck.py --evidence-age      # driver-evidence ledger
 
-``--evidence-age`` needs no Spark: it reads the committed
-CORRECTNESS_r*.json files and prints, for every registered query, the
-most recent driver round that value-checked it and whether that check
-passed. Exit nonzero if any query's evidence is MORE THAN 2 rounds
-behind the newest committed round, was never driver-checked, or failed
-its latest check - mechanizing the oldest-first prefix-rotation
-discipline that rounds 3-5 maintained via hand-written comments in
-``__spark_entry__.py`` (122 queries / 50 driver slots per round = a
-3-round refresh period, so steady-state max age under oldest-first
-rotation is exactly 2).
+``--evidence-age`` (no Spark needed) reads the committed
+CORRECTNESS_r*.json files and prints each registered query's most
+recent driver-checked round; exit nonzero on evidence >2 rounds old,
+never-checked, or failing-at-latest-check - mechanizing the oldest-
+first prefix rotation (122 queries / 50 slots: steady-state max age 2).
 
 Every run starts with a testdata schema-contract check (prints each
 table's dtypes, fails loudly on drift) - an environment change in the
@@ -56,8 +51,6 @@ def canon_value(v):
         if v == 0:
             return 0.0
         # round to 6 significant digits (driver rounds floats before hashing)
-        from decimal import Decimal
-
         return float(f"{v:.6g}")
     if isinstance(v, int):
         return v
@@ -81,6 +74,44 @@ def max_float_dev(a_rows, b_rows):
                 denom = max(abs(va), abs(vb), 1e-300)
                 dev = max(dev, abs(va - vb) / denom)
     return dev
+
+
+def compare(s_cols, s_rows, o_cols, o_rows) -> list[str]:
+    """Driver-gate comparison (count + column set + canonical value
+    multiset). Returns problems; empty list = match. Also the pytest
+    oracle suite's comparator (tests/test_queries_oracle.py), so the
+    test gate and this CLI can never drift apart."""
+    problems: list[str] = []
+    if len(s_rows) != len(o_rows):
+        problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
+    if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
+        problems.append(f"columns spark={sorted(s_cols)} duck={sorted(o_cols)}")
+    if problems:
+        return problems
+    _, s_canon = canon_rows(s_cols, s_rows)
+    _, o_canon = canon_rows(o_cols, o_rows)
+    if s_canon != o_canon:
+        n_bad = sum(1 for a, b in zip(s_canon, o_canon) if a != b)
+        dev = max_float_dev(s_canon, o_canon)
+        problems.append(
+            f"values: {n_bad}/{len(s_canon)} rows differ, max_rel_dev={dev:.2e}"
+        )
+        for a, b in zip(s_canon, o_canon):
+            if a != b:
+                problems.append(f"  spark={a}")
+                problems.append(f"  duck ={b}")
+                break
+    return problems
+
+
+def duckdb_with_views(sf_dir: str):
+    """A DuckDB connection with every testdata table as a view."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
 
 
 # Accepted dtypes per column the engine depends on. A column may ship
@@ -167,17 +198,16 @@ def evidence_age(max_age: int = 2) -> int:
             print(f"NEVER {name:28s} no driver evidence")
             continue
         age = newest - latest[name]
-        ok = verdict[name]
-        tag = "PASS" if ok else "FAIL"
-        flag = "STALE" if age > max_age else "ok"
-        print(f"{tag}  {name:28s} last=r{latest[name]} age={age} {flag}")
         if age > max_age:
             stale.append(name)
-        if not ok:
+        if not verdict[name]:
             failing.append(name)
-    print()
+        print(
+            f"{'PASS' if verdict[name] else 'FAIL'}  {name:28s} "
+            f"last=r{latest[name]} age={age} {'STALE' if age > max_age else 'ok'}"
+        )
     print(
-        f"{len(QUERIES)} registered; newest committed round r{newest}; "
+        f"\n{len(QUERIES)} registered; newest committed round r{newest}; "
         f"{len(stale)} stale (age>{max_age}), {len(never)} never-checked, "
         f"{len(failing)} failing-at-latest-check"
     )
@@ -201,11 +231,7 @@ def main() -> int:
     if schema_only:
         print("\nschema contract OK")
         return 0
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_with_views(sf_dir)
 
     names = only or sorted(QUERIES)
     failed = []
@@ -232,23 +258,7 @@ def main() -> int:
             failed.append(name)
             continue
         dt = time.time() - t0
-        problems = []
-        if len(s_rows) != len(o_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
-        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
-            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(o_cols)}")
-        if not problems:
-            sc, s_canon = canon_rows(s_cols, s_rows)
-            oc, o_canon = canon_rows(o_cols, o_rows)
-            if s_canon != o_canon:
-                n_bad = sum(1 for a, b in zip(s_canon, o_canon) if a != b)
-                dev = max_float_dev(s_canon, o_canon)
-                problems.append(f"values: {n_bad}/{len(s_canon)} rows differ, max_rel_dev={dev:.2e}")
-                for a, b in list(zip(s_canon, o_canon))[:2000]:
-                    if a != b:
-                        problems.append(f"  spark={a}")
-                        problems.append(f"  duck ={b}")
-                        break
+        problems = compare(s_cols, s_rows, o_cols, o_rows)
         if problems:
             print(f"FAIL  {name:24s} " + "; ".join(problems[:3]))
             failed.append(name)
