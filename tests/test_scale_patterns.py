@@ -483,3 +483,32 @@ def test_interval_join_binned_rejects_malformed_and_oversized_intervals(spark):
     # exactly at the cap: 4 bins with max 4 passes and matches
     ok = spark.createDataFrame([(0, 0, 399, 0)], "k INT, s LONG, e LONG, iid INT")
     run(ok, max_bins_per_interval=4)
+
+
+def test_spread_for_fanout_size_gate(spark):
+    """The pre-explode spread obeys its compute-density contract: with
+    min_bytes set, a narrow input whose file-stats estimate is under the
+    gate keeps its single-stage plan; over the gate (or with unknown
+    stats, where the estimate is Long.MaxValue) it conservatively
+    spreads; min_bytes=0 always spreads a narrow input."""
+    from real_time_crypto_market_data_pipeline_spark.operators.text import (
+        spread_for_fanout,
+    )
+
+    def spread_fired(df):
+        return "hashpartitioning" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # narrow: the gate is live
+    est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert 0 < est < 8 << 20  # real file-size stats, under the gate
+
+    assert not spread_fired(spread_for_fanout(docs, min_bytes=8 << 20))
+    assert spread_fired(spread_for_fanout(docs, min_bytes=0))
+    assert spread_fired(spread_for_fanout(docs, min_bytes=est))  # est < gate
+
+    # non-file relation: stats unknown (Long.MaxValue) -> conservative spread
+    local = spark.createDataFrame([(0, "a b c")], "doc_id LONG, text STRING")
+    assert spread_fired(spread_for_fanout(local.coalesce(1), min_bytes=8 << 20))
