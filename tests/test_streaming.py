@@ -1300,3 +1300,67 @@ def test_streaming_session_stats_matches_batch_query(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 5  # the gap really splits: several sessions exist
+
+
+def test_streaming_realized_vol_repairs_within_batch_disorder(spark, tmp_path):
+    """Pin the ordering contract the stateful docstrings promise: rows
+    arriving OUT OF ORDER WITHIN a microbatch are repaired by the
+    accumulator's in-batch (ms, event_id) sort, so batch parity holds
+    as long as the chunks themselves are time-ordered. Replays the
+    same three chunks as the ordered parity test but writes each
+    chunk's rows md5-scrambled; realized_var must still match batch
+    exactly (the cross-batch-late case is the documented divergence
+    and is deliberately NOT exercised here)."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_realized_vol,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "value")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_realized_vol(stream)
+        .writeStream.format("memory")
+        .queryName("rvol_disorder")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = (
+                ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+                # scramble row order inside the chunk: sort by a hash
+                # that is independent of event time
+                .orderBy(F.md5(F.col("event_id").cast("string")))
+            )
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql(
+        "SELECT user_id, n_returns, realized_var FROM rvol_disorder"
+    ).toPandas()
+    last = emitted.sort_values("n_returns").groupby("user_id").tail(1)
+    got = {int(r.user_id): (int(r.n_returns), float(r.realized_var))
+           for r in last.itertuples()}
+
+    want = {
+        int(r["user_id"]): (int(r["n_returns"]), float(r["realized_var"]))
+        for r in QUERIES["q_realized_vol"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n_g, v_g) in got.items():
+        n_w, v_w = want[k]
+        assert n_g == n_w
+        assert abs(v_g - v_w) <= 1e-9 * max(1.0, abs(v_w))
