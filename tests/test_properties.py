@@ -276,3 +276,71 @@ def test_zorder_interleave_is_invertible(pairs):
         rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (rx, ry) == (x, y)
+
+
+pack_strategy = st.lists(
+    st.integers(min_value=1, max_value=100),  # chunk_len
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(pack_strategy, st.integers(min_value=16, max_value=128))
+@_slow
+def test_pack_sequences_matches_python_replay(spark, lens, budget):
+    """pack_sequences on arbitrary chunk lengths == a pure-Python
+    replay of the streaming-fill rule (bin = cum_before DIV budget,
+    per md5 bucket in (doc_id, chunk_id) order), with every chunk
+    assigned exactly once regardless of input partitioning."""
+    rows = [(i // 5, i % 5, ln) for i, ln in enumerate(lens)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, chunk_id INT, chunk_len LONG"
+    ).repartition(7)  # layout must not affect the assignment
+    out = T.pack_sequences(df, budget_tokens=budget, num_buckets=3).collect()
+
+    assert sorted((r.doc_id, r.chunk_id) for r in out) == sorted(
+        (d, c) for d, c, _ in rows
+    )
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rs in by_bucket.values():
+        cum = 0
+        for r in rs:
+            assert r.bin == cum // budget
+            cum += r.chunk_len
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vec_strategy)
+@_slow
+def test_quantize_int8_error_bound(spark, vecs):
+    """Symmetric int8 quantization invariants on arbitrary vectors:
+    per-component reconstruction error is at most half a code step
+    (amax/254), so mse <= (amax/254)^2; the integer checksum is
+    bounded by 127*dims; all-zero vectors quantize losslessly."""
+    from real_time_crypto_market_data_pipeline_spark.operators.similarity import (
+        scalar_quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    for r in scalar_quantize_int8(df).collect():
+        assert r.dims == len(vecs[r.vec_id])
+        assert abs(r.code_sum) <= 127 * r.dims
+        if r.amax == 0.0:
+            assert r.code_sum == 0 and r.mse == 0.0
+        else:
+            step_half = r.amax / 254.0
+            assert r.mse <= step_half * step_half * (1 + 1e-9)
