@@ -1,16 +1,16 @@
 """Skew-handling operators: salting patterns for hot keys.
 
-At 100 TB a handful of symbols (BTC, ETH) dominate the event volume;
-a plain ``groupBy(symbol)`` sends every BTC row to one reducer. Two
-mitigations, in preference order:
-
-1. AQE skew handling (on in session.py): splits oversized shuffle
-   partitions at runtime - free, but only helps joins/sort-merge
-   stages, not a single hot aggregation key.
-2. Two-stage salted aggregation (here): burst each key into
-   ``num_salts`` sub-keys, pre-aggregate, then merge. Works for any
-   algebraic aggregate (sum/count/min/max) and for mean/std when
-   decomposed into (count, sum, sum-of-squares).
+At 100 TB a handful of symbols (BTC, ETH) dominate the event volume.
+Spark 4 already absorbs hot keys natively for the common shapes -
+algebraic aggregates combine map-side before the shuffle, and
+rank-limited windows get a map-side ``WindowGroupLimit`` - so for
+those, PLAIN code beats salting (measured: SCALING.md "Skew A/B";
+salting pays a second exchange for a problem the engine no longer
+has). The two-stage salted forms here are for when the per-key
+partial STATE is what explodes: aggregation buffers growing with the
+key's row count (collect_list, exact-percentile sort buffers),
+unbounded-frame windows over a hot key, or engines without those
+pushdowns. AQE (on in session.py) covers the join/sort-merge side.
 
 Sample-std merge uses the textbook sum-of-squares identity:
 ``var = (ssq - sum^2/n) / (n - 1)`` - algebraically identical to
