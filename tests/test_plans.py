@@ -398,3 +398,14 @@ def test_session_stats_one_scan_one_exchange(spark):
     plan = physical(QUERIES["q_session_stats"](spark, SF))
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_per_group_has_mapside_window_group_limit(spark):
+    """Spark plans the rank<=k filter as WindowGroupLimit Partial
+    BELOW the exchange: each map task ships at most k rows per group,
+    so a hot group cannot single-reducer the sort - the engine-native
+    form of the two-stage top-k (measured against hand salting in
+    SCALING.md "Skew A/B")."""
+    plan = physical(QUERIES["q_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
