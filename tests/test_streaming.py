@@ -1364,3 +1364,59 @@ def test_streaming_realized_vol_repairs_within_batch_disorder(spark, tmp_path):
         n_w, v_w = want[k]
         assert n_g == n_w
         assert abs(v_g - v_w) <= 1e-9 * max(1.0, abs(v_w))
+
+
+def test_streaming_realized_vol_cross_batch_disorder_diverges(spark, tmp_path):
+    """The other half of the ordering contract: chunks replayed in
+    REVERSED time order (late data across microbatches) must produce
+    a realized_var that genuinely diverges from the batch query for
+    at least one key - proving the documented caveat is a real
+    failure mode, not doc hedging, and that the parity tests'
+    time-ordered replay is load-bearing."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_realized_vol,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "value")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_realized_vol(stream)
+        .writeStream.format("memory")
+        .queryName("rvol_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in reversed(list(zip(cuts, cuts[1:]))):  # newest chunk first
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql(
+        "SELECT user_id, n_returns, realized_var FROM rvol_late"
+    ).toPandas()
+    last = emitted.sort_values("n_returns").groupby("user_id").tail(1)
+    got = {int(r.user_id): float(r.realized_var) for r in last.itertuples()}
+    want = {
+        int(r["user_id"]): float(r["realized_var"])
+        for r in QUERIES["q_realized_vol"](spark, sf).collect()
+    }
+    assert set(got) == set(want)  # same keys either way
+    diverged = sum(
+        1 for k, v in got.items()
+        if abs(v - want[k]) > 1e-6 * max(1.0, abs(want[k]))
+    )
+    assert diverged > 0
