@@ -129,7 +129,9 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     # truncated capture is recoverable (BENCH_r05 lesson).
     spark.stop()
     line = json.dumps(out)
-    local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r06.json")
+    # --tpch defaults to its own file: never clobber the headline mirror
+    local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r06.json"
+                 if metric == "headline_total" else f"BENCH_LOCAL_{metric}.json")
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), local_copy)
         with open(path, "w") as f:
