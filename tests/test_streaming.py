@@ -1420,3 +1420,75 @@ def test_streaming_realized_vol_cross_batch_disorder_diverges(spark, tmp_path):
         if abs(v - want[k]) > 1e-6 * max(1.0, abs(want[k]))
     )
     assert diverged > 0
+
+
+def test_streaming_realized_vol_state_survives_restart(spark, tmp_path):
+    """Kill the realized-vol stream after the first chunk and restart
+    a NEW query from the same checkpoint for the remaining chunks: the
+    last emission per key must still equal batch q_realized_vol over
+    everything - the applyInPandasWithState accumulator state is
+    recovered from the checkpoint, not rebuilt from reprocessed input
+    (the restart-resumption guarantee for the stateful family)."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_realized_vol,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "value")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    out_dir = str(tmp_path / "emitted")
+
+    def start():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # can, and appends every update-mode emission to parquet
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        return (
+            streaming_realized_vol(stream)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        chunk = ev.where((F.col("ms") >= cuts[0]) & (F.col("ms") < cuts[1]))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    q = start()  # fresh query object, same checkpoint
+    try:
+        for a, b in zip(cuts[1:], cuts[2:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    last = emitted.sort_values("n_returns").groupby("user_id").tail(1)
+    got = {int(r.user_id): (int(r.n_returns), float(r.realized_var))
+           for r in last.itertuples()}
+    want = {
+        int(r["user_id"]): (int(r["n_returns"]), float(r["realized_var"]))
+        for r in QUERIES["q_realized_vol"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n_g, v_g) in got.items():
+        n_w, v_w = want[k]
+        assert n_g == n_w
+        assert abs(v_g - v_w) <= 1e-9 * max(1.0, abs(v_w))
