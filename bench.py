@@ -13,8 +13,13 @@ reported number is the min of N timed runs (N from
 $SPARK_GRAFT_BENCH_RUNS, default 3); ALL runs plus a per-query median
 are recorded so round-over-round deltas are judged against measured
 spread, and machine-load snapshots ride in the JSON ("load_start"/
-"load_end") for the environment-vs-regression call. The headline JSON
-is the final stdout line and is mirrored to BENCH_LOCAL_r06.json.
+"load_end") for the environment-vs-regression call. stdout carries
+ONLY the compact headline line (totals + per-query mins - the full
+record with runs arrays grew past the driver's captured tail twice,
+BENCH_r05/r06); the full record goes to the mirror file
+($SPARK_GRAFT_BENCH_OUT, default BENCH_LOCAL_latest.json - round-
+stamped copies are an explicit opt-in so a rerun never clobbers
+committed round evidence).
 """
 
 from __future__ import annotations
@@ -125,20 +130,22 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         out["extra_runs"] = extra_runs
     # stop Spark BEFORE printing so the headline JSON is the very last
     # stdout line (nothing - progress bars, shutdown chatter - can push
-    # it out of a bounded captured tail), and keep an in-repo copy so a
-    # truncated capture is recoverable (BENCH_r05 lesson).
+    # it out of a bounded captured tail). The full record goes to the
+    # mirror file only; stdout gets the COMPACT line (no runs/median
+    # arrays - the full line outgrew the driver's tail in r5 AND r6).
     spark.stop()
-    line = json.dumps(out)
     # --tpch defaults to its own file: never clobber the headline mirror
-    local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r06.json"
+    local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_latest.json"
                  if metric == "headline_total" else f"BENCH_LOCAL_{metric}.json")
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), local_copy)
         with open(path, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
     except OSError:
         pass
-    print(line, flush=True)
+    compact = {"metric": metric, "value": total, "unit": "sec",
+               "queries": timings, "sf": sf_dir}
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -423,6 +423,15 @@ def lsh_jaccard_dedup(
     )
 
 
+def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
+    """Set the context checkpoint dir only if none is configured yet -
+    setCheckpointDir is session-global, and clobbering a dir another
+    operator already established would move ITS recovery files too."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
@@ -455,7 +464,7 @@ def connected_components(
     Returns (doc_id, component) with component = min doc_id reachable.
     """
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ensure_checkpoint_dir(pairs, checkpoint_dir)
 
     def _persist_round(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
@@ -600,7 +609,7 @@ def semantic_dedup(
         embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True
     )
     if checkpoint_dir is not None:
-        assign.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ensure_checkpoint_dir(assign, checkpoint_dir)
         e = assign.checkpoint()
     else:
         e = assign.localCheckpoint()

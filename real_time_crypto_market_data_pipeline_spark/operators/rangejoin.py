@@ -7,9 +7,9 @@ infeasible at 100 TB. The scalable form is the bin-bucketed rewrite
 interval-tree joins in genomics engines):
 
     1. pick a bin width close to the typical interval length;
-    2. each point maps to exactly ONE bin: floor(ts / bin);
+    2. each point maps to exactly ONE bin: ts div bin;
     3. each interval explodes to the bins it overlaps
-       (floor(start/bin) .. floor(end/bin));
+       ((start div bin) .. (end div bin));
     4. equi-join on (key, bin) - a plain shuffled hash/sort-merge
        join Catalyst optimizes like any other - then re-check the
        exact BETWEEN predicate to discard same-bin near-misses.
@@ -66,11 +66,19 @@ def interval_join_binned(
     feeding ``explode``, so they are per-row codegen and Catalyst
     cannot prune them.
     """
-    binned_points = points.withColumn(
-        "_bin", F.floor(F.col(point_ts) / F.lit(bin_width))
-    )
-    bin_lo = F.floor(F.col(start_col) / F.lit(bin_width))
-    bin_hi = F.floor(F.col(end_col) / F.lit(bin_width))
+    # integer `div`, never floor(x / w): the double quotient loses
+    # integer precision past 2^53 (a ns clock is there in ~104 days)
+    # and could misassign a point's bin relative to the interval's
+    # exploded list. `div` truncates toward zero - still monotone
+    # non-decreasing in ts, which is all the rewrite needs: both
+    # sides use the same _bin, so ts in [start, end] implies
+    # _bin(ts) in [_bin(start), _bin(end)].
+    def _bin(c: str):
+        return F.expr(f"`{c}` div {int(bin_width)}")
+
+    binned_points = points.withColumn("_bin", _bin(point_ts))
+    bin_lo = _bin(start_col)
+    bin_hi = _bin(end_col)
     checked_hi = (
         F.when(
             F.col(start_col) > F.col(end_col),
