@@ -14,12 +14,10 @@ $SPARK_GRAFT_BENCH_RUNS, default 3); ALL runs plus a per-query median
 are recorded so round-over-round deltas are judged against measured
 spread, and machine-load snapshots ride in the JSON ("load_start"/
 "load_end") for the environment-vs-regression call. stdout carries
-ONLY the compact headline line (totals + per-query mins - the full
-record with runs arrays grew past the driver's captured tail twice,
-BENCH_r05/r06); the full record goes to the mirror file
-($SPARK_GRAFT_BENCH_OUT, default BENCH_LOCAL_latest.json - round-
-stamped copies are an explicit opt-in so a rerun never clobbers
-committed round evidence).
+ONLY the compact headline line (the full record's runs arrays grew
+past the driver's captured tail twice, BENCH_r05/r06); the full
+record goes to the mirror file ($SPARK_GRAFT_BENCH_OUT, default
+BENCH_LOCAL_latest.json - round-stamped copies are explicit opt-in).
 """
 
 from __future__ import annotations
@@ -69,16 +67,13 @@ def load_snapshot() -> dict:
 def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    # the headline set is pinned to the round-1 baseline queries so the
-    # total stays comparable round over round; extra_keys (synthetic-
-    # input studies like the 1024-dim crossover twins) are measured and
-    # reported but kept out of the headline total
+    # headline set pinned to the round-1 baseline queries (comparable
+    # totals); extra_keys are measured but kept out of the total
     keys = keys if keys is not None else BENCH_KEYS
     extra_keys = extra_keys if extra_keys is not None else BENCH_EXTRA_KEYS
     spark = get_spark("bench")
-    # warmup: run every bench query once at the smallest SF so the
-    # timed runs measure engine steady-state, not first-call JVM
-    # classloading + whole-stage-codegen compilation (~1-3 s/query)
+    # warm every query at the smallest SF first: steady-state, not
+    # first-call classloading + codegen compilation (~1-3 s/query)
     for name in [*keys, *extra_keys]:
         run_to_completion(QUERIES[name](spark, warm_dir))
 
@@ -129,10 +124,8 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         out["extra_queries"] = extra
         out["extra_runs"] = extra_runs
     # stop Spark BEFORE printing so the headline JSON is the very last
-    # stdout line (nothing - progress bars, shutdown chatter - can push
-    # it out of a bounded captured tail). The full record goes to the
-    # mirror file only; stdout gets the COMPACT line (no runs/median
-    # arrays - the full line outgrew the driver's tail in r5 AND r6).
+    # stdout line; full record to the mirror file only, stdout gets the
+    # COMPACT line (the full line outgrew the driver's tail in r5+r6)
     spark.stop()
     # --tpch defaults to its own file: never clobber the headline mirror
     local_copy = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_latest.json"

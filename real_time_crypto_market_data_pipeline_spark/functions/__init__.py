@@ -1,10 +1,5 @@
-"""Column-level function library: reusable expressions, no DataFrames.
-
-The engine's scalar/array vocabulary, importable independently of the
-operators that compose them:
-
-    from real_time_crypto_market_data_pipeline_spark.functions import cosine_sim, tokens_col
-"""
+"""Column-level function library: the engine's scalar/array vocabulary,
+importable independently of the operators that compose it."""
 
 from ..operators.normalize import date_partition_col
 from ..operators.similarity import cosine_sim, dot, l2_norm

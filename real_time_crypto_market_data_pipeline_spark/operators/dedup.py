@@ -424,9 +424,8 @@ def lsh_jaccard_dedup(
 
 
 def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
-    """Set the context checkpoint dir only if none is configured yet -
-    setCheckpointDir is session-global, and clobbering a dir another
-    operator already established would move ITS recovery files too."""
+    """Set the session-global checkpoint dir only if none is configured
+    yet - clobbering another operator's dir would move ITS files."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(checkpoint_dir)
@@ -452,14 +451,12 @@ def connected_components(
 
     Checkpoint mode tradeoff: the default ``localCheckpoint`` keeps
     each round's labels in executor block storage - no extra I/O, but
-    the blocks pin their executors, so losing ONE executor mid-run
-    kills the whole job (lineage was truncated; the blocks are not
-    recomputable). Fine on local mode and short interactive runs.
-    For a long run on a real cluster pass ``checkpoint_dir``: rounds
-    then use reliable ``checkpoint()`` to that (HDFS/S3) path, each
-    round costs one write+read of the label table, and an executor
-    loss only recomputes tasks from the last checkpoint. At 100 TB
-    always set it.
+    the blocks pin their executors, so ONE executor loss mid-run kills
+    the job (lineage truncated, blocks unrecomputable); fine locally.
+    On a real cluster pass ``checkpoint_dir``: rounds then use
+    reliable ``checkpoint()`` to that HDFS/S3 path - one write+read
+    of the label table per round, and an executor loss only recomputes
+    tasks from the last checkpoint. At 100 TB always set it.
 
     Returns (doc_id, component) with component = min doc_id reachable.
     """
@@ -562,7 +559,7 @@ def simhash_pairs(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    num_cells: int = 8,
+    num_cells: int | None = None,
     threshold: float = 0.40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -579,25 +576,26 @@ def semantic_dedup(
     one representative (the smallest id) per epsilon-ball, greedily.
     Returns the KEPT set as (id, cell_id).
 
+    ``num_cells=None`` (the default) derives C = max(8, n // 1000)
+    from an eager corpus count, so cells hold ~1000 vectors at any
+    scale and within-cell pairwise work stays linear in n - a FIXED
+    cell count is the measured 32x-for-10x quadratic wall (SCALING.md),
+    so the default must never be one.
+
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2 -
     and the cell self-join shuffles both sides on cell_id once. The
     dropped-id set is distinct'd before the anti-join, so the final
     pass is corpus vs a small id list (broadcastable under AQE). The
-    assignment (id, cell, vector) is computed ONCE and materialized
-    by checkpointing before its three uses (both self-join sides + the
-    survivors anti-join) - as a lazy lineage it would re-execute per
-    use, which planned as EIGHT corpus scans before this was caught;
-    at 100 TB the materialization is the assignment table the IVF
-    scale path writes partitioned by cell_id anyway
-    (tests/test_scale_patterns.py::test_ivf_partitioned_probe...).
-
-    NOTE the materialization is EAGER: merely calling this function
-    runs the assignment job (a full corpus scan) before the returned
-    plan is ever executed. Without ``checkpoint_dir`` it uses
-    ``localCheckpoint`` (executor-pinned blocks, truncated lineage -
-    unrecoverable on executor loss; fine locally). On a cluster pass
-    ``checkpoint_dir`` (HDFS/S3) for a reliable ``checkpoint()``,
-    same policy as ``connected_components``. At 100 TB always set it.
+    assignment (id, cell, vector) is computed ONCE and EAGERLY
+    materialized before its three uses (both self-join sides + the
+    survivors anti-join) - as lazy lineage it re-executed per use,
+    which planned as EIGHT corpus scans before this was caught; at
+    100 TB it is the assignment table the IVF scale path writes
+    partitioned by cell_id anyway. Without ``checkpoint_dir`` the
+    materialization is ``localCheckpoint`` (executor-pinned blocks,
+    unrecoverable on executor loss; fine locally); on a cluster pass
+    an HDFS/S3 ``checkpoint_dir``, same policy as
+    ``connected_components``. At 100 TB always set it.
 
     The threshold is corpus-calibrated: this synthetic table is random
     vectors (within-cell cosine tops out ~0.49), so the default 0.40
@@ -613,14 +611,13 @@ def semantic_dedup(
         e = assign.checkpoint()
     else:
         e = assign.localCheckpoint()
-    a = e.select(
-        F.col(id_col).alias("_id_a"), "cell_id", F.col(vec_col).alias("_va")
-    )
-    b = e.select(
-        F.col(id_col).alias("_id_b"), "cell_id", F.col(vec_col).alias("_vb")
-    )
+    def side(s: str) -> DataFrame:
+        return e.select(
+            F.col(id_col).alias(f"_id_{s}"), "cell_id", F.col(vec_col).alias(f"_v{s}")
+        )
+
     dropped = (
-        a.join(b, "cell_id")
+        side("a").join(side("b"), "cell_id")
         .where(F.col("_id_a") < F.col("_id_b"))
         .where(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_id_b").alias(id_col))

@@ -38,28 +38,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grouped_stats(
-    df: DataFrame,
-    keys: Sequence[str],
-    value_col: str,
-    prefix: str = "",
-) -> DataFrame:
-    """A5/A7: count / mean / sample-std / min / max per key.
-
-    Sample std uses the n-1 denominator (``stddev_samp``) to match the
-    reference (``rolling.py:180``); single-row and empty groups fall
-    back to 0.0 (``rolling.py:183-184,192,195-196``).
-    """
-    v = F.col(value_col)
-    return df.groupBy(*keys).agg(
-        F.count(v).cast("long").alias(f"{prefix}count"),
-        F.coalesce(F.avg(v), F.lit(0.0)).alias(f"{prefix}mean"),
-        F.coalesce(F.stddev_samp(v), F.lit(0.0)).alias(f"{prefix}std"),
-        F.coalesce(F.min(v).cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
-        F.coalesce(F.max(v).cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
-    )
-
-
 def grouped_stats_exact(
     df: DataFrame,
     keys: Sequence[str],
@@ -68,12 +46,12 @@ def grouped_stats_exact(
     scale: int = 1,
     sum_dtype: str = "decimal(38,0)",
 ) -> DataFrame:
-    """A5/A7 exact-partial-sum variant: deterministic mean/std per key.
-
-    Same contract as :func:`grouped_stats` (count / mean / SAMPLE std /
-    min / max, 0.0 fallbacks per reference ``rolling.py:180-196``), but
-    the mean and std are computed from EXACT integer partial sums
-    instead of double accumulation:
+    """A5/A7: count / mean / SAMPLE std / min / max per key, with 0.0
+    single-row/empty fallbacks per reference ``rolling.py:180-196``
+    (the plain stddev_samp float twin moved to
+    tests/_reference_impls.plain_grouped_stats in r7 - plans only ever
+    used this exact form). Mean and std come from EXACT integer
+    partial sums instead of double accumulation:
 
     - the value is quantized to an integer grid (``round(value*scale)``;
       pass ``scale=1`` for columns that are already integral),
@@ -93,17 +71,14 @@ def grouped_stats_exact(
     reaches ~1.7e9 ms in the test data, so x^2 sums overflow BIGINT -
     hence DECIMAL(38,0), which also survives 100 TB group sizes).
 
-    Scale note: identical shuffle profile to :func:`grouped_stats` -
-    one hash-shuffle on the keys with map-side combine; the per-group
-    state is 5 fixed-width values regardless of group size.
+    Scale note: one hash-shuffle on the keys with map-side combine;
+    the per-group state is 5 fixed-width values regardless of size.
 
     ``sum_dtype`` trades accumulator width for speed: DECIMAL(38,0)
     (default) is exact for ANY input domain but BigDecimal-backed
-    (~2x the aggregate cost); "long" uses primitive 64-bit sums -
-    pick it only when ``n_rows_per_group * max(|x|)^2`` provably fits
-    63 bits (e.g. 2-decimal values up to ~1e5 -> cents^2 <= ~1e10 ->
-    safe beyond 1e8 rows per group). ANSI mode makes a misjudged
-    domain a loud overflow error, never a silent wrap.
+    (~2x the aggregate cost); "long" uses primitive 64-bit sums - pick
+    it only when ``n_rows_per_group * max(|x|)^2`` provably fits 63
+    bits. ANSI mode makes a misjudged domain a loud overflow error.
     """
     v = F.col(value_col)
     quantized = F.round(v * F.lit(scale)) if scale != 1 else v

@@ -67,12 +67,10 @@ def interval_join_binned(
     cannot prune them.
     """
     # integer `div`, never floor(x / w): the double quotient loses
-    # integer precision past 2^53 (a ns clock is there in ~104 days)
-    # and could misassign a point's bin relative to the interval's
-    # exploded list. `div` truncates toward zero - still monotone
-    # non-decreasing in ts, which is all the rewrite needs: both
-    # sides use the same _bin, so ts in [start, end] implies
-    # _bin(ts) in [_bin(start), _bin(end)].
+    # integer precision past 2^53 (a ns clock is there in ~104 days).
+    # `div` truncates toward zero - still monotone in ts, which is all
+    # the rewrite needs: both sides share _bin, so ts in [start, end]
+    # implies _bin(ts) in [_bin(start), _bin(end)].
     def _bin(c: str):
         return F.expr(f"`{c}` div {int(bin_width)}")
 

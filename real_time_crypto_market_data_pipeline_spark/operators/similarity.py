@@ -7,18 +7,20 @@ sequential JVM-side fold with deterministic summation order, which is
 what makes the DuckDB oracle match bit-for-bit before rounding.
 
 Scale notes (100 TB of embeddings):
-- brute force: the query side is a handful of vectors -> broadcast it;
-  the scan side never shuffles, and top-k is a ``TakeOrderedAndProject``
-  (per-partition heap + driver merge of k rows), not a global sort.
-- IVF: centroid assignment is a broadcast nested-loop over C centroids
-  (C small), then the probe only scans matching cells. Cell id becomes
-  the partition key on disk so partition pruning skips everything else.
+- brute force: broadcast the handful of query vectors; the scan side
+  never shuffles and top-k is TakeOrderedAndProject, not a global sort.
+- IVF: assignment is a two-level coarse quantizer (``assign_cells``,
+  ~2n*sqrt(C) cosines, zero corpus shuffle); the probe only scans
+  matching cells. Cell id becomes the partition key on disk so
+  partition pruning skips everything else.
 - For per-row Python-speed concerns: at 64 dims the built-in fold is
   fine; for 1k+ dims switch the dot product to a vectorized Pandas UDF
   over Arrow batches (numpy matmul per batch) - same plan shape.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,25 +49,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def cosine_topk(
-    embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _broadcast_query_topk(
+    corpus: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """X3 baseline: exact brute-force cosine top-k for one stored query.
-
-    The one-row query side is cross-joined with an explicit broadcast
-    hint - Catalyst plans BroadcastNestedLoopJoin, so the corpus scan
-    stays shuffle-free and ``orderBy().limit(k)`` lowers to
-    TakeOrderedAndProject (no global sort).
-    """
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
+    """Score ``corpus`` against a broadcast one-row query (``_qvec``),
+    keep the exact top-k: BroadcastNestedLoopJoin (scan stays
+    shuffle-free) + TakeOrderedAndProject (no global sort)."""
     return (
-        embeddings.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
             cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine"),
@@ -75,44 +66,113 @@ def cosine_topk(
     )
 
 
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 baseline: exact brute-force cosine top-k for one stored query."""
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    return _broadcast_query_topk(embeddings, q, k, id_col, vec_col)
+
+
+def _nearest_cell(cells: Column, v: Column) -> Column:
+    """Argmax-by-cosine over an array<struct<cell_id, cvec>> sorted by
+    cell_id: highest cosine wins, ties -> lowest cell_id (strict ``>``
+    fold; matches the oracle's row_number cosine DESC, cell_id)."""
+    scored = F.transform(
+        cells,
+        lambda e: F.struct(cosine_sim(v, e["cvec"]).alias("s"), e["cell_id"].alias("c")),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).cast("long").alias("c")),
+        lambda acc, e: F.when(e["s"] > acc["s"], e).otherwise(acc),
+    )["c"]
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Two-level coarse-quantized nearest-centroid assignment.
+
+    ``cents``: small (cell_id, cvec) relation, cell_ids 0..C-1. The
+    FAISS-style two-level quantizer removes the n x C assignment term
+    SCALING.md measured as the IVF/SemDeDup scale wall: the
+    ceil(sqrt(C)) lowest cell_ids act as super-centroids, each
+    centroid maps to its nearest super (C x G cosines - index-build
+    scale), and each corpus vector scores the G supers then only the
+    winning super's children: n*(G + C/G) ~ 2n*sqrt(C) cosines, not
+    n*C. Every centroid is a child of its own super (cosine(c,c) = 1
+    is maximal), so no super-cell is empty and a centroid assigns to
+    itself. The index (super array + children map) is ONE broadcast
+    row and the per-vector argmax a higher-order fold, so unlike the
+    crossJoin + groupBy argmax this replaced, the corpus is never
+    row-multiplied by C and never shuffled at all.
+    """
+    n_super = math.isqrt(num_cells - 1) + 1 if num_cells > 1 else 1
+    sup_arr = (
+        cents.where(F.col("cell_id") < n_super)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_supers"))
+    )
+    kids = (
+        cents.crossJoin(F.broadcast(sup_arr))
+        .select("cell_id", "cvec", _nearest_cell(F.col("_supers"), F.col("cvec")).alias("_sid"))
+        .groupBy("_sid")
+        .agg(F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_kids"))
+    )
+    idx = (
+        kids.groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("_sid", "_kids"))).alias("_kmap"))
+        .crossJoin(sup_arr)
+    )
+    out = (
+        embeddings.crossJoin(F.broadcast(idx))
+        .withColumn("_sid", _nearest_cell(F.col("_supers"), F.col(vec_col)))
+        .withColumn(
+            "_cell",
+            _nearest_cell(F.element_at(F.col("_kmap"), F.col("_sid")), F.col(vec_col)),
+        )
+    )
+    keep = [F.col(id_col), F.col("_cell").cast("int").alias("cell_id")]
+    if keep_vec:
+        keep.append(F.col(vec_col))
+    return out.select(*keep)
+
+
 def ivf_assign(
     embeddings: DataFrame,
-    num_cells: int = 8,
+    num_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
-    Deterministic 'training': centroids are the vectors with the
-    ``num_cells`` smallest ids (a fixed, reproducible sample - real
-    pipelines would run k-means; the assignment topology is identical).
-    Broadcast join against C centroids + argmax-by-struct, no shuffle
-    of the corpus. ``keep_vec=True`` carries the vector through the
-    argmax aggregate (it is constant per id, so ``first`` is
-    deterministic) - callers that need (id, cell, vector) then avoid
-    a join back to the corpus, i.e. a second corpus scan.
+    Deterministic 'training': centroids are the ``num_cells``
+    smallest-id vectors (fixed, reproducible; real pipelines run
+    ``ivf_kmeans_index``). ``num_cells=None`` derives C from an eager
+    corpus count as max(8, n // 1000): cells stay ~1000 rows at any
+    scale, so SemDeDup's within-cell pairwise work is linear overall
+    instead of the 32x-for-10x fixed-C quadratic wall (SCALING.md).
+    Assignment is the two-level ``assign_cells``.
     """
+    if num_cells is None:
+        num_cells = max(8, embeddings.count() // 1000)
     cents = embeddings.where(F.col(id_col) < num_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec")
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell_id"),
-        cosine_sim(F.col(vec_col), F.col("cvec")).alias("csim"),
-    )
-    # argmax via max(struct(sim, -cell_id)): highest sim, ties -> lowest cell
-    aggs = [
-        F.max(F.struct(F.col("csim"), (-F.col("cell_id")).alias("_neg"))).alias("_best")
-    ]
-    if keep_vec:
-        aggs.append(F.first(F.col(vec_col)).alias(vec_col))
-    best = scored.groupBy(id_col).agg(*aggs)
-    keep = [F.col(id_col), (-F.col("_best._neg")).cast("int").alias("cell_id")]
-    if keep_vec:
-        keep.append(F.col(vec_col))
-    return best.select(*keep)
+    return assign_cells(embeddings, cents, num_cells, id_col, vec_col, keep_vec)
 
 
 def ivf_topk(
@@ -125,12 +185,10 @@ def ivf_topk(
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
-    At scale the assignment table is written partitioned by cell_id, so
-    this probe is a partition-pruned scan of ~1/C of the corpus
-    followed by a local top-k. ``keep_vec`` assignment means the
-    corpus contributes ONE full scan; the broadcast query row
-    (cell + vector together) re-derives through an id-pushed point
-    lookup, not a corpus rescan.
+    At scale the assignment table is written partitioned by cell_id,
+    making this probe a partition-pruned scan of ~1/C of the corpus +
+    a local top-k; ``keep_vec`` means the corpus contributes ONE scan
+    (the broadcast query row re-derives via an id-pushed lookup).
     """
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
@@ -159,36 +217,37 @@ def ivf_kmeans_index(
     """IVF-k-means index build: train centroids, assign every vector.
 
     Training input is capped at ``training_cap`` rows chosen by
-    ordering on a stable hash of the id column (``xxhash64(id)``) -
-    a deterministic pseudo-random sample, so the trained centroids
-    (and therefore the index layout) are reproducible across cluster
-    sizes and partition layouts, unlike a bare ``limit`` whose
-    LocalLimit picks whichever partitions answer first. The order-by
-    compiles to TakeOrderedAndProject (per-partition top-cap, merged
-    on the driver side of the exchange) - linear in the corpus, no
-    global sort, and at 100 TB the 20-iteration fit still only ever
-    sees ``training_cap`` rows. Unit normalization guards zero-norm
-    vectors with greatest(norm, eps) so MLlib never sees a null
-    feature vector. Returns ``(model, assigned)`` where ``assigned``
-    carries (id, vec, features, cell_id) - at scale it is written
-    partitioned by cell_id for partition-pruned probes.
+    ordering on ``xxhash64(id)`` - a deterministic pseudo-random
+    sample, so the trained centroids (and the index layout) are
+    reproducible across cluster sizes and partition layouts, unlike a
+    bare ``limit`` whose LocalLimit picks whichever partitions answer
+    first. The order-by compiles to TakeOrderedAndProject - linear in
+    the corpus, no global sort - and at 100 TB the 20-iteration fit
+    still only sees ``training_cap`` rows. Unit normalization guards
+    zero norms with greatest(norm, eps). Assignment does NOT use
+    model.transform (an n x C euclidean pass): the trained centroids
+    feed the two-level ``assign_cells`` quantizer - ~2n*sqrt(C)
+    cosines, and the SAME metric (cosine) the probe-cell selection
+    uses. Returns ``(model, assigned)``; ``assigned`` carries
+    (id, cell_id, vec) - written partitioned by cell_id at scale.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     norm = F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12))
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    base = embeddings.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("features")
-    )
     train = (
-        base.select(F.col(id_col), "features")
+        embeddings.select(F.col(id_col), array_to_vector(unit).alias("features"))
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(training_cap)
         .select("features")
     )
     model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(train)
-    assigned = model.transform(base).withColumnRenamed("prediction", "cell_id")
+    cents = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id long, cvec array<double>",
+    )
+    assigned = assign_cells(embeddings, cents, num_cells, id_col, vec_col, keep_vec=True)
     return model, assigned
 
 
@@ -230,35 +289,25 @@ def ivf_kmeans_topk(
     training produced - that invariant is what the driver oracle
     checks, while pytest pins partial-probe recall.
 
-    Scale notes: training runs on a capped sample (``training_cap``
-    rows via ``limit`` - a LocalLimit stops the scan early, and
-    centroids converge long before the corpus is exhausted);
-    assignment is one model.transform pass; at 100 TB the assignment
-    table is written partitioned by cell_id so a probe is a
-    partition-pruned scan of n_probe/C of the corpus. Centroids
-    (C x dims floats) and the query vector are driver-side by design -
-    kilobytes. Zero-norm vectors are guarded on every normalization
-    (greatest(norm, eps) row-side, ``or 1.0`` driver-side) so a zero
-    corpus or query vector degrades to cosine 0 instead of NaN/null.
+    Scale notes: training sees only the ``training_cap`` sample;
+    assignment is the two-level quantizer pass (see
+    ``ivf_kmeans_index``); at 100 TB the assignment table is written
+    partitioned by cell_id so a probe is a partition-pruned scan of
+    n_probe/C of the corpus. Centroids and the query vector are
+    driver-side by design - kilobytes. Zero-norm vectors are guarded
+    on every normalization (greatest(norm, eps) row-side, ``or 1.0``
+    driver-side) so they degrade to cosine 0 instead of NaN/null.
     """
     model, assigned = ivf_kmeans_index(
         embeddings, num_cells, seed, id_col, vec_col, training_cap
     )
     qvec = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
     probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
-
     q = embeddings.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec")
     )
-    return (
-        assigned.where(F.col("cell_id").isin(probe))
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    return _broadcast_query_topk(
+        assigned.where(F.col("cell_id").isin(probe)), q, k, id_col, vec_col
     )
 
 
@@ -271,12 +320,10 @@ def cosine_topk_arrow(
 ) -> DataFrame:
     """X3 high-dim path: brute-force cosine via Arrow-batched numpy.
 
-    Above a few hundred dimensions the per-element expression fold
-    loses to one BLAS matmul per Arrow batch; this mapInPandas
-    formulation computes sims for a whole batch in a single
-    ``stack @ q`` and keeps the same TakeOrdered top-k plan shape.
-    The query vector travels in the closure (broadcast-equivalent for
-    a single vector).
+    Above a few hundred dims the per-element expression fold loses to
+    one BLAS matmul per Arrow batch (``stack @ q`` inside mapInPandas);
+    the TakeOrdered top-k plan shape is unchanged, and the query
+    vector travels in the closure (broadcast-equivalent for one row).
     """
     import numpy as np
     import pandas as pd
@@ -309,18 +356,16 @@ def hyperplane_lsh_buckets(
     """X3 alternative scale path: random-hyperplane LSH for vectors.
 
     bucket = sign-bit signature of dot products against ``num_bits``
-    deterministic pseudo-random hyperplanes (coefficients derived from
+    deterministic pseudo-random hyperplanes (coefficients from
     md5(bit, dim) - reproducible everywhere, no RNG state to ship).
     Cosine-similar vectors agree on most sign bits, so equal buckets
     (or low-Hamming neighbors) are ANN candidates. Pure projection -
     no shuffle; at scale the bucket becomes the storage partition key,
-    like the IVF cell id. Complements IVF: hyperplane buckets need no
-    training pass at all.
+    like the IVF cell id, and needs no training pass at all.
     """
     import hashlib
 
-    # deterministic hyperplanes in [-1, 1), generated driver-side once
-    # (num_bits x dims floats, broadcast via literal arrays)
+    # driver-side hyperplanes in [-1, 1), shipped as literal arrays
     def coeff(bit: int, dim: int) -> float:
         h = hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()
         return int(h[:8], 16) / 2**31 - 1.0
@@ -351,15 +396,11 @@ def scalar_quantize_int8(
     The storage-compression step an embedding index runs before
     building IVF/HNSW at scale: each vector is mapped to int8 codes
     ``floor(x * 127 / amax + 0.5)`` with ``amax = max(|x|)`` (the
-    FAISS ``SQ8``/``ScalarQuantizer`` layout - 4x smaller than fp32,
-    one float of scale metadata per vector). Emits, per vector:
-
-    - ``dims``, ``amax`` (the dequantization scale),
-    - ``code_sum``: exact BIGINT sum of the codes - an
-      order-insensitive integer checksum the oracle reproduces
-      bit-for-bit (proves the codes themselves match, not just
-      aggregate error),
-    - ``mse``: mean squared reconstruction error vs the original.
+    FAISS ``SQ8`` layout - 4x smaller than fp32, one float of scale
+    metadata per vector). Emits per vector: ``dims``, ``amax`` (the
+    dequantization scale), ``code_sum`` (exact BIGINT code checksum
+    the oracle reproduces bit-for-bit - proves the codes themselves
+    match), and ``mse`` (mean squared reconstruction error).
 
     Rounding is floor(x + 0.5), not round(): both engines lower it to
     the same IEEE floor, sidestepping round-half-to-even divergence.

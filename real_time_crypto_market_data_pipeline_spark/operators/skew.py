@@ -11,6 +11,9 @@ partial STATE is what explodes: aggregation buffers growing with the
 key's row count (collect_list, exact-percentile sort buffers),
 unbounded-frame windows over a hot key, or engines without those
 pushdowns. AQE (on in session.py) covers the join/sort-merge side.
+(A salted rank-limited top-k twin was retired in r7: WindowGroupLimit
+already bounds the hot key map-side, measured 1.5x faster plain -
+SCALING.md "Skew A/B".)
 
 Sample-std merge uses the textbook sum-of-squares identity:
 ``var = (ssq - sum^2/n) / (n - 1)`` - algebraically identical to
@@ -67,33 +70,4 @@ def salted_grouped_stats(
         F.sqrt(F.greatest(var, F.lit(0.0))).alias(f"{prefix}std"),
         F.coalesce(F.col("_MIN").cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
         F.coalesce(F.col("_MAX").cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
-    )
-
-
-def salted_top_values(
-    df: DataFrame,
-    keys: Sequence[str],
-    value_col: str,
-    k: int = 10,
-    num_salts: int = 16,
-) -> DataFrame:
-    """Top-k values per hot key without a single-reducer sort.
-
-    Stage 1: top-k within each (key, salt) slice (WindowGroupLimit
-    keeps the partial sort bounded); stage 2: top-k of the
-    num_salts * k survivors. Output: key cols + value + rank.
-    """
-    from pyspark.sql import Window
-
-    salted = df.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
-    w1 = Window.partitionBy(*keys, "_salt").orderBy(F.col(value_col).desc())
-    survivors = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= k)
-        .drop("_r1", "_salt")
-    )
-    w2 = Window.partitionBy(*keys).orderBy(F.col(value_col).desc())
-    return (
-        survivors.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
     )

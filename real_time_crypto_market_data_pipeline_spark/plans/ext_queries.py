@@ -462,9 +462,8 @@ _HIGHDIM_TOPK_ORACLE = f"""
     """
 
 
-# (q_cosine_topk_fold_highdim - the deliberately-bad 1024-dim fold plan -
-# retired in r6 after its ~3x fold-vs-Arrow lesson was recorded in SCALING.md
-# "High-dim cosine: fold vs Arrow"; the operator stays oracle-checked via
+# (q_cosine_topk_fold_highdim retired r6 after its ~3x fold-vs-Arrow lesson
+# was recorded in SCALING.md; the fold operator stays oracle-checked via
 # q_cosine_topk and the 1024-dim agreement stays a test in test_similarity.py.)
 
 
@@ -481,30 +480,49 @@ def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- X3 (IVF scale path)
+def _ivf_best(prm: str) -> str:
+    """Two-level IVF assignment as DuckDB CTEs, mirroring
+    operators/similarity.assign_cells: ``prm`` yields one row with
+    c = num_cells, g = ceil(sqrt(c)); ``best`` maps every vector to
+    (vec_id, embedding, cell_id) via vector -> nearest super ->
+    nearest of its children, ties to the lowest id at every level."""
+    rn = "row_number() OVER (PARTITION BY {p} ORDER BY {s} DESC, {t}) AS rn"
+    return f"""
+    WITH prm AS ({prm}),
+    sup AS (SELECT vec_id AS super_id, embedding AS svec
+            FROM embeddings, prm WHERE vec_id < prm.g),
+    cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+              FROM embeddings, prm WHERE vec_id < prm.c),
+    cmap AS (SELECT cell_id, cvec, super_id FROM (
+        SELECT c.cell_id, c.cvec, s.super_id,
+               {rn.format(p="c.cell_id", s=_COS.format(a="c.cvec", b="s.svec"), t="s.super_id")}
+        FROM cents c CROSS JOIN sup s) t WHERE rn = 1),
+    vsup AS (SELECT vec_id, embedding, super_id FROM (
+        SELECT e.vec_id, e.embedding, s.super_id,
+               {rn.format(p="e.vec_id", s=_COS.format(a="e.embedding", b="s.svec"), t="s.super_id")}
+        FROM embeddings e CROSS JOIN sup s) t WHERE rn = 1),
+    best AS (SELECT vec_id, embedding, cell_id FROM (
+        SELECT v.vec_id, v.embedding, c.cell_id,
+               {rn.format(p="v.vec_id", s=_COS.format(a="v.embedding", b="c.cvec"), t="c.cell_id")}
+        FROM vsup v JOIN cmap c ON v.super_id = c.super_id) t WHERE rn = 1)"""
+
+
+# Spark twin: ivf_assign(num_cells=None) - C = max(8, n//1000), G = ceil(sqrt(C))
+_DERIVED_CELLS = (
+    "SELECT GREATEST(8, COUNT(*) // 1000) AS c, "
+    "CAST(CEIL(SQRT(GREATEST(8, COUNT(*) // 1000))) AS BIGINT) AS g FROM embeddings"
+)
+
+
 @query(
     "q_ann_ivf",
-    oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
-    ),
-    scored AS (
-      SELECT e.vec_id, e.embedding, c.cell_id,
-             {_COS.format(a='e.embedding', b='c.cvec')} AS csim
-      FROM embeddings e CROSS JOIN cents c
-    ),
-    best AS (
-      SELECT vec_id, embedding, cell_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY csim DESC, cell_id) AS rn
-        FROM scored
-      ) t WHERE rn = 1
-    ),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    qcell AS (SELECT cell_id AS qc FROM best WHERE vec_id = 0)
+    oracle=_ivf_best("SELECT 8 AS c, 3 AS g")
+    + f""",
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT b.vec_id, CAST(b.cell_id AS INTEGER) AS cell_id,
            {_COS.format(a='b.embedding', b='q.qe')} AS cosine
-    FROM best b CROSS JOIN q CROSS JOIN qcell
-    WHERE b.cell_id = qcell.qc
+    FROM best b CROSS JOIN q
+    WHERE b.cell_id = (SELECT cell_id FROM best WHERE vec_id = 0)
     ORDER BY cosine DESC, b.vec_id LIMIT 5
     """,
 )
@@ -1311,22 +1329,8 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- X2/X3 (SemDeDup)
 @query(
     "q_semdedup",
-    oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
-    ),
-    scored AS (
-      SELECT e.vec_id, e.embedding, c.cell_id,
-             {_COS.format(a='e.embedding', b='c.cvec')} AS csim
-      FROM embeddings e CROSS JOIN cents c
-    ),
-    best AS (
-      SELECT vec_id, embedding, cell_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY csim DESC, cell_id) AS rn
-        FROM scored
-      ) t WHERE rn = 1
-    ),
+    oracle=_ivf_best(_DERIVED_CELLS)
+    + f""",
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM best a JOIN best b
@@ -1343,9 +1347,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (min id) per within-cell epsilon-ball.
 
     Pairwise cosine only inside a cell (sum(cell^2), never n^2); the
-    deterministic IVF assignment makes the full cluster->pair->policy
-    pipeline value-checkable against SQL. Threshold 0.40 is calibrated
-    to this random-vector corpus (within-cell max ~0.49).
+    deterministic two-level assignment keeps the whole
+    cluster->pair->policy pipeline value-checkable against SQL, and
+    num_cells is corpus-derived (the oracle's prm CTE replays the
+    derivation), so the DEFAULT configuration scales linearly instead
+    of hitting the measured fixed-C quadratic wall. Threshold 0.40 is
+    calibrated to this random-vector corpus (within-cell max ~0.49).
     """
     return D.semantic_dedup(load(spark, sf_dir, "embeddings"))
 

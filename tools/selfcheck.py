@@ -8,16 +8,12 @@ Usage:
     python tools/selfcheck.py --evidence-age      # driver-evidence ledger
 
 ``--evidence-age`` (no Spark needed) reads the committed
-CORRECTNESS_r*.json files and prints each registered query's most
-recent driver-checked round; exit nonzero on evidence >2 rounds old,
+CORRECTNESS_r*.json files; exit nonzero on evidence >2 rounds old,
 never-checked, or failing-at-latest-check - mechanizing the oldest-
 first prefix rotation (122 queries / 50 slots: steady-state max age 2).
-
-Every run starts with a testdata schema-contract check (prints each
-table's dtypes, fails loudly on drift) - an environment change in the
-driver's parquet becomes a one-line diagnosis instead of a lost round
-(round 2 lost 14 queries to events.ts LONG-ns -> timestamp[us] drift).
-
+Every run starts with a testdata schema-contract check, so driver-side
+parquet drift is a one-line diagnosis instead of a lost round (round 2
+lost 14 queries to events.ts LONG-ns -> timestamp[us] drift).
 Exit code 0 iff the contract holds and every checked query matches.
 """
 
