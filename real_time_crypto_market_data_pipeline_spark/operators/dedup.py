@@ -576,11 +576,11 @@ def semantic_dedup(
     one representative (the smallest id) per epsilon-ball, greedily.
     Returns the KEPT set as (id, cell_id).
 
-    ``num_cells=None`` (the default) derives C = max(8, n // 1000)
-    from an eager corpus count, so cells hold ~1000 vectors at any
-    scale and within-cell pairwise work stays linear in n - a FIXED
-    cell count is the measured 32x-for-10x quadratic wall (SCALING.md),
-    so the default must never be one.
+    ``num_cells=None`` (the default) derives C = max(8, n // 250)
+    from an eager corpus count, so cells hold ~250 vectors at any
+    scale (the r6-measured sweet spot) and within-cell pairwise work
+    stays linear in n - a FIXED cell count is the measured 32x-for-10x
+    quadratic wall (SCALING.md), so the default must never be one.
 
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2 -
     and the cell self-join shuffles both sides on cell_id once. The

@@ -162,13 +162,14 @@ def ivf_assign(
     Deterministic 'training': centroids are the ``num_cells``
     smallest-id vectors (fixed, reproducible; real pipelines run
     ``ivf_kmeans_index``). ``num_cells=None`` derives C from an eager
-    corpus count as max(8, n // 1000): cells stay ~1000 rows at any
-    scale, so SemDeDup's within-cell pairwise work is linear overall
-    instead of the 32x-for-10x fixed-C quadratic wall (SCALING.md).
-    Assignment is the two-level ``assign_cells``.
+    corpus count as max(8, n // 250): cells stay ~250 rows at any
+    scale (the r6-probe-measured sweet spot), so SemDeDup's
+    within-cell pairwise work is linear overall instead of the
+    32x-for-10x fixed-C quadratic wall (SCALING.md). Assignment is
+    the two-level ``assign_cells``.
     """
     if num_cells is None:
-        num_cells = max(8, embeddings.count() // 1000)
+        num_cells = max(8, embeddings.count() // 250)
     cents = embeddings.where(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec")
     )

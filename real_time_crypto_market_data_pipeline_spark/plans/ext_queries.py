@@ -507,10 +507,10 @@ def _ivf_best(prm: str) -> str:
         FROM vsup v JOIN cmap c ON v.super_id = c.super_id) t WHERE rn = 1)"""
 
 
-# Spark twin: ivf_assign(num_cells=None) - C = max(8, n//1000), G = ceil(sqrt(C))
+# Spark twin: ivf_assign(num_cells=None) - C = max(8, n//250), G = ceil(sqrt(C))
 _DERIVED_CELLS = (
-    "SELECT GREATEST(8, COUNT(*) // 1000) AS c, "
-    "CAST(CEIL(SQRT(GREATEST(8, COUNT(*) // 1000))) AS BIGINT) AS g FROM embeddings"
+    "SELECT GREATEST(8, COUNT(*) // 250) AS c, "
+    "CAST(CEIL(SQRT(GREATEST(8, COUNT(*) // 250))) AS BIGINT) AS g FROM embeddings"
 )
 
 
