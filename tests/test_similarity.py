@@ -52,6 +52,39 @@ def test_ivf_assign_every_vector_once(emb):
     assert own == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_ivf_assign_corpus_never_shuffles(emb):
+    """The two-level assignment's scale property, pinned in the plan:
+    the corpus side carries NO hashpartitioning exchange at all (the
+    r7 quantizer replaced a crossJoin + groupBy argmax that shuffled
+    every (id, vector) row). The only exchanges allowed are the tiny
+    single-partition index-build aggregations and the C-row
+    children-map groupBy."""
+    plan = (
+        S.ivf_assign(emb, num_cells=16, keep_vec=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # the corpus grouping key was vec_id; only _sid (the C-row
+            # children-map build) may hash-shuffle
+            assert "_sid" in line, line
+    assert "BroadcastNestedLoopJoin" in plan  # one-row index attach
+
+
+def test_ivf_assign_partition_layout_invariant(emb):
+    """Assignment is a pure per-row computation over a deterministic
+    broadcast index: repartitioning the corpus must not move any
+    vector to a different cell."""
+    a = {r.vec_id: r.cell_id for r in S.ivf_assign(emb, num_cells=16).collect()}
+    b = {
+        r.vec_id: r.cell_id
+        for r in S.ivf_assign(emb.repartition(7, "label"), num_cells=16).collect()
+    }
+    assert a == b
+
+
 def test_ivf_topk_subset_of_cell(emb):
     res = S.ivf_topk(emb, query_vec_id=5, k=5, num_cells=4)
     rows = res.collect()
