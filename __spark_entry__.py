@@ -1,9 +1,7 @@
-"""Driver contract for the spark-graft builder (PySpark target).
-
-``entry(spark)`` runs the flagship metrics-snapshot query (the
-reference's CSV export composition A5+A6+A7, rolling.py:147-212) at
-sf0.001; ``queries()`` exposes every implemented operator from SURVEY
-section 2 (+2.7); ``oracle_sql()`` gives each one's DuckDB SQL.
+"""Driver contract: ``entry(spark)`` runs the flagship metrics-snapshot
+query (the reference's CSV export composition A5+A6+A7,
+rolling.py:147-212) at sf0.001; ``queries()`` exposes every SURVEY
+section 2 (+2.7) operator; ``oracle_sql()`` gives each one's DuckDB SQL.
 """
 
 from __future__ import annotations

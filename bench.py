@@ -1,23 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": "<dir>"}
-
-Each query runs to completion with the noop sink (full plan, no result
-transfer). Warm-up is two-stage: every query once at the smallest SF
-(classloading + codegen compile), then one untimed run at the TARGET
-SF before its timed runs (HotSpot C2 needs hot loops on real volume;
-without this the first timed run sat up to 1.8x steady state). The
-reported number is the min of N timed runs (N from
-$SPARK_GRAFT_BENCH_RUNS, default 3); ALL runs plus a per-query median
-are recorded so round-over-round deltas are judged against measured
-spread, and machine-load snapshots ride in the JSON ("load_start"/
-"load_end") for the environment-vs-regression call. stdout carries
-ONLY the compact headline line (the full record's runs arrays grew
-past the driver's captured tail twice, BENCH_r05/r06); the full
-record goes to the mirror file ($SPARK_GRAFT_BENCH_OUT, default
-BENCH_LOCAL_latest.json - round-stamped copies are explicit opt-in).
+Prints ONE compact JSON line: {"metric": "headline_total", "value": N,
+"unit": "sec", "queries": {name: sec, ...}, "sf": "<dir>"}. Each query
+runs to completion with the noop sink. Warm-up is two-stage: every
+query once at the smallest SF (classloading + codegen compile), then
+one untimed run at the TARGET SF (HotSpot C2 needs hot loops on real
+volume; without this the first timed run sat up to 1.8x steady state).
+Reported = min of N timed runs ($SPARK_GRAFT_BENCH_RUNS, default 3);
+ALL runs + per-query medians + loadavg snapshots go to the mirror
+file only ($SPARK_GRAFT_BENCH_OUT, default BENCH_LOCAL_latest.json -
+round-stamped copies are explicit opt-in), because the full record's
+runs arrays grew past the driver's captured tail twice (r05/r06).
 """
 
 from __future__ import annotations
@@ -44,9 +37,9 @@ def run_to_completion(df) -> int:
 
 
 def load_snapshot() -> dict:
-    """Machine-load evidence (1/5/15-min loadavg + runnable-task count)
-    recorded with each bench run, so an environment-vs-regression call
-    (like r5's noise-induced 1.23x scare) is evidence-based per run."""
+    """Machine-load evidence (loadavg + runnable-task count) per run:
+    makes the environment-vs-regression call (r5's 1.23x noise scare)
+    evidence-based."""
     snap: dict = {}
     try:
         snap["loadavg"] = list(os.getloadavg())

@@ -63,16 +63,14 @@ def incremental_dedup(
     against the already-ingested corpus, not against itself alone.
     Two stages, both on 32-byte md5 keys: (1) collapse intra-batch
     copies to the min-id representative, (2) anti-join the survivors
-    against the corpus hash set. Returns (doc_id, text_hash) of
-    admitted docs.
+    against the corpus hash set. Returns (doc_id, text_hash) admitted.
 
-    Scale: the corpus side reduces to its hash column before the
-    anti-join, so the shuffle carries 32-byte keys - at 100 TB the
-    hash set is the thing you keep materialized between ingests
-    (partitioned by hash prefix), and the anti-join becomes a
-    partition-local probe. A bloom prefilter (sketches.bloom_bitmap,
-    the q_decontaminate_bloom machinery) cuts the probe volume when
-    the batch-to-corpus ratio is tiny; the streaming twin is
+    Scale: the corpus side reduces to its hash column first, so the
+    shuffle carries 32-byte keys - at 100 TB the hash set is what you
+    keep materialized between ingests (partitioned by hash prefix),
+    and the anti-join becomes a partition-local probe; a bloom
+    prefilter (sketches.bloom_bitmap) cuts probe volume when the
+    batch-to-corpus ratio is tiny. Streaming twin:
     pipeline.streaming_near_dedup's dropDuplicatesWithinWatermark.
     """
     b = (
@@ -122,14 +120,12 @@ def minhash_signature_col(
 
     The shuffle-free form of :func:`minhash_wide`: each component is
     ``array_min(transform(shingles, s -> md5(j|s)))`` - bit-identical
-    to the batch ``min`` aggregate per seed, but computed inside the
-    row. HOF lambdas run interpreted (~2x slower than the exploded
-    batch form, measured - see minhash_wide's docstring), which is
-    the right trade exactly where a shuffle is unavailable: per-row
-    streaming ingest. Docs with fewer than ``shingle_n`` tokens have
-    no shingles; their signature falls back to the exact-text hash so
-    they dedup as exact duplicates instead of all colliding on one
-    null signature.
+    to the batch ``min`` aggregate per seed, computed inside the row.
+    HOF lambdas run interpreted (~2x slower, see minhash_wide) - the
+    right trade exactly where a shuffle is unavailable: per-row
+    streaming ingest. Docs with fewer than ``shingle_n`` tokens fall
+    back to the exact-text hash, so they dedup as exact duplicates
+    instead of all colliding on one null signature.
     """
     sh = word_shingles(tokens_col(text_col), shingle_n)
 
@@ -332,23 +328,28 @@ def embedding_near_dup(
 
     Blocked self-join (here on ``label``; in production on a coarse
     quantization/IVF cell id) keeps the pair count at
-    sum(block^2) rather than n^2. Cosine is computed with built-in
-    higher-order functions - sequential fold, engine-portable.
+    sum(block^2) rather than n^2. Cosine rides the built-in sequential
+    fold (engine-portable) with norms precomputed per ROW before the
+    join, so the interpreted per-pair work is the dot alone.
     """
-    from .similarity import cosine_sim
+    from .similarity import dot, l2_norm
 
     e = embeddings.select(
-        F.col("vec_id"), F.col(block_col).alias("_blk"), F.col("embedding")
+        F.col("vec_id"), F.col(block_col).alias("_blk"), F.col("embedding"),
+        l2_norm(F.col("embedding")).alias("_n"),
     )
     a = e.alias("a")
     b = e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a._n") * F.col("b._n")
+    )
     pairs = (
         a.join(b, on="_blk")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            cos.alias("cosine"),
         )
     )
     if threshold is not None:
@@ -569,12 +570,11 @@ def semantic_dedup(
 
     The two-stage policy of Abbas et al. 2023 ("SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): cluster the
-    corpus (here the deterministic IVF assignment, so the whole
-    pipeline is oracle-checkable; swap in ``ivf_kmeans_assign`` in
-    production), then inside each cluster drop every vector that has a
-    lower-id neighbor with cosine >= ``threshold`` - keeping exactly
-    one representative (the smallest id) per epsilon-ball, greedily.
-    Returns the KEPT set as (id, cell_id).
+    corpus (the deterministic two-level IVF assignment, so the whole
+    pipeline is oracle-checkable; k-means centroids in production),
+    then inside each cluster drop every vector with a lower-id
+    neighbor at cosine >= ``threshold`` - one representative (smallest
+    id) per epsilon-ball, greedily. Returns the KEPT (id, cell_id).
 
     ``num_cells=None`` (the default) derives C = max(8, n // 250)
     from an eager corpus count, so cells hold ~250 vectors at any
@@ -597,15 +597,17 @@ def semantic_dedup(
     an HDFS/S3 ``checkpoint_dir``, same policy as
     ``connected_components``. At 100 TB always set it.
 
-    The threshold is corpus-calibrated: this synthetic table is random
-    vectors (within-cell cosine tops out ~0.49), so the default 0.40
-    prunes the most-similar tail; real embedded text uses ~0.95+.
+    Threshold is corpus-calibrated: random vectors top out ~0.49
+    within-cell, so 0.40 prunes the most-similar tail; real embedded
+    text uses ~0.95+.
     """
-    from .similarity import cosine_sim, ivf_assign
+    from .similarity import dot, ivf_assign, l2_norm
 
+    # norms ride the checkpointed assignment: the pairwise stage's
+    # interpreted fold is the dot alone (one fold per pair, not three)
     assign = ivf_assign(
         embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True
-    )
+    ).withColumn("_n", l2_norm(F.col(vec_col)))
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)
         e = assign.checkpoint()
@@ -613,13 +615,15 @@ def semantic_dedup(
         e = assign.localCheckpoint()
     def side(s: str) -> DataFrame:
         return e.select(
-            F.col(id_col).alias(f"_id_{s}"), "cell_id", F.col(vec_col).alias(f"_v{s}")
+            F.col(id_col).alias(f"_id_{s}"), "cell_id",
+            F.col(vec_col).alias(f"_v{s}"), F.col("_n").alias(f"_n{s}"),
         )
 
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     dropped = (
         side("a").join(side("b"), "cell_id")
         .where(F.col("_id_a") < F.col("_id_b"))
-        .where(cosine_sim(F.col("_va"), F.col("_vb")) >= threshold)
+        .where(cos >= threshold)
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )

@@ -13,9 +13,8 @@ Scale notes (100 TB of embeddings):
   ~2n*sqrt(C) cosines, zero corpus shuffle); the probe only scans
   matching cells. Cell id becomes the partition key on disk so
   partition pruning skips everything else.
-- For per-row Python-speed concerns: at 64 dims the built-in fold is
-  fine; for 1k+ dims switch the dot product to a vectorized Pandas UDF
-  over Arrow batches (numpy matmul per batch) - same plan shape.
+- at 64 dims the built-in fold is fine; for 1k+ dims switch to the
+  Arrow/numpy matmul path (``cosine_topk_arrow``) - same plan shape.
 """
 
 from __future__ import annotations
@@ -49,18 +48,31 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _query_row(embeddings: DataFrame, query_vec_id: int, id_col: str, vec_col: str):
+    """One-row (_qvec, _qn) query side: the query norm is computed once
+    here instead of once per scanned corpus row."""
+    return embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
+    )
+
+
 def _broadcast_query_topk(
-    corpus: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str
+    corpus: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str,
+    extra=(), pred=None,
 ) -> DataFrame:
-    """Score ``corpus`` against a broadcast one-row query (``_qvec``),
-    keep the exact top-k: BroadcastNestedLoopJoin (scan stays
-    shuffle-free) + TakeOrderedAndProject (no global sort)."""
+    """Score ``corpus`` against a broadcast one-row query (``_qvec``,
+    ``_qn``), keep the exact top-k: BroadcastNestedLoopJoin (scan stays
+    shuffle-free) + TakeOrderedAndProject (no global sort). Same
+    arithmetic as ``cosine_sim``, query norm precomputed (folds run
+    interpreted - each one dropped is ~1/3 of the scoring cost)."""
+    cos = dot(F.col(vec_col), F.col("_qvec")) / (
+        l2_norm(F.col(vec_col)) * F.col("_qn")
+    )
+    out = corpus.crossJoin(F.broadcast(q))
+    if pred is not None:
+        out = out.where(pred)
     return (
-        corpus.crossJoin(F.broadcast(q))
-        .select(
-            F.col(id_col),
-            cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine"),
-        )
+        out.select(F.col(id_col), *extra, cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -74,19 +86,22 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """X3 baseline: exact brute-force cosine top-k for one stored query."""
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
+    q = _query_row(embeddings, query_vec_id, id_col, vec_col)
     return _broadcast_query_topk(embeddings, q, k, id_col, vec_col)
 
 
-def _nearest_cell(cells: Column, v: Column) -> Column:
-    """Argmax-by-cosine over an array<struct<cell_id, cvec>> sorted by
-    cell_id: highest cosine wins, ties -> lowest cell_id (strict ``>``
-    fold; matches the oracle's row_number cosine DESC, cell_id)."""
+def _nearest_cell(cells: Column, v: Column, vnorm: Column) -> Column:
+    """Argmax-by-cosine over an array<struct<cell_id, cvec, cnorm>>
+    sorted by cell_id: highest cosine wins, ties -> lowest cell_id
+    (strict ``>`` fold = the oracle's row_number cosine DESC, cell_id).
+    Norms ride precomputed (``vnorm`` per corpus row, ``cnorm`` in the
+    index): the interpreted per-pair fold is the dot alone."""
     scored = F.transform(
         cells,
-        lambda e: F.struct(cosine_sim(v, e["cvec"]).alias("s"), e["cell_id"].alias("c")),
+        lambda e: F.struct(
+            (dot(v, e["cvec"]) / (vnorm * e["cnorm"])).alias("s"),
+            e["cell_id"].alias("c"),
+        ),
     )
     return F.aggregate(
         scored,
@@ -111,25 +126,29 @@ def assign_cells(
     ceil(sqrt(C)) lowest cell_ids act as super-centroids, each
     centroid maps to its nearest super (C x G cosines - index-build
     scale), and each corpus vector scores the G supers then only the
-    winning super's children: n*(G + C/G) ~ 2n*sqrt(C) cosines, not
-    n*C. Every centroid is a child of its own super (cosine(c,c) = 1
-    is maximal), so no super-cell is empty and a centroid assigns to
-    itself. The index (super array + children map) is ONE broadcast
-    row and the per-vector argmax a higher-order fold, so unlike the
-    crossJoin + groupBy argmax this replaced, the corpus is never
+    winner's children: n*(G + C/G) ~ 2n*sqrt(C) cosines, not n*C.
+    Every centroid is a child of its own super (cosine(c,c) = 1 is
+    maximal): no empty super-cells, centroids assign to themselves.
+    The index (super array + children map) is ONE broadcast row and
+    the per-vector argmax a higher-order fold - the corpus is never
     row-multiplied by C and never shuffled at all.
     """
     n_super = math.isqrt(num_cells - 1) + 1 if num_cells > 1 else 1
+    cents = cents.withColumn("cnorm", l2_norm(F.col("cvec")))
+    ent = F.struct("cell_id", "cvec", "cnorm")
     sup_arr = (
         cents.where(F.col("cell_id") < n_super)
         .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_supers"))
+        .agg(F.sort_array(F.collect_list(ent)).alias("_supers"))
     )
     kids = (
         cents.crossJoin(F.broadcast(sup_arr))
-        .select("cell_id", "cvec", _nearest_cell(F.col("_supers"), F.col("cvec")).alias("_sid"))
+        .select(
+            "cell_id", "cvec", "cnorm",
+            _nearest_cell(F.col("_supers"), F.col("cvec"), F.col("cnorm")).alias("_sid"),
+        )
         .groupBy("_sid")
-        .agg(F.sort_array(F.collect_list(F.struct("cell_id", "cvec"))).alias("_kids"))
+        .agg(F.sort_array(F.collect_list(ent)).alias("_kids"))
     )
     idx = (
         kids.groupBy()
@@ -137,11 +156,14 @@ def assign_cells(
         .crossJoin(sup_arr)
     )
     out = (
-        embeddings.crossJoin(F.broadcast(idx))
-        .withColumn("_sid", _nearest_cell(F.col("_supers"), F.col(vec_col)))
+        embeddings.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(idx))
+        .withColumn("_sid", _nearest_cell(F.col("_supers"), F.col(vec_col), F.col("_vn")))
         .withColumn(
             "_cell",
-            _nearest_cell(F.element_at(F.col("_kmap"), F.col("_sid")), F.col(vec_col)),
+            _nearest_cell(
+                F.element_at(F.col("_kmap"), F.col("_sid")), F.col(vec_col), F.col("_vn")
+            ),
         )
     )
     keep = [F.col(id_col), F.col("_cell").cast("int").alias("cell_id")]
@@ -193,17 +215,14 @@ def ivf_topk(
     """
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
-        F.col("cell_id").alias("_qcell"), F.col(vec_col).alias("_qvec")
+        F.col("cell_id").alias("_qcell"),
+        F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
-    return (
-        e.join(F.broadcast(qrow), e.cell_id == F.col("_qcell"))
-        .select(
-            F.col(id_col),
-            F.col("cell_id").cast("int").alias("cell_id"),
-            cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    return _broadcast_query_topk(
+        e, qrow, k, id_col, vec_col,
+        extra=(F.col("cell_id").cast("int").alias("cell_id"),),
+        pred=F.col("cell_id") == F.col("_qcell"),
     )
 
 
@@ -217,19 +236,18 @@ def ivf_kmeans_index(
 ):
     """IVF-k-means index build: train centroids, assign every vector.
 
-    Training input is capped at ``training_cap`` rows chosen by
-    ordering on ``xxhash64(id)`` - a deterministic pseudo-random
-    sample, so the trained centroids (and the index layout) are
-    reproducible across cluster sizes and partition layouts, unlike a
-    bare ``limit`` whose LocalLimit picks whichever partitions answer
-    first. The order-by compiles to TakeOrderedAndProject - linear in
-    the corpus, no global sort - and at 100 TB the 20-iteration fit
-    still only sees ``training_cap`` rows. Unit normalization guards
+    Training input: the ``training_cap`` rows with smallest
+    ``xxhash64(id)`` - a deterministic pseudo-random sample, so the
+    trained centroids (and index layout) are reproducible across
+    cluster sizes and partition layouts, unlike a bare ``limit`` whose
+    LocalLimit picks whichever partitions answer first; the order-by
+    compiles to TakeOrderedAndProject (no global sort) and the fit
+    only ever sees ``training_cap`` rows. Unit normalization guards
     zero norms with greatest(norm, eps). Assignment does NOT use
     model.transform (an n x C euclidean pass): the trained centroids
     feed the two-level ``assign_cells`` quantizer - ~2n*sqrt(C)
-    cosines, and the SAME metric (cosine) the probe-cell selection
-    uses. Returns ``(model, assigned)``; ``assigned`` carries
+    cosines, same metric (cosine) as the probe-cell selection.
+    Returns ``(model, assigned)``; ``assigned`` carries
     (id, cell_id, vec) - written partitioned by cell_id at scale.
     """
     from pyspark.ml.clustering import KMeans
@@ -284,29 +302,25 @@ def ivf_kmeans_topk(
     learns ``num_cells`` centroids, every vector is assigned to its
     cell, and the search scans only the ``n_probe`` cells whose
     centroids are most cosine-similar to the query. Recall rises with
-    ``n_probe``; at ``n_probe == num_cells`` the union of probed cells
-    is the whole corpus, so the result is EXACTLY brute force
-    regardless of what the (seeded but partitioning-sensitive)
-    training produced - that invariant is what the driver oracle
-    checks, while pytest pins partial-probe recall.
+    ``n_probe``; at ``n_probe == num_cells`` the probed cells cover
+    the corpus, so the result is EXACTLY brute force for ANY trained
+    model - the driver-oracle invariant; pytest pins partial-probe
+    recall.
 
     Scale notes: training sees only the ``training_cap`` sample;
-    assignment is the two-level quantizer pass (see
-    ``ivf_kmeans_index``); at 100 TB the assignment table is written
-    partitioned by cell_id so a probe is a partition-pruned scan of
-    n_probe/C of the corpus. Centroids and the query vector are
-    driver-side by design - kilobytes. Zero-norm vectors are guarded
-    on every normalization (greatest(norm, eps) row-side, ``or 1.0``
-    driver-side) so they degrade to cosine 0 instead of NaN/null.
+    assignment is the two-level quantizer pass (``ivf_kmeans_index``);
+    at 100 TB the assignment table is written partitioned by cell_id
+    so a probe is a partition-pruned scan of n_probe/C of the corpus.
+    Centroids and the query vector are driver-side by design -
+    kilobytes. Zero-norm vectors are guarded on every normalization
+    (greatest row-side, ``or 1.0`` driver-side): cosine 0, not NaN.
     """
     model, assigned = ivf_kmeans_index(
         embeddings, num_cells, seed, id_col, vec_col, training_cap
     )
     qvec = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
     probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
+    q = _query_row(embeddings, query_vec_id, id_col, vec_col)
     return _broadcast_query_topk(
         assigned.where(F.col("cell_id").isin(probe)), q, k, id_col, vec_col
     )
@@ -405,9 +419,8 @@ def scalar_quantize_int8(
 
     Rounding is floor(x + 0.5), not round(): both engines lower it to
     the same IEEE floor, sidestepping round-half-to-even divergence.
-    Plan: pure per-row higher-order functions - no shuffle, no Python;
-    at 100 TB this maps over the corpus scan and writes the codes as
-    an int8 array column next to the scale, per partition.
+    Pure per-row HOFs - no shuffle, no Python; at 100 TB this maps
+    over the corpus scan, codes written next to the scale.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))

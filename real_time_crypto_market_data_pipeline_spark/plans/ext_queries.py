@@ -1350,9 +1350,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic two-level assignment keeps the whole
     cluster->pair->policy pipeline value-checkable against SQL, and
     num_cells is corpus-derived (the oracle's prm CTE replays the
-    derivation), so the DEFAULT configuration scales linearly instead
-    of hitting the measured fixed-C quadratic wall. Threshold 0.40 is
-    calibrated to this random-vector corpus (within-cell max ~0.49).
+    derivation) so the DEFAULT scales linearly, never the measured
+    fixed-C quadratic wall. Threshold 0.40 fits this random corpus.
     """
     return D.semantic_dedup(load(spark, sf_dir, "embeddings"))
 

@@ -74,9 +74,8 @@ def max_float_dev(a_rows, b_rows):
 
 def compare(s_cols, s_rows, o_cols, o_rows) -> list[str]:
     """Driver-gate comparison (count + column set + canonical value
-    multiset). Returns problems; empty list = match. Also the pytest
-    oracle suite's comparator (tests/test_queries_oracle.py), so the
-    test gate and this CLI can never drift apart."""
+    multiset); [] = match. Also tests/test_queries_oracle.py's
+    comparator, so the test gate and this CLI can never drift."""
     problems: list[str] = []
     if len(s_rows) != len(o_rows):
         problems.append(f"rowcount spark={len(s_rows)} duck={len(o_rows)}")
