@@ -25,38 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # keeps every query's evidence at most 2 rounds old in steady state
 # (tools/selfcheck.py --evidence-age mechanizes the check).
 #
-# Round-7 allocation: (1) the 24 r4-evidence queries (oldest, age 2);
-# (2) 26 more slots: first the 4 queries whose OPERATOR CODE changed
-# this round (two-level IVF/SemDeDup quantizer, range-join integer bin
-# division, checkpoint-dir guard) so the driver re-verifies the
-# changed code (q_ann_ivf_kmeans is age-0 but spends a slot for that),
-# then the 8 r5-evidence bench-headline lines, then r5-evidence fill;
-# (3) the 23 remaining r5-evidence queries lead round 8, the r6 cohort
-# follows via the registry-order fallback. (Past allocations are
-# reconstructible from CORRECTNESS_r0N.json prefixes.)
+# Round-8 allocation: (1) the 23 r5-evidence queries (oldest, age 2);
+# (2) 5 slots for queries whose OPERATOR CODE changed this round (the
+# three-level IVF/SemDeDup quantizer + its oracle CTE rewrite, the
+# range-join bin_width validation, the checkpoint-dir warn guard) -
+# age-0, but the driver re-verifies the changed code; (3) the 22
+# alphabetically-first r6-evidence queries as fill; the 27 remaining
+# r6-evidence queries lead the round-9 prefix via section 4. (Past
+# allocations are reconstructible from CORRECTNESS_r0N.json prefixes.)
 _PRIORITY = [
-    # --- 1: r4-evidence cohort (24; oldest driver evidence, 2 rounds) ---
-    "q_above_customer_avg", "q_ann_ivf", "q_cosine_topk_arrow_highdim",
-    "q_count_by_key", "q_cube", "q_format_string", "q_having_gate",
-    "q_null_guard", "q_pivot", "q_rollup", "q_semi_anti", "q_set_ops",
-    "q_spread", "q_window_variety", "q_zero_rate",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q22",
-    # --- 2a: code changed in round 7 (re-verify post-change) ---
-    "q_semdedup", "q_ann_ivf_kmeans", "q_interval_join", "q_dedup_clusters",
-    # --- 2b: r5-evidence bench-headline lines ---
-    "q_asof_join", "q_lag_diff", "q_window_range", "q_csv_snapshot",
-    "q_dedup_lsh_jaccard", "q_join_enrich", "q_order_revenue_topk",
-    "q_tpch_q21",
-    # --- 2c: r5-evidence fill, registry order (14) ---
-    "q_ann_lsh_buckets", "q_boilerplate", "q_corpus_prep", "q_correlation",
-    "q_date_partition", "q_decontaminate", "q_decontaminate_bloom",
-    "q_dedup_embed", "q_dedup_incremental", "q_dedup_near_pairs",
-    "q_dedup_retention", "q_dedup_simhash_pairs", "q_drawdown",
-    "q_filter_funnel",
-    # --- 3: beyond the 50-slot prefix: remaining r5-evidence (23) ---
-    # these are the registry's oldest evidence after round 7 closes,
-    # so they lead the round-8 prefix.
+    # --- 1: r5-evidence cohort (23; oldest driver evidence, 2 rounds) ---
     "q_funnel", "q_invariant_check", "q_lang_id", "q_latency_cols",
     "q_media_features", "q_mix_temperature", "q_ohlc_rollup",
     "q_pack_sequences", "q_pit_read", "q_quality_topp", "q_quantize_int8",
@@ -64,8 +42,30 @@ _PRIORITY = [
     "q_salted_stats", "q_scd2_history", "q_session_stats", "q_sessionize",
     "q_shuffle_shard", "q_token_count_bpe", "q_tpch_q13", "q_tpch_q16",
     "q_zorder_key",
-    # --- 4: the r6-evidence cohort follows in registry order via the
-    #        fallback in queries(); it rotates back in rounds 8-9. ---
+    # --- 2: code changed in round 8 (re-verify post-change) ---
+    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_interval_join",
+    "q_dedup_clusters",
+    # --- 3: r6-evidence fill, registry order (22) ---
+    "q_array_transform", "q_best_levels", "q_channel_split",
+    "q_chunk_documents", "q_corpus_sample", "q_corpus_split",
+    "q_cosine_topk", "q_dedup_exact", "q_dedup_jaccard", "q_dedup_near",
+    "q_element_at", "q_explode", "q_filter_isin", "q_fingerprint",
+    "q_first_last_value", "q_grouped_stats", "q_grouping_sets",
+    "q_interval_count", "q_json_decode", "q_media_summary",
+    "q_merge_upsert", "q_ohlc_bars",
+    # --- 4: beyond the 50-slot prefix: remaining r6-evidence (27) ---
+    # these are the registry's oldest evidence after round 8 closes,
+    # so they lead the round-9 prefix.
+    "q_part_brand_stats", "q_percentiles", "q_profile_columns",
+    "q_quality_score", "q_rollup_merge", "q_scrub_text",
+    "q_sketch_distinct", "q_stale_stats", "q_struct_project",
+    "q_supplier_region", "q_tfidf", "q_to_json", "q_token_stats",
+    "q_topk_per_group", "q_tpch_q1", "q_tpch_q10", "q_tpch_q2",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_try_cast", "q_twap",
+    "q_unpivot_percentiles",
+    # --- 5: the r7-evidence cohort follows in registry order via the
+    #        fallback in queries(); it rotates back in rounds 9-10. ---
 ]
 
 

@@ -25,6 +25,8 @@ drop oracle parity - the topology is unchanged.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -426,10 +428,18 @@ def lsh_jaccard_dedup(
 
 def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
     """Set the session-global checkpoint dir only if none is configured
-    yet - clobbering another operator's dir would move ITS files."""
+    yet; setCheckpointDir only affects FUTURE checkpoints, but another
+    operator may still be writing under the current dir, so an explicit
+    request that differs gets a warning instead of a silent override."""
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    current = sc.getCheckpointDir()
+    if current is None:
         sc.setCheckpointDir(checkpoint_dir)
+    elif current.rstrip("/") != checkpoint_dir.rstrip("/"):
+        warnings.warn(
+            f"checkpoint dir already set to {current}; keeping it over "
+            f"requested {checkpoint_dir} (set it before the first "
+            "checkpointing operator to take effect)", stacklevel=3)
 
 
 def connected_components(
@@ -570,7 +580,7 @@ def semantic_dedup(
 
     The two-stage policy of Abbas et al. 2023 ("SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): cluster the
-    corpus (the deterministic two-level IVF assignment, so the whole
+    corpus (the deterministic three-level IVF assignment, so the whole
     pipeline is oracle-checkable; k-means centroids in production),
     then inside each cluster drop every vector with a lower-id
     neighbor at cosine >= ``threshold`` - one representative (smallest
@@ -582,51 +592,53 @@ def semantic_dedup(
     stays linear in n - a FIXED cell count is the measured 32x-for-10x
     quadratic wall (SCALING.md), so the default must never be one.
 
-    Scale: pairwise work only inside a cell - sum(cell^2), never n^2 -
-    and the cell self-join shuffles both sides on cell_id once. The
-    dropped-id set is distinct'd before the anti-join, so the final
-    pass is corpus vs a small id list (broadcastable under AQE). The
-    assignment (id, cell, vector) is computed ONCE and EAGERLY
-    materialized before its three uses (both self-join sides + the
-    survivors anti-join) - as lazy lineage it re-executed per use,
-    which planned as EIGHT corpus scans before this was caught; at
-    100 TB it is the assignment table the IVF scale path writes
-    partitioned by cell_id anyway. Without ``checkpoint_dir`` the
-    materialization is ``localCheckpoint`` (executor-pinned blocks,
-    unrecoverable on executor loss; fine locally); on a cluster pass
-    an HDFS/S3 ``checkpoint_dir``, same policy as
-    ``connected_components``. At 100 TB always set it.
+    Scale: pairwise work only inside a cell - sum(cell^2), never n^2.
+    The pairwise stage is ``applyInPandas`` over cell groups: ONE
+    shuffle on cell_id (the r7 self-join shuffled both sides and paid
+    an interpreted fold per pair - ~50x slower per dot than the BLAS
+    gram matrix per cell, SCALING.md), row-blocked so a skewed cell's
+    score matrix stays bounded in memory. float64 BLAS vs the oracle's
+    sequential fold can flip a pair only when its cosine ties the
+    threshold within ~1e-15 - measure-zero for real embeddings. The
+    dropped-id set is tiny, so the final pass is corpus vs a small id
+    list (broadcastable under AQE). The assignment (id, cell, vector)
+    is EAGERLY materialized before its two uses (as lazy lineage it
+    re-executed per use); at 100 TB it is the assignment table the IVF
+    scale path writes partitioned by cell_id anyway. Without
+    ``checkpoint_dir`` the materialization is ``localCheckpoint``
+    (executor-pinned, fine locally); on a cluster pass an HDFS/S3 dir,
+    same policy as ``connected_components``.
 
     Threshold is corpus-calibrated: random vectors top out ~0.49
     within-cell, so 0.40 prunes the most-similar tail; real embedded
     text uses ~0.95+.
     """
-    from .similarity import dot, ivf_assign, l2_norm
+    import numpy as np
 
-    # norms ride the checkpointed assignment: the pairwise stage's
-    # interpreted fold is the dot alone (one fold per pair, not three)
+    from .similarity import ivf_assign
+
     assign = ivf_assign(
         embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True
-    ).withColumn("_n", l2_norm(F.col(vec_col)))
+    )
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)
         e = assign.checkpoint()
     else:
         e = assign.localCheckpoint()
-    def side(s: str) -> DataFrame:
-        return e.select(
-            F.col(id_col).alias(f"_id_{s}"), "cell_id",
-            F.col(vec_col).alias(f"_v{s}"), F.col("_n").alias(f"_n{s}"),
-        )
 
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    dropped = (
-        side("a").join(side("b"), "cell_id")
-        .where(F.col("_id_a") < F.col("_id_b"))
-        .where(cos >= threshold)
-        .select(F.col("_id_b").alias(id_col))
-        .distinct()
-    )
+    def drop_in_cell(pdf):
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        Vn = np.linalg.norm(V, axis=1)
+        dropped = np.zeros(len(pdf), dtype=bool)
+        for lo in range(0, len(pdf), 1024):  # row blocks bound the gram matrix
+            hi = min(lo + 1024, len(pdf))
+            S = (V[lo:hi] @ V.T) / np.outer(Vn[lo:hi], Vn)
+            for r in range(lo, hi):  # any lower-id neighbor >= threshold drops r
+                dropped[r] |= bool((S[r - lo, :r] >= threshold).any())
+        return pdf.loc[dropped, [id_col]]
+
+    dropped = e.groupBy("cell_id").applyInPandas(drop_in_cell, schema=f"{id_col} long")
     return e.join(dropped, id_col, "left_anti").select(
         id_col, F.col("cell_id").cast("int").alias("cell_id")
     )

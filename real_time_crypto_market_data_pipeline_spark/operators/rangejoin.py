@@ -70,9 +70,14 @@ def interval_join_binned(
     # integer precision past 2^53 (a ns clock is there in ~104 days).
     # `div` truncates toward zero - still monotone in ts, which is all
     # the rewrite needs: both sides share _bin, so ts in [start, end]
-    # implies _bin(ts) in [_bin(start), _bin(end)].
+    # implies _bin(ts) in [_bin(start), _bin(end)]. A fractional width
+    # would silently truncate (0.5 -> div 0 -> NULL bins -> empty join
+    # in non-ANSI sessions): reject anything but a positive int.
+    if not isinstance(bin_width, int) or bin_width <= 0:
+        raise ValueError(f"bin_width must be a positive int, got {bin_width!r}")
+
     def _bin(c: str):
-        return F.expr(f"`{c}` div {int(bin_width)}")
+        return F.expr(f"`{c}` div {bin_width}")
 
     binned_points = points.withColumn("_bin", _bin(point_ts))
     bin_lo = _bin(start_col)

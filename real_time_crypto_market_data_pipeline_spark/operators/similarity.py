@@ -9,8 +9,8 @@ what makes the DuckDB oracle match bit-for-bit before rounding.
 Scale notes (100 TB of embeddings):
 - brute force: broadcast the handful of query vectors; the scan side
   never shuffles and top-k is TakeOrderedAndProject, not a global sort.
-- IVF: assignment is a two-level coarse quantizer (``assign_cells``,
-  ~2n*sqrt(C) cosines, zero corpus shuffle); the probe only scans
+- IVF: assignment is a three-level coarse quantizer (``assign_cells``,
+  ~3n*cbrt(C) cosines, zero corpus shuffle); the probe only scans
   matching cells. Cell id becomes the partition key on disk so
   partition pruning skips everything else.
 - at 64 dims the built-in fold is fine; for 1k+ dims switch to the
@@ -18,8 +18,6 @@ Scale notes (100 TB of embeddings):
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -90,24 +88,42 @@ def cosine_topk(
     return _broadcast_query_topk(embeddings, q, k, id_col, vec_col)
 
 
-def _nearest_cell(cells: Column, v: Column, vnorm: Column) -> Column:
-    """Argmax-by-cosine over an array<struct<cell_id, cvec, cnorm>>
-    sorted by cell_id: highest cosine wins, ties -> lowest cell_id
-    (strict ``>`` fold = the oracle's row_number cosine DESC, cell_id).
-    Norms ride precomputed (``vnorm`` per corpus row, ``cnorm`` in the
-    index): the interpreted per-pair fold is the dot alone."""
-    scored = F.transform(
-        cells,
-        lambda e: F.struct(
-            (dot(v, e["cvec"]) / (vnorm * e["cnorm"])).alias("s"),
-            e["cell_id"].alias("c"),
-        ),
-    )
-    return F.aggregate(
-        scored,
-        F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).cast("long").alias("c")),
-        lambda acc, e: F.when(e["s"] > acc["s"], e).otherwise(acc),
-    )["c"]
+def _cbrt_ceil(c: int) -> int:
+    """Exact ceil(cbrt(c)) - float pow alone misrounds perfect cubes
+    (pow(27, 1/3) = 3.0000000000000004), so correct by +-1."""
+    g = max(1, round(c ** (1 / 3)))
+    while g * g * g < c:
+        g += 1
+    while g > 1 and (g - 1) ** 3 >= c:
+        g -= 1
+    return g
+
+
+def _routing_tree(C, Cn, sizes):
+    """Per-level children maps for the hierarchical descent: level
+    sizes are nested id prefixes, so kids[j][p] = members of level j+1
+    whose level-j route lands on parent p (ascending ids - np.argmax's
+    first-max IS the oracle's cosine DESC, id ASC tie rule)."""
+    import numpy as np
+
+    kids: list[dict] = []
+
+    def route(V, Vn, depth):
+        S = (V @ C[: sizes[0]].T) / np.outer(Vn, Cn[: sizes[0]])
+        cur = S.argmax(axis=1)
+        for j in range(1, depth):
+            nxt = np.empty(len(V), dtype=np.int64)
+            for p in np.unique(cur):
+                m, sel = cur == p, kids[j - 1][p]
+                S = (V[m] @ C[sel].T) / np.outer(Vn[m], Cn[sel])
+                nxt[m] = sel[S.argmax(axis=1)]
+            cur = nxt
+        return cur
+
+    for j, size in enumerate(sizes[1:]):
+        parents = route(C[:size], Cn[:size], j + 1)
+        kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
+    return route
 
 
 def assign_cells(
@@ -118,58 +134,57 @@ def assign_cells(
     vec_col: str = "embedding",
     keep_vec: bool = False,
 ) -> DataFrame:
-    """Two-level coarse-quantized nearest-centroid assignment.
+    """Three-level coarse-quantized nearest-centroid assignment,
+    scored by Arrow-batched BLAS.
 
     ``cents``: small (cell_id, cvec) relation, cell_ids 0..C-1. The
-    FAISS-style two-level quantizer removes the n x C assignment term
-    SCALING.md measured as the IVF/SemDeDup scale wall: the
-    ceil(sqrt(C)) lowest cell_ids act as super-centroids, each
-    centroid maps to its nearest super (C x G cosines - index-build
-    scale), and each corpus vector scores the G supers then only the
-    winner's children: n*(G + C/G) ~ 2n*sqrt(C) cosines, not n*C.
-    Every centroid is a child of its own super (cosine(c,c) = 1 is
-    maximal): no empty super-cells, centroids assign to themselves.
-    The index (super array + children map) is ONE broadcast row and
-    the per-vector argmax a higher-order fold - the corpus is never
-    row-multiplied by C and never shuffled at all.
+    FAISS-style hierarchical quantizer removes the n x C assignment
+    term SCALING.md measured as the IVF/SemDeDup scale wall: the
+    lowest cell_ids double as routing levels of size g1 = ceil(cbrt C)
+    and g2 = min(C, g1^2); each corpus vector descends top -> winner's
+    mids -> winner's cells (~3n*cbrt(C) cosines, not n*C), every
+    centroid a child of itself at each level (cosine(c,c) = 1 is
+    maximal), ties -> lowest cell_id at every hop. Scoring is one BLAS
+    matmul per Arrow batch per hop inside ``mapInPandas`` - r8
+    replaced the expression-fold hops after measuring them ~50x slower
+    per dot (interpreted HOFs; decomposition in SCALING.md); the fold
+    form lives on as the oracle-shaped reference in
+    tests/_reference_impls.py with an equality test. float64 BLAS vs
+    the oracle's sequential fold can disagree only when two cosines
+    tie within ~1e-15 - a measure-zero boundary for real embeddings.
+
+    Plan shape: the corpus is a single narrow ``mapInPandas`` pass -
+    no shuffle, no join, not even a broadcast exchange; the centroid
+    relation is index-scale (C = n/250 rows), collected once
+    driver-side like ``ivf_kmeans_index``'s clusterCenters and shipped
+    in the task closure. Cell id remains the disk partition key at
+    100 TB.
     """
-    n_super = math.isqrt(num_cells - 1) + 1 if num_cells > 1 else 1
-    cents = cents.withColumn("cnorm", l2_norm(F.col("cvec")))
-    ent = F.struct("cell_id", "cvec", "cnorm")
-    sup_arr = (
-        cents.where(F.col("cell_id") < n_super)
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(ent)).alias("_supers"))
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
+    ids = np.array([r.cell_id for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
+    Cn = np.linalg.norm(C, axis=1)
+    g1 = _cbrt_ceil(num_cells)
+    sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
+    route = _routing_tree(C, Cn, sizes)
+    depth = len(sizes)
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cell = ids[route(V, np.linalg.norm(V, axis=1), depth)]
+            out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield out
+
+    vec_ddl = f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}" if keep_vec else ""
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} LONG, cell_id INT" + vec_ddl
     )
-    kids = (
-        cents.crossJoin(F.broadcast(sup_arr))
-        .select(
-            "cell_id", "cvec", "cnorm",
-            _nearest_cell(F.col("_supers"), F.col("cvec"), F.col("cnorm")).alias("_sid"),
-        )
-        .groupBy("_sid")
-        .agg(F.sort_array(F.collect_list(ent)).alias("_kids"))
-    )
-    idx = (
-        kids.groupBy()
-        .agg(F.map_from_entries(F.collect_list(F.struct("_sid", "_kids"))).alias("_kmap"))
-        .crossJoin(sup_arr)
-    )
-    out = (
-        embeddings.withColumn("_vn", l2_norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(idx))
-        .withColumn("_sid", _nearest_cell(F.col("_supers"), F.col(vec_col), F.col("_vn")))
-        .withColumn(
-            "_cell",
-            _nearest_cell(
-                F.element_at(F.col("_kmap"), F.col("_sid")), F.col(vec_col), F.col("_vn")
-            ),
-        )
-    )
-    keep = [F.col(id_col), F.col("_cell").cast("int").alias("cell_id")]
-    if keep_vec:
-        keep.append(F.col(vec_col))
-    return out.select(*keep)
 
 
 def ivf_assign(
@@ -178,20 +193,22 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
     Deterministic 'training': centroids are the ``num_cells``
     smallest-id vectors (fixed, reproducible; real pipelines run
-    ``ivf_kmeans_index``). ``num_cells=None`` derives C from an eager
-    corpus count as max(8, n // 250): cells stay ~250 rows at any
-    scale (the r6-probe-measured sweet spot), so SemDeDup's
-    within-cell pairwise work is linear overall instead of the
-    32x-for-10x fixed-C quadratic wall (SCALING.md). Assignment is
-    the two-level ``assign_cells``.
+    ``ivf_kmeans_index``). ``num_cells=None`` derives C as
+    max(8, n // 250): cells stay ~250 rows at any scale (the
+    r6-measured sweet spot), keeping SemDeDup's within-cell pairwise
+    work linear vs the 32x-for-10x fixed-C wall (SCALING.md). n comes
+    from ``corpus_count`` when given; otherwise ONE eager ``count()``
+    scan runs here - at 100 TB pass the count or reuse a written
+    assignment table. Assignment is ``assign_cells``.
     """
     if num_cells is None:
-        num_cells = max(8, embeddings.count() // 250)
+        num_cells = max(8, (corpus_count or embeddings.count()) // 250)
     cents = embeddings.where(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec")
     )
@@ -241,13 +258,12 @@ def ivf_kmeans_index(
     trained centroids (and index layout) are reproducible across
     cluster sizes and partition layouts, unlike a bare ``limit`` whose
     LocalLimit picks whichever partitions answer first; the order-by
-    compiles to TakeOrderedAndProject (no global sort) and the fit
-    only ever sees ``training_cap`` rows. Unit normalization guards
-    zero norms with greatest(norm, eps). Assignment does NOT use
-    model.transform (an n x C euclidean pass): the trained centroids
-    feed the two-level ``assign_cells`` quantizer - ~2n*sqrt(C)
-    cosines, same metric (cosine) as the probe-cell selection.
-    Returns ``(model, assigned)``; ``assigned`` carries
+    compiles to TakeOrderedAndProject and the fit only ever sees
+    ``training_cap`` rows. Unit normalization guards zero norms with
+    greatest(norm, eps). Assignment does NOT use model.transform (an
+    n x C euclidean pass): the trained centroids feed ``assign_cells``
+    - ~3n*cbrt(C) cosines, same metric (cosine) as the probe-cell
+    selection. Returns ``(model, assigned)``; ``assigned`` carries
     (id, cell_id, vec) - written partitioned by cell_id at scale.
     """
     from pyspark.ml.clustering import KMeans
@@ -308,12 +324,12 @@ def ivf_kmeans_topk(
     recall.
 
     Scale notes: training sees only the ``training_cap`` sample;
-    assignment is the two-level quantizer pass (``ivf_kmeans_index``);
-    at 100 TB the assignment table is written partitioned by cell_id
-    so a probe is a partition-pruned scan of n_probe/C of the corpus.
-    Centroids and the query vector are driver-side by design -
-    kilobytes. Zero-norm vectors are guarded on every normalization
-    (greatest row-side, ``or 1.0`` driver-side): cosine 0, not NaN.
+    assignment is the quantizer pass (``ivf_kmeans_index``); at 100 TB
+    the assignment table is written partitioned by cell_id so a probe
+    is a partition-pruned scan of n_probe/C of the corpus. Centroids
+    and the query vector are driver-side by design - kilobytes.
+    Zero-norm vectors are guarded on every normalization (greatest
+    row-side, ``or 1.0`` driver-side): cosine 0, not NaN.
     """
     model, assigned = ivf_kmeans_index(
         embeddings, num_cells, seed, id_col, vec_col, training_cap

@@ -462,9 +462,8 @@ _HIGHDIM_TOPK_ORACLE = f"""
     """
 
 
-# (q_cosine_topk_fold_highdim retired r6 after its ~3x fold-vs-Arrow lesson
-# was recorded in SCALING.md; the fold operator stays oracle-checked via
-# q_cosine_topk and the 1024-dim agreement stays a test in test_similarity.py.)
+# (q_cosine_topk_fold_highdim retired r6 - lesson in SCALING.md; the fold
+# operator stays oracle-checked via q_cosine_topk + a 1024-dim agreement test.)
 
 
 @query("q_cosine_topk_arrow_highdim", oracle=_HIGHDIM_TOPK_ORACLE, bench="extra")
@@ -481,42 +480,56 @@ def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- X3 (IVF scale path)
 def _ivf_best(prm: str) -> str:
-    """Two-level IVF assignment as DuckDB CTEs, mirroring
+    """Three-level IVF assignment as DuckDB CTEs, mirroring
     operators/similarity.assign_cells: ``prm`` yields one row with
-    c = num_cells, g = ceil(sqrt(c)); ``best`` maps every vector to
-    (vec_id, embedding, cell_id) via vector -> nearest super ->
-    nearest of its children, ties to the lowest id at every level."""
+    c = num_cells; g1 = exact ceil(cbrt(c)) (float pow corrected by
+    +-1, matching ``_cbrt_ceil``), g2 = least(c, g1^2). ``best`` maps
+    every vector to (vec_id, embedding, cell_id) by descending
+    top -> mids of the winner -> cells of the winner (ties -> lowest
+    id at every hop); centroids route down the same hops when the
+    parent maps are built, and a degenerate level (g2 = c) reduces
+    to the identity hop (Spark side: level dedup)."""
     rn = "row_number() OVER (PARTITION BY {p} ORDER BY {s} DESC, {t}) AS rn"
+
+    def hop(name: str, aid: str, avec: str, bid: str, bvec: str, frm: str) -> str:
+        keep = f"{aid.split('.')[1]}, {avec.split('.')[1]}, {bid.split('.')[1]}"
+        return f"""
+    {name} AS (SELECT {keep} FROM (
+        SELECT {aid}, {avec}, {bid},
+               {rn.format(p=aid, s=_COS.format(a=avec, b=bvec), t=bid)}
+        FROM {frm}) t WHERE rn = 1)"""
+
     return f"""
-    WITH prm AS ({prm}),
-    sup AS (SELECT vec_id AS super_id, embedding AS svec
-            FROM embeddings, prm WHERE vec_id < prm.g),
+    WITH prm AS (SELECT c, g1, LEAST(c, g1 * g1) AS g2 FROM (
+        SELECT c, CASE WHEN r > 1 AND (r-1)*(r-1)*(r-1) >= c THEN r-1
+                       WHEN r*r*r >= c THEN r ELSE r+1 END AS g1
+        FROM (SELECT c, GREATEST(1, CAST(ROUND(POW(c, 1.0/3.0)) AS BIGINT)) AS r
+              FROM ({prm}) prm0) t) t),
+    top AS (SELECT vec_id AS top_id, embedding AS tvec
+            FROM embeddings, prm WHERE vec_id < prm.g1),
+    mid AS (SELECT vec_id AS mid_id, embedding AS mvec
+            FROM embeddings, prm WHERE vec_id < prm.g2),
     cents AS (SELECT vec_id AS cell_id, embedding AS cvec
               FROM embeddings, prm WHERE vec_id < prm.c),
-    cmap AS (SELECT cell_id, cvec, super_id FROM (
-        SELECT c.cell_id, c.cvec, s.super_id,
-               {rn.format(p="c.cell_id", s=_COS.format(a="c.cvec", b="s.svec"), t="s.super_id")}
-        FROM cents c CROSS JOIN sup s) t WHERE rn = 1),
-    vsup AS (SELECT vec_id, embedding, super_id FROM (
-        SELECT e.vec_id, e.embedding, s.super_id,
-               {rn.format(p="e.vec_id", s=_COS.format(a="e.embedding", b="s.svec"), t="s.super_id")}
-        FROM embeddings e CROSS JOIN sup s) t WHERE rn = 1),
-    best AS (SELECT vec_id, embedding, cell_id FROM (
-        SELECT v.vec_id, v.embedding, c.cell_id,
-               {rn.format(p="v.vec_id", s=_COS.format(a="v.embedding", b="c.cvec"), t="c.cell_id")}
-        FROM vsup v JOIN cmap c ON v.super_id = c.super_id) t WHERE rn = 1)"""
+    {hop("mmap", "m.mid_id", "m.mvec", "t.top_id", "t.tvec", "mid m CROSS JOIN top t")},
+    {hop("ctop", "c.cell_id", "c.cvec", "t.top_id", "t.tvec", "cents c CROSS JOIN top t")},
+    {hop("cmap", "ct.cell_id", "ct.cvec", "m.mid_id", "m.mvec",
+         "ctop ct JOIN mmap m ON ct.top_id = m.top_id")},
+    {hop("vtop", "e.vec_id", "e.embedding", "t.top_id", "t.tvec",
+         "embeddings e CROSS JOIN top t")},
+    {hop("vmid", "v.vec_id", "v.embedding", "m.mid_id", "m.mvec",
+         "vtop v JOIN mmap m ON v.top_id = m.top_id")},
+    {hop("best", "v.vec_id", "v.embedding", "c.cell_id", "c.cvec",
+         "vmid v JOIN cmap c ON v.mid_id = c.mid_id")}"""
 
 
-# Spark twin: ivf_assign(num_cells=None) - C = max(8, n//250), G = ceil(sqrt(C))
-_DERIVED_CELLS = (
-    "SELECT GREATEST(8, COUNT(*) // 250) AS c, "
-    "CAST(CEIL(SQRT(GREATEST(8, COUNT(*) // 250))) AS BIGINT) AS g FROM embeddings"
-)
+# Spark twin: ivf_assign(num_cells=None) - C = max(8, n//250); g1/g2 derived in _ivf_best
+_DERIVED_CELLS = "SELECT GREATEST(8, COUNT(*) // 250) AS c FROM embeddings"
 
 
 @query(
     "q_ann_ivf",
-    oracle=_ivf_best("SELECT 8 AS c, 3 AS g")
+    oracle=_ivf_best("SELECT 8 AS c")
     + f""",
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT b.vec_id, CAST(b.cell_id AS INTEGER) AS cell_id,
@@ -1347,7 +1360,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (min id) per within-cell epsilon-ball.
 
     Pairwise cosine only inside a cell (sum(cell^2), never n^2); the
-    deterministic two-level assignment keeps the whole
+    deterministic three-level assignment keeps the whole
     cluster->pair->policy pipeline value-checkable against SQL, and
     num_cells is corpus-derived (the oracle's prm CTE replays the
     derivation) so the DEFAULT scales linearly, never the measured

@@ -55,6 +55,20 @@ def _stale_fn(
         )
 
 
+def _with_state(
+    df, keys, fn, out_ddl, state_ddl, mode, timeout=GroupStateTimeout.NoTimeout
+):
+    """Shared ``applyInPandasWithState`` plumbing for every stateful
+    twin: one hash exchange on the key, checkpointed state per key."""
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode=mode,
+        timeoutConf=timeout,
+    )
+
+
 def streaming_staleness(events: DataFrame) -> DataFrame:
     """A6 (streaming): per-(symbol, channel) consecutive-diff staleness.
 
@@ -62,28 +76,18 @@ def streaming_staleness(events: DataFrame) -> DataFrame:
     across microbatches and restarts via the checkpointed state store.
     """
     cols = ["symbol", "channel", "ts_exchange_ms", "ts_recv_epoch_ms"]
-    return (
-        events.select(*cols)
-        .groupBy("symbol", "channel")
-        .applyInPandasWithState(
-            _stale_fn,
-            outputStructType=STALE_OUTPUT_DDL,
-            stateStructType=_STATE_DDL,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return _with_state(
+        events.select(*cols), ["symbol", "channel"], _stale_fn,
+        STALE_OUTPUT_DDL, _STATE_DDL, "append",
     )
 
 
-# ---------------------------------------------------------------------------
 # EWMA quote tracker and idle-gap flush on the GroupState API.
-#
 # transform_state.py carries the same two operators on Spark 4's
-# transformWithStateInPandas (typed ValueState/ListState + timers);
-# that protocol needs google.protobuf at runtime, so THESE are the
-# executable-everywhere versions: identical semantics, state packed
-# into one GroupState row per key.
-# ---------------------------------------------------------------------------
+# transformWithStateInPandas (typed state + timers); that protocol
+# needs google.protobuf at runtime, so THESE are the
+# executable-everywhere versions: identical semantics, one GroupState
+# row per key.
 
 EWMA_OUTPUT_DDL = (
     "symbol STRING, ts_exchange_ms LONG, mid DOUBLE, spread DOUBLE, "
@@ -119,10 +123,9 @@ def make_ewma_fn(alpha: float, window: int, k: float, warmup: int):
         spread = pdf["best_ask"] - pdf["best_bid"]
 
         # Vectorized recurrence: y[t] = a*x[t] + (1-a)*y[t-1] IS pandas
-        # ewm(alpha, adjust=False). Carried state seeds the series as a
-        # synthetic row 0 that is dropped after the scan - a 100x win
-        # over the per-row loop, which is the whole point of the
-        # Arrow/pandas state API.
+        # ewm(alpha, adjust=False); carried state seeds the series as a
+        # synthetic row 0 dropped after the scan - a 100x win over the
+        # per-row loop, the whole point of the Arrow/pandas state API.
         def ewm_with_seed(x: pd.Series, seed: float, seeded: bool) -> pd.Series:
             if seeded:
                 s = pd.concat([pd.Series([seed]), x], ignore_index=True)
@@ -200,16 +203,10 @@ def streaming_quote_ewma(
                 "best_ask": F.col("book.best_ask"),
             }
         )
-    return (
-        books.select("symbol", "ts_exchange_ms", "best_bid", "best_ask")
-        .groupBy("symbol")
-        .applyInPandasWithState(
-            make_ewma_fn(alpha, window, k, warmup),
-            outputStructType=EWMA_OUTPUT_DDL,
-            stateStructType=_EWMA_STATE_DDL,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return _with_state(
+        books.select("symbol", "ts_exchange_ms", "best_bid", "best_ask"),
+        ["symbol"], make_ewma_fn(alpha, window, k, warmup),
+        EWMA_OUTPUT_DDL, _EWMA_STATE_DDL, "append",
     )
 
 
@@ -275,12 +272,10 @@ def streaming_idle_flush(
         "ts_exchange_ms",
         F.timestamp_millis(F.col("ts_exchange_ms")).alias("event_time"),
     ).withWatermark("event_time", watermark)
-    return keyed.groupBy("symbol").applyInPandasWithState(
-        make_idle_fn(gap_ms),
-        outputStructType=IDLE_OUTPUT_DDL,
-        stateStructType=_IDLE_STATE_DDL,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    return _with_state(
+        keyed, ["symbol"], make_idle_fn(gap_ms),
+        IDLE_OUTPUT_DDL, _IDLE_STATE_DDL, "append",
+        timeout=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -333,16 +328,9 @@ def streaming_realized_vol(events: DataFrame) -> DataFrame:
     checkpointed state for restarts.
     """
     cols = ["user_id", "ms", "event_id", "value"]
-    return (
-        events.select(*cols)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _rvol_fn,
-            outputStructType=RVOL_OUTPUT_DDL,
-            stateStructType=_RVOL_STATE_DDL,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return _with_state(
+        events.select(*cols), ["user_id"], _rvol_fn,
+        RVOL_OUTPUT_DDL, _RVOL_STATE_DDL, "update",
     )
 
 
@@ -392,14 +380,110 @@ def streaming_drawdown(events: DataFrame) -> DataFrame:
     guaranteed only for event-time-ordered arrival across microbatches.
     """
     cols = ["user_id", "ms", "event_id", "value"]
-    return (
-        events.select(*cols)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _drawdown_fn,
-            outputStructType=DD_OUTPUT_DDL,
-            stateStructType=_DD_STATE_DDL,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    return _with_state(
+        events.select(*cols), ["user_id"], _drawdown_fn,
+        DD_OUTPUT_DDL, _DD_STATE_DDL, "update",
+    )
+
+
+FUNNEL_OUTPUT_DDL = (
+    "user_id LONG, t_view LONG, t_click LONG, t_purchase LONG, stages_reached LONG"
+)
+_FUNNEL_STATE_DDL = "t_view LONG, t_click LONG, t_purchase LONG"
+_STAGE_RANK = {"view": 0, "click": 1, "purchase": 2}
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    tv, tc, tp = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        # stage-rank BEFORE event_id in the sort: the batch RANGE frame
+        # includes equal-ms peers (a click AT the first view's ms counts),
+        # so views process before clicks before purchases within one ms
+        pdf = pdf.assign(_r=pdf["event_type"].map(_STAGE_RANK)).dropna(subset=["_r"])
+        pdf = pdf.sort_values(["ms", "_r", "event_id"], kind="stable")
+        for ms, r in zip(pdf["ms"], pdf["_r"]):
+            ms = int(ms)
+            if r == 0:
+                tv = ms if tv is None else tv
+            elif r == 1 and tv is not None and tc is None and ms >= tv:
+                tc = ms
+            elif r == 2 and tc is not None and tp is None and ms >= tc:
+                tp = ms
+    state.update((tv, tc, tp))
+    if tv is not None:
+        yield pd.DataFrame({
+            "user_id": [user_id], "t_view": [tv],
+            "t_click": pd.array([tc], dtype="Int64"),
+            "t_purchase": pd.array([tp], dtype="Int64"),
+            "stages_reached": [3 if tp is not None else 2 if tc is not None else 1],
+        })
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_funnel: strict-order view->click->purchase.
+
+    Per-user state is the three stage-entry timestamps - 24 bytes per
+    user, O(users) total, vs the batch plan's full per-user sort. Each
+    microbatch emits the user's updated funnel row (update mode; the
+    latest emission per user == q_funnel over everything ingested -
+    stage timestamps only fill in, never move, under ordered arrival).
+    `streaming_realized_vol`'s ordering caveat applies: the stage
+    gates are order-sensitive, so parity needs event-time-ordered
+    arrival across microbatches (the in-batch sort repairs disorder
+    within one).
+    """
+    cols = ["user_id", "ms", "event_id", "event_type"]
+    return _with_state(
+        events.select(*cols), ["user_id"], _funnel_fn,
+        FUNNEL_OUTPUT_DDL, _FUNNEL_STATE_DDL, "update",
+    )
+
+
+RETENTION_OUTPUT_DDL = "cohort_week LONG, week_offset LONG"
+_RETENTION_STATE_DDL = "cohort_week LONG, seen ARRAY<LONG>"
+_WEEK_MS = 604_800_000
+
+
+def _retention_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cohort, seen = state.get if state.exists else (None, [])
+    seen = set(seen or [])
+    fresh: list[int] = []
+    for pdf in pdfs:
+        for week in sorted({int(ms) // _WEEK_MS for ms in pdf["ms"]}):
+            if cohort is None:
+                cohort = week  # first-ever week = min under ordered arrival
+            if week not in seen:
+                seen.add(week)
+                fresh.append(week)
+    state.update((cohort, sorted(seen)))
+    if fresh:
+        yield pd.DataFrame(
+            {"cohort_week": cohort, "week_offset": [w - cohort for w in fresh]}
         )
+
+
+def streaming_retention_cohort(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_retention_cohort: cohort-presence increments.
+
+    Emits exactly ONE (cohort_week, week_offset) row per newly seen
+    (user, week) - the stream form of the batch query's DISTINCT
+    presence step, with the user's cohort (first-seen week) resolved
+    from state. The retention matrix is the ADDITIVE count over these
+    increments (`GROUP BY cohort_week, week_offset` - the memory-sink
+    count in the parity test, or a `start_rollup_sink`-style merge at
+    scale); emitting it directly would chain a second stateful
+    aggregation after applyInPandasWithState, which Structured
+    Streaming does not support in one query. State is (cohort_week,
+    seen-weeks array) - |users| x |weeks| total, the cardinality of
+    the batch plan's distinct exchange. Ordered-arrival caveat: the
+    first-processed week becomes the cohort; parity needs ordered replay.
+    """
+    return _with_state(
+        events.select("user_id", "ms"), ["user_id"], _retention_fn,
+        RETENTION_OUTPUT_DDL, _RETENTION_STATE_DDL, "append",
     )

@@ -86,3 +86,72 @@ def plain_grouped_stats(
         F.coalesce(F.min(v).cast("double"), F.lit(0.0)).alias(f"{prefix}min"),
         F.coalesce(F.max(v).cast("double"), F.lit(0.0)).alias(f"{prefix}max"),
     )
+
+
+def fold_assign_cells(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The r7/r8 expression-fold three-level quantizer, kept as the
+    oracle-shaped reference: sequential-fold dots (bit-exact vs
+    DuckDB's list_sum) over a ONE-broadcast-row index. Production
+    `similarity.assign_cells` computes the identical routing with BLAS
+    matmuls per Arrow batch (~50x faster per dot, SCALING.md); the
+    equality test in test_similarity.py pins that both paths place
+    every vector in the same cell."""
+    from real_time_crypto_market_data_pipeline_spark.operators.similarity import (
+        _cbrt_ceil,
+        dot,
+        l2_norm,
+    )
+
+    def nearest(cells, v, vnorm):
+        scored = F.transform(
+            cells,
+            lambda e: F.struct(
+                (dot(v, e["cvec"]) / (vnorm * e["cnorm"])).alias("s"),
+                e["cell_id"].alias("c"),
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).cast("long").alias("c")),
+            lambda acc, e: F.when(e["s"] > acc["s"], e).otherwise(acc),
+        )["c"]
+
+    g1 = _cbrt_ceil(num_cells)
+    sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
+    cents = cents.withColumn("cnorm", l2_norm(F.col("cvec")))
+    ent = F.struct("cell_id", "cvec", "cnorm")
+
+    def route(v, vn, depth):
+        cur = nearest(F.col("_m0"), v, vn)
+        for j in range(1, depth):
+            cur = nearest(F.element_at(F.col(f"_m{j}"), cur), v, vn)
+        return cur
+
+    idx = (
+        cents.where(F.col("cell_id") < sizes[0])
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(ent)).alias("_m0"))
+    )
+    for i, size in enumerate(sizes[1:], start=1):
+        mapped = (
+            cents.where(F.col("cell_id") < size)
+            .crossJoin(F.broadcast(idx))
+            .select(ent.alias("_e"), route(F.col("cvec"), F.col("cnorm"), i).alias("_p"))
+            .groupBy("_p")
+            .agg(F.sort_array(F.collect_list("_e")).alias("_k"))
+            .groupBy()
+            .agg(F.map_from_entries(F.collect_list(F.struct("_p", "_k"))).alias(f"_m{i}"))
+        )
+        idx = idx.crossJoin(mapped)
+    return (
+        embeddings.withColumn("_vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(idx))
+        .withColumn("_cell", route(F.col(vec_col), F.col("_vn"), len(sizes)))
+        .select(F.col(id_col), F.col("_cell").cast("int").alias("cell_id"))
+    )

@@ -53,24 +53,44 @@ def test_ivf_assign_every_vector_once(emb):
 
 
 def test_ivf_assign_corpus_never_shuffles(emb):
-    """The two-level assignment's scale property, pinned in the plan:
-    the corpus side carries NO hashpartitioning exchange at all (the
-    r7 quantizer replaced a crossJoin + groupBy argmax that shuffled
-    every (id, vector) row). The only exchanges allowed are the tiny
-    single-partition index-build aggregations and the C-row
-    children-map groupBy."""
+    """The quantizer assignment's scale property, pinned in the plan:
+    the corpus pass is ONE narrow mapInPandas - no Exchange of any
+    kind (the r7 fold form still attached the index via a broadcast
+    join; the r8 Arrow form ships it in the task closure), so the
+    assignment composes with any downstream partitioning for free."""
     plan = (
         S.ivf_assign(emb, num_cells=16, keep_vec=True)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            # the corpus grouping key was vec_id; only _sid (the C-row
-            # children-map build) may hash-shuffle
-            assert "_sid" in line, line
-    assert "BroadcastNestedLoopJoin" in plan  # one-row index attach
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_arrow_assignment_equals_fold_reference(emb):
+    """The BLAS-batched assignment must place every vector in the same
+    cell as the retired expression-fold form (tests/_reference_impls),
+    whose sequential dots are the oracle's bit-exact shape - pinning
+    that the r8 kernel swap changed the arithmetic engine, not the
+    routing semantics. C=40 exercises three distinct levels (4/16/40);
+    C=16 a degenerate two-level tree (3/9 -> 16)."""
+    from tests._reference_impls import fold_assign_cells
+
+    for c in (16, 40):
+        cents = emb.where(F.col("vec_id") < c).select(
+            F.col("vec_id").cast("long").alias("cell_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        got = {
+            r.vec_id: r.cell_id
+            for r in S.assign_cells(emb, cents, c).collect()
+        }
+        want = {
+            r.vec_id: r.cell_id
+            for r in fold_assign_cells(emb, cents, c).collect()
+        }
+        assert got == want
 
 
 def test_ivf_assign_partition_layout_invariant(emb):

@@ -1492,3 +1492,117 @@ def test_streaming_realized_vol_state_survives_restart(spark, tmp_path):
         n_w, v_w = want[k]
         assert n_g == n_w
         assert abs(v_g - v_w) <= 1e-9 * max(1.0, abs(v_w))
+
+
+def test_streaming_funnel_matches_batch_query(spark, tmp_path):
+    """Replay sf0.01 events through streaming_funnel in three
+    time-ordered chunks; the most-advanced emission per user must
+    equal batch q_funnel exactly (stage timestamps only fill in,
+    never move, so the max-stage row IS the final state)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "event_type")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_parity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM funnel_parity").toPandas()
+    last = emitted.sort_values("stages_reached").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (
+            int(r.t_view),
+            None if pd.isna(r.t_click) else int(r.t_click),
+            None if pd.isna(r.t_purchase) else int(r.t_purchase),
+            int(r.stages_reached),
+        )
+        for r in last.itertuples()
+    }
+    want = {
+        int(r["user_id"]): (
+            int(r["t_view"]),
+            None if r["t_click"] is None else int(r["t_click"]),
+            None if r["t_purchase"] is None else int(r["t_purchase"]),
+            int(r["stages_reached"]),
+        )
+        for r in QUERIES["q_funnel"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 10 and {s for *_, s in got.values()} <= {1, 2, 3}
+
+
+def test_streaming_retention_cohort_matches_batch_query(spark, tmp_path):
+    """Replay sf0.01 events through streaming_retention_cohort in three
+    time-ordered chunks; the increments are append-exactly-once per
+    (user, week), so counting them per (cohort_week, week_offset)
+    must reproduce the batch retention matrix exactly."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_retention_cohort,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_retention_cohort(stream)
+        .writeStream.format("memory")
+        .queryName("retention_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in spark.sql(
+            "SELECT cohort_week, week_offset, COUNT(*) AS n_users"
+            " FROM retention_parity GROUP BY cohort_week, week_offset"
+        ).collect()
+    }
+    want = {
+        (int(r["cohort_week"]), int(r["week_offset"])): int(r["n_users"])
+        for r in QUERIES["q_retention_cohort"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) > 3  # several cohort/offset combinations exist

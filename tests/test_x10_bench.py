@@ -29,7 +29,12 @@ PAIR_BOUND = {"q_dedup_jaccard", "q_dedup_near", "q_dedup_lsh_jaccard"}
 
 
 def _latest(pattern: str):
-    paths = sorted(glob.glob(os.path.join(ROOT, pattern)))
+    # sort by parsed round number, not path string: lexicographic order
+    # would put r100 before r99 and silently compare a stale mirror
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, pattern)),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
     if not paths:
         pytest.skip(f"no {pattern} mirror committed")
     return json.load(open(paths[-1])), paths[-1]
