@@ -44,11 +44,11 @@ COMMENTARY = {
     "q_repetition_stats": "Gopher-style repetition filters: ONE scan explodes all three n-gram orders tagged with n, and the doc_id fan-out repartition satisfies ClusteredDistribution for both the (doc,n,gram) count and the (doc) pivot - one exchange total, no per-doc O(tokens^2) array self-scan.",
     "q_rollup_merge": "Continuous aggregate: hour partials (integer sums) re-group to day buckets and finalize mean/std - the merge agg consumes |buckets| rows, so the day report is O(hour-buckets) while staying bit-identical to a raw-rows rollup.",
     "q_pack_sequences": "Sequence packing: chunking is pure projection+explode on the scan; the md5 bucket hash feeds the ONLY exchange, whose window running-sum assigns bins as a projection - |buckets| independent packing streams, no global serialization point.",
-    "q_ann_ivf_kmeans": "k-means IVF probe: assignment is the two-level coarse quantizer (one broadcast index row + per-row HOF argmax - ~2n*sqrt(C) cosines, zero corpus shuffle, replacing the n x C model.transform pass), cell membership filters the corpus, the one-row query broadcasts, and top-k is TakeOrderedAndProject - at scale the assignment table is partitioned by cell_id so the probe is a partition-pruned scan of n_probe/C of the corpus.",
+    "q_ann_ivf_kmeans": "k-means IVF probe: assignment is the three-level quantizer scored by BLAS per Arrow batch (MapInPandas, ~3n*cbrt(C) cosines, NO exchange at all on the corpus pass - replacing the n x C model.transform pass), cell membership filters the corpus, the one-row query broadcasts, and top-k is TakeOrderedAndProject - at scale the assignment table is partitioned by cell_id so the probe is a partition-pruned scan of n_probe/C of the corpus.",
     "q_mix_temperature": "Temperature mixing: the language census is a 5-row aggregate broadcast back onto the corpus, so the keep/drop decision is a codegen'd md5-bucket comparison inside the scan stage - a 100 TB re-mix that shuffles nothing but the census.",
     "q_boilerplate": "Cross-doc boilerplate: the DF>=5 shingle census comes back as a broadcast LEFT-join flag, so n_shingles and n_boiler fall out of ONE doc-keyed aggregation - two Generates total, never a third corpus re-explode (explode_outer keeps shingle-less docs in-stream, deleting the old restore-join scan), and no doc-keyed shuffle of raw shingles.",
     "q_shuffle_shard": "Training-order shuffle: the window partitions by the md5-derived shard, so the plan is ONE hash exchange plus per-shard local sort - at 10k shards each sort is corpus/10k and spillable, where a global ORDER BY row_number would funnel everything through one partition.",
-    "q_semdedup": "SemDeDup: the (id, cell, vector) assignment - two-level coarse quantizer, ~2n*sqrt(C) cosines with C derived from the corpus count so cells stay ~250 rows at any scale - is computed once and materialized (localCheckpoint - the partitioned assignment table at scale) before its three uses; pairwise cosine only inside a cell (sum(cell^2) work, linear under the derived C), dropped ids distinct'd so the survivors anti-join is broadcastable under AQE. As lazy lineage this planned EIGHT corpus scans.",
+    "q_semdedup": "SemDeDup: the (id, cell, vector) assignment - three-level Arrow-BLAS quantizer, ~3n*cbrt(C) cosines with C derived from the corpus count so cells stay ~250 rows at any scale - is computed once and materialized (localCheckpoint - the partitioned assignment table at scale); pairwise cosine runs as a row-blocked gram matrix per cell group (applyInPandas, ONE cell_id exchange, sum(cell^2) work linear under the derived C), and the survivors anti-join is broadcastable under AQE. As lazy lineage this planned EIGHT corpus scans; the 2 M-vector probe is 10.8 s (SCALING.md).",
     "q_realized_vol": "Realized volatility: the lag window and the aggregation both key on user_id, so one exchange+sort serves both; the squared-log-return map is codegen'd inside the window stage.",
     "q_drawdown": "Max drawdown: running max is a rows-frame window (no self-join); the groupBy reuses the window's user_id exchange - one shuffle end to end.",
     "q_quantize_int8": "int8 scalar quantization: pure per-row higher-order functions over the corpus scan - zero exchanges, zero Python; codes and error audit come out of the same projection.",
