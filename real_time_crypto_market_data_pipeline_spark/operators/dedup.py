@@ -581,10 +581,9 @@ def semantic_dedup(
     The two-stage policy of Abbas et al. 2023 ("SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): cluster the
     corpus (the deterministic three-level IVF assignment, so the whole
-    pipeline is oracle-checkable; k-means centroids in production),
-    then inside each cluster drop every vector with a lower-id
-    neighbor at cosine >= ``threshold`` - one representative (smallest
-    id) per epsilon-ball, greedily. Returns the KEPT (id, cell_id).
+    pipeline is oracle-checkable; k-means centroids in production), then
+    inside each cluster drop every vector with a lower-id neighbor at
+    cosine >= ``threshold``. Returns the KEPT (id, cell_id).
 
     ``num_cells=None`` (the default) derives C = max(8, n // 250)
     from an eager corpus count, so cells hold ~250 vectors at any
@@ -597,17 +596,15 @@ def semantic_dedup(
     shuffle on cell_id (the r7 self-join shuffled both sides and paid
     an interpreted fold per pair - ~50x slower per dot than the BLAS
     gram matrix per cell, SCALING.md), row-blocked so a skewed cell's
-    score matrix stays bounded in memory. float64 BLAS vs the oracle's
-    sequential fold can flip a pair only when its cosine ties the
-    threshold within ~1e-15 - measure-zero for real embeddings. The
-    dropped-id set is tiny, so the final pass is corpus vs a small id
-    list (broadcastable under AQE). The assignment (id, cell, vector)
-    is EAGERLY materialized before its two uses (as lazy lineage it
-    re-executed per use); at 100 TB it is the assignment table the IVF
-    scale path writes partitioned by cell_id anyway. Without
-    ``checkpoint_dir`` the materialization is ``localCheckpoint``
-    (executor-pinned, fine locally); on a cluster pass an HDFS/S3 dir,
-    same policy as ``connected_components``.
+    score matrix stays bounded in memory; float64 BLAS vs the oracle's
+    fold can flip a pair only on a ~1e-15 threshold tie. The dropped
+    ids are few, so the survivors anti-join broadcasts under AQE. The
+    (id, cell, vector) assignment is EAGERLY materialized before its
+    two uses (as lazy lineage it re-executed per use); at 100 TB it is
+    the assignment table the IVF scale path writes partitioned by
+    cell_id anyway. Without ``checkpoint_dir`` the materialization is
+    ``localCheckpoint`` (executor-pinned, fine locally); on a cluster
+    pass an HDFS/S3 dir, same policy as ``connected_components``.
 
     Threshold is corpus-calibrated: random vectors top out ~0.49
     within-cell, so 0.40 prunes the most-similar tail; real embedded

@@ -143,22 +143,20 @@ def assign_cells(
     lowest cell_ids double as routing levels of size g1 = ceil(cbrt C)
     and g2 = min(C, g1^2); each corpus vector descends top -> winner's
     mids -> winner's cells (~3n*cbrt(C) cosines, not n*C), every
-    centroid a child of itself at each level (cosine(c,c) = 1 is
+    centroid a child of itself at each level (cos(c,c) = 1 is
     maximal), ties -> lowest cell_id at every hop. Scoring is one BLAS
     matmul per Arrow batch per hop inside ``mapInPandas`` - r8
     replaced the expression-fold hops after measuring them ~50x slower
-    per dot (interpreted HOFs; decomposition in SCALING.md); the fold
-    form lives on as the oracle-shaped reference in
-    tests/_reference_impls.py with an equality test. float64 BLAS vs
-    the oracle's sequential fold can disagree only when two cosines
-    tie within ~1e-15 - a measure-zero boundary for real embeddings.
+    per dot (SCALING.md); the fold form survives as the oracle-shaped
+    reference in tests/_reference_impls.py with an equality test, and
+    float64 BLAS vs the oracle's sequential fold can disagree only on
+    a ~1e-15 cosine tie - measure-zero for real embeddings.
 
-    Plan shape: the corpus is a single narrow ``mapInPandas`` pass -
-    no shuffle, no join, not even a broadcast exchange; the centroid
-    relation is index-scale (C = n/250 rows), collected once
-    driver-side like ``ivf_kmeans_index``'s clusterCenters and shipped
-    in the task closure. Cell id remains the disk partition key at
-    100 TB.
+    Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle,
+    no join, no broadcast exchange; the index-scale centroid relation
+    (C = n/250 rows) is collected once driver-side like
+    ``ivf_kmeans_index``'s clusterCenters and ships in the task
+    closure. Cell id remains the disk partition key at 100 TB.
     """
     import numpy as np
     import pandas as pd
@@ -313,15 +311,13 @@ def ivf_kmeans_topk(
 ) -> DataFrame:
     """X3: IVF with a REAL k-means training pass (MLlib), n-cell probing.
 
-    The production IVF recipe: vectors are unit-normalized (so
-    euclidean k-means clusters by cosine geometry), MLlib KMeans
-    learns ``num_cells`` centroids, every vector is assigned to its
-    cell, and the search scans only the ``n_probe`` cells whose
-    centroids are most cosine-similar to the query. Recall rises with
-    ``n_probe``; at ``n_probe == num_cells`` the probed cells cover
-    the corpus, so the result is EXACTLY brute force for ANY trained
-    model - the driver-oracle invariant; pytest pins partial-probe
-    recall.
+    The production IVF recipe: vectors are unit-normalized (euclidean
+    k-means then clusters by cosine geometry), MLlib KMeans learns
+    ``num_cells`` centroids, and the search scans only the ``n_probe``
+    cells whose centroids are most cosine-similar to the query. At
+    ``n_probe == num_cells`` the probed cells cover the corpus, so the
+    result is EXACTLY brute force for ANY trained model - the
+    driver-oracle invariant; pytest pins partial-probe recall.
 
     Scale notes: training sees only the ``training_cap`` sample;
     assignment is the quantizer pass (``ivf_kmeans_index``); at 100 TB
@@ -390,9 +386,8 @@ def hyperplane_lsh_buckets(
     deterministic pseudo-random hyperplanes (coefficients from
     md5(bit, dim) - reproducible everywhere, no RNG state to ship).
     Cosine-similar vectors agree on most sign bits, so equal buckets
-    (or low-Hamming neighbors) are ANN candidates. Pure projection -
-    no shuffle; at scale the bucket becomes the storage partition key,
-    like the IVF cell id, and needs no training pass at all.
+    are ANN candidates. Pure projection - no shuffle; at scale the
+    bucket is the storage partition key, and no training pass at all.
     """
     import hashlib
 
@@ -425,13 +420,11 @@ def scalar_quantize_int8(
     """X3: per-vector symmetric int8 scalar quantization + error audit.
 
     The storage-compression step an embedding index runs before
-    building IVF/HNSW at scale: each vector is mapped to int8 codes
-    ``floor(x * 127 / amax + 0.5)`` with ``amax = max(|x|)`` (the
-    FAISS ``SQ8`` layout - 4x smaller than fp32, one float of scale
-    metadata per vector). Emits per vector: ``dims``, ``amax`` (the
-    dequantization scale), ``code_sum`` (exact BIGINT code checksum
-    the oracle reproduces bit-for-bit - proves the codes themselves
-    match), and ``mse`` (mean squared reconstruction error).
+    building IVF/HNSW at scale: int8 codes ``floor(x*127/amax + 0.5)``
+    with ``amax = max(|x|)`` (the FAISS ``SQ8`` layout - 4x smaller
+    than fp32, one float of scale per vector). Emits per vector:
+    ``dims``, ``amax``, ``code_sum`` (exact BIGINT checksum the oracle
+    reproduces bit-for-bit) and ``mse`` (reconstruction error).
 
     Rounding is floor(x + 0.5), not round(): both engines lower it to
     the same IEEE floor, sidestepping round-half-to-even divergence.
