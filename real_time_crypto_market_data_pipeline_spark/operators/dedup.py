@@ -68,12 +68,11 @@ def incremental_dedup(
     against the corpus hash set. Returns (doc_id, text_hash) admitted.
 
     Scale: the corpus side reduces to its hash column first, so the
-    shuffle carries 32-byte keys - at 100 TB the hash set is what you
-    keep materialized between ingests (partitioned by hash prefix),
-    and the anti-join becomes a partition-local probe; a bloom
-    prefilter (sketches.bloom_bitmap) cuts probe volume when the
-    batch-to-corpus ratio is tiny. Streaming twin:
-    pipeline.streaming_near_dedup's dropDuplicatesWithinWatermark.
+    shuffle carries 32-byte keys - at 100 TB the hash set stays
+    materialized between ingests (partitioned by hash prefix) and the
+    anti-join is a partition-local probe; a bloom prefilter
+    (sketches.bloom_bitmap) cuts probe volume on tiny batches.
+    Streaming twin: streaming_near_dedup's dropDuplicatesWithinWatermark.
     """
     b = (
         batch.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
@@ -630,7 +629,9 @@ def semantic_dedup(
         dropped = np.zeros(len(pdf), dtype=bool)
         for lo in range(0, len(pdf), 1024):  # row blocks bound the gram matrix
             hi = min(lo + 1024, len(pdf))
-            S = (V[lo:hi] @ V.T) / np.outer(Vn[lo:hi], Vn)
+            # rows lo..hi only compare against columns < hi: the lower-
+            # triangle restriction halves matmul + traffic on hot cells
+            S = (V[lo:hi] @ V[:hi].T) / np.outer(Vn[lo:hi], Vn[:hi])
             for r in range(lo, hi):  # any lower-id neighbor >= threshold drops r
                 dropped[r] |= bool((S[r - lo, :r] >= threshold).any())
         return pdf.loc[dropped, [id_col]]

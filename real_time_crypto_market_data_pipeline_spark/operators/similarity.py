@@ -147,16 +147,15 @@ def assign_cells(
     maximal), ties -> lowest cell_id at every hop. Scoring is one BLAS
     matmul per Arrow batch per hop inside ``mapInPandas`` - r8
     replaced the expression-fold hops after measuring them ~50x slower
-    per dot (SCALING.md); the fold form survives as the oracle-shaped
-    reference in tests/_reference_impls.py with an equality test, and
-    float64 BLAS vs the oracle's sequential fold can disagree only on
-    a ~1e-15 cosine tie - measure-zero for real embeddings.
+    per dot (SCALING.md); the fold form survives in
+    tests/_reference_impls.py with an equality test, and float64 BLAS
+    vs the fold can disagree only on a ~1e-15 cosine tie.
 
     Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle,
     no join, no broadcast exchange; the index-scale centroid relation
     (C = n/250 rows) is collected once driver-side like
     ``ivf_kmeans_index``'s clusterCenters and ships in the task
-    closure. Cell id remains the disk partition key at 100 TB.
+    closure. Cell id remains the disk partition key.
     """
     import numpy as np
     import pandas as pd
