@@ -1606,3 +1606,118 @@ def test_streaming_retention_cohort_matches_batch_query(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 3  # several cohort/offset combinations exist
+
+
+def test_streaming_funnel_repairs_within_batch_disorder(spark, tmp_path):
+    """Pin the funnel twin's ordering contract: rows scrambled WITHIN
+    each microbatch are repaired by the (ms, stage-rank, event_id)
+    sort - including the same-ms case where a click at its user's
+    first view's ms must still qualify (stage-rank orders views
+    first). Batch parity must hold exactly under in-chunk scrambling."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms", "event_id", "event_type")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_disorder")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = (
+                ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+                .orderBy(F.md5(F.col("event_id").cast("string")))
+            )
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM funnel_disorder").toPandas()
+    last = emitted.sort_values("stages_reached").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (
+            int(r.t_view),
+            None if pd.isna(r.t_click) else int(r.t_click),
+            None if pd.isna(r.t_purchase) else int(r.t_purchase),
+        )
+        for r in last.itertuples()
+    }
+    want = {
+        int(r["user_id"]): (
+            int(r["t_view"]),
+            None if r["t_click"] is None else int(r["t_click"]),
+            None if r["t_purchase"] is None else int(r["t_purchase"]),
+        )
+        for r in QUERIES["q_funnel"](spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_streaming_retention_cross_batch_disorder_mislabels_cohort(spark, tmp_path):
+    """The retention twin's documented caveat is real: chunks replayed
+    in REVERSED time order make a user's first-PROCESSED week a later
+    week than their true minimum, so at least one cohort label must
+    diverge from the batch matrix - proving the parity test's
+    time-ordered replay is load-bearing, not doc hedging."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.plans import QUERIES
+    from real_time_crypto_market_data_pipeline_spark.streaming.stateful import (
+        streaming_retention_cohort,
+    )
+    from real_time_crypto_market_data_pipeline_spark.tables import load_events
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_events(spark, sf).select("user_id", "ms")
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi + 1]
+
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_retention_cohort(stream)
+        .writeStream.format("memory")
+        .queryName("retention_disorder")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for a, b in reversed(list(zip(cuts, cuts[1:]))):  # latest chunk first
+            chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (int(r.cohort_week), int(r.week_offset)): int(r.n_users)
+        for r in spark.sql(
+            "SELECT cohort_week, week_offset, COUNT(*) AS n_users"
+            " FROM retention_disorder GROUP BY cohort_week, week_offset"
+        ).collect()
+    }
+    want = {
+        (int(r["cohort_week"]), int(r["week_offset"])): int(r["n_users"])
+        for r in QUERIES["q_retention_cohort"](spark, sf).collect()
+    }
+    assert got != want  # the caveat is a real failure mode
