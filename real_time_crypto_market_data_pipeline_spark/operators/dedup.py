@@ -632,8 +632,8 @@ def semantic_dedup(
             # rows lo..hi only compare against columns < hi: the lower-
             # triangle restriction halves matmul + traffic on hot cells
             S = (V[lo:hi] @ V[:hi].T) / np.outer(Vn[lo:hi], Vn[:hi])
-            for r in range(lo, hi):  # any lower-id neighbor >= threshold drops r
-                dropped[r] |= bool((S[r - lo, :r] >= threshold).any())
+            tri = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            dropped[lo:hi] = ((S >= threshold) & tri).any(axis=1)
         return pdf.loc[dropped, [id_col]]
 
     dropped = e.groupBy("cell_id").applyInPandas(drop_in_cell, schema=f"{id_col} long")
