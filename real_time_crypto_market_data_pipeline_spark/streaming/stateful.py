@@ -85,9 +85,8 @@ def streaming_staleness(events: DataFrame) -> DataFrame:
 # EWMA quote tracker and idle-gap flush on the GroupState API.
 # transform_state.py carries the same two operators on Spark 4's
 # transformWithStateInPandas (typed state + timers); that protocol
-# needs google.protobuf at runtime, so THESE are the
-# executable-everywhere versions: identical semantics, one GroupState
-# row per key.
+# needs google.protobuf at runtime, so THESE are the executable-
+# everywhere versions: identical semantics, one GroupState row per key.
 
 EWMA_OUTPUT_DDL = (
     "symbol STRING, ts_exchange_ms LONG, mid DOUBLE, spread DOUBLE, "
@@ -398,10 +397,14 @@ def _funnel_fn(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     tv, tc, tp = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
-        # stage-rank BEFORE event_id in the sort: the batch RANGE frame
-        # includes equal-ms peers (a click AT the first view's ms counts),
-        # so views process before clicks before purchases within one ms
+    # concat BEFORE sorting (like the EWMA fn): a >1-Arrow-chunk group
+    # repairs disorder across its whole microbatch, not per chunk; and
+    # stage-rank before event_id makes views process before clicks
+    # before purchases within one ms (the batch RANGE frame includes
+    # equal-ms peers - a click AT the first view's ms counts).
+    batches = [p for p in pdfs if len(p)]
+    if batches:
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
         pdf = pdf.assign(_r=pdf["event_type"].map(_STAGE_RANK)).dropna(subset=["_r"])
         pdf = pdf.sort_values(["ms", "_r", "event_id"], kind="stable")
         for ms, r in zip(pdf["ms"], pdf["_r"]):
@@ -430,10 +433,9 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
     microbatch emits the user's updated funnel row (update mode; the
     latest emission per user == q_funnel over everything ingested -
     stage timestamps only fill in, never move, under ordered arrival).
-    `streaming_realized_vol`'s ordering caveat applies: the stage
-    gates are order-sensitive, so parity needs event-time-ordered
-    arrival across microbatches (the in-batch sort repairs disorder
-    within one).
+    `streaming_realized_vol`'s ordering caveat applies: parity needs
+    event-time-ordered arrival across microbatches (the in-batch sort
+    repairs the rest).
     """
     cols = ["user_id", "ms", "event_id", "event_type"]
     return _with_state(
@@ -452,14 +454,13 @@ def _retention_fn(
 ) -> Iterator[pd.DataFrame]:
     cohort, seen = state.get if state.exists else (None, [])
     seen = set(seen or [])
-    fresh: list[int] = []
-    for pdf in pdfs:
-        for week in sorted({int(ms) // _WEEK_MS for ms in pdf["ms"]}):
-            if cohort is None:
-                cohort = week  # first-ever week = min under ordered arrival
-            if week not in seen:
-                seen.add(week)
-                fresh.append(week)
+    weeks: set[int] = set()
+    for pdf in pdfs:  # whole-batch week set first: chunk order never matters
+        weeks.update(int(ms) // _WEEK_MS for ms in pdf["ms"])
+    if cohort is None and weeks:  # first-batch min = min under ordered arrival
+        cohort = min(weeks)
+    fresh = sorted(weeks - seen)
+    seen |= weeks
     state.update((cohort, sorted(seen)))
     if fresh:
         yield pd.DataFrame(
@@ -477,10 +478,9 @@ def streaming_retention_cohort(events: DataFrame) -> DataFrame:
     increments (`GROUP BY cohort_week, week_offset` - the memory-sink
     count in the parity test, or a `start_rollup_sink`-style merge at
     scale); emitting it directly would chain a second stateful
-    aggregation after applyInPandasWithState, which Structured
-    Streaming does not support in one query. State is (cohort_week,
-    seen-weeks array) - |users| x |weeks| total, the cardinality of
-    the batch plan's distinct exchange. Ordered-arrival caveat: the
+    aggregation onto applyInPandasWithState, unsupported in one query.
+    State is (cohort_week, seen-weeks array) - |users| x |weeks|
+    total, the batch plan's distinct-exchange cardinality. Caveat: the
     first-processed week becomes the cohort; parity needs ordered replay.
     """
     return _with_state(
