@@ -625,7 +625,9 @@ def semantic_dedup(
     def drop_in_cell(pdf):
         pdf = pdf.sort_values(id_col, ignore_index=True)
         V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-        Vn = np.linalg.norm(V, axis=1)
+        # greatest(norm, eps) policy: a zero vector scores cos 0 (kept),
+        # never NaN - matching the guarded oracle, not IEEE NaN-compares
+        Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
         dropped = np.zeros(len(pdf), dtype=bool)
         for lo in range(0, len(pdf), 1024):  # row blocks bound the gram matrix
             hi = min(lo + 1024, len(pdf))

@@ -26,6 +26,7 @@ across partitions when included in the shuffle key).
 
 from __future__ import annotations
 
+import numbers
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -73,8 +74,15 @@ def interval_join_binned(
     # implies _bin(ts) in [_bin(start), _bin(end)]. A fractional width
     # would silently truncate (0.5 -> div 0 -> NULL bins -> empty join
     # in non-ANSI sessions): reject anything but a positive int.
-    if not isinstance(bin_width, int) or bin_width <= 0:
+    # Integral (not bare int): np.int64 from a pandas/COUNT result is a
+    # valid width; bool is not (True renders as `div True` -> SQL error).
+    if (
+        not isinstance(bin_width, numbers.Integral)
+        or isinstance(bin_width, bool)
+        or bin_width <= 0
+    ):
         raise ValueError(f"bin_width must be a positive int, got {bin_width!r}")
+    bin_width = int(bin_width)
 
     def _bin(c: str):
         return F.expr(f"`{c}` div {bin_width}")

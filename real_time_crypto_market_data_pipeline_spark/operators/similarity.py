@@ -123,6 +123,16 @@ def _routing_tree(C, Cn, sizes):
     for j, size in enumerate(sizes[1:]):
         parents = route(C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
+        # every level-j id is a legal descent target for CORPUS vectors,
+        # so each must have captured children (normally itself: cos(c,c)
+        # is maximal). Near-duplicate centroids can break that via float
+        # asymmetry - fail at build time, not KeyError mid-task.
+        missing = [p for p in range(sizes[j]) if p not in kids[-1]]
+        if missing:
+            raise ValueError(
+                f"degenerate centroid geometry: level-{j} centroid(s) "
+                f"{missing[:5]} captured no children; dedupe or jitter cents"
+            )
     return route
 
 
@@ -162,8 +172,13 @@ def assign_cells(
 
     rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
     ids = np.array([r.cell_id for r in rows], dtype=np.int64)
+    # the routing levels are ID PREFIXES (and the oracle selects them by
+    # id value), so sparse/offset cell_ids must fail fast, not silently
+    # route differently from the oracle.
+    if len(ids) != num_cells or not (ids == np.arange(num_cells)).all():
+        raise ValueError("cents.cell_id must be exactly 0..num_cells-1")
     C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
-    Cn = np.linalg.norm(C, axis=1)
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)  # zero-norm -> cos 0
     g1 = _cbrt_ceil(num_cells)
     sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
     route = _routing_tree(C, Cn, sizes)
@@ -172,7 +187,8 @@ def assign_cells(
     def assign(batches):
         for pdf in batches:
             V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            cell = ids[route(V, np.linalg.norm(V, axis=1), depth)]
+            Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+            cell = ids[route(V, Vn, depth)]
             out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
             if keep_vec:
                 out[vec_col] = pdf[vec_col]

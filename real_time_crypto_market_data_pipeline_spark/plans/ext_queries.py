@@ -65,6 +65,16 @@ _COS = (
     "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 )
 
+# guarded twin of _COS for CTEs mirroring the numpy kernels, which pin
+# zero-norm vectors to cosine 0 via np.maximum(norm, 1e-12) - the fold-
+# backed queries keep raw _COS (both engines yield NaN there).
+_COSG = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+    "/ (GREATEST(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) "
+    "* GREATEST(sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12))"
+)
+
 
 # ---------------------------------------------------------------- X1
 @query(
@@ -496,7 +506,7 @@ def _ivf_best(prm: str) -> str:
         return f"""
     {name} AS (SELECT {keep} FROM (
         SELECT {aid}, {avec}, {bid},
-               {rn.format(p=aid, s=_COS.format(a=avec, b=bvec), t=bid)}
+               {rn.format(p=aid, s=_COSG.format(a=avec, b=bvec), t=bid)}
         FROM {frm}) t WHERE rn = 1)"""
 
     return f"""
@@ -1348,7 +1358,7 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT b.vec_id
       FROM best a JOIN best b
         ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-      WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.40
+      WHERE {_COSG.format(a='a.embedding', b='b.embedding')} >= 0.40
     )
     SELECT k.vec_id, CAST(k.cell_id AS INTEGER) AS cell_id
     FROM best k

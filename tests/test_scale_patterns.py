@@ -501,3 +501,29 @@ def test_spread_for_fanout_size_gate(spark):
     # non-file relation: stats unknown (Long.MaxValue) -> conservative spread
     local = spark.createDataFrame([(0, "a b c")], "doc_id LONG, text STRING")
     assert spread_fired(spread_for_fanout(local.coalesce(1), min_bytes=8 << 20))
+
+
+def test_interval_join_bin_width_accepts_integral_rejects_bool(spark):
+    """bin_width contract (r8 ADVICE): numpy integers (a COUNT result
+    via pandas) are valid widths; bool and non-positive values raise
+    ValueError up front instead of failing later in SQL parsing."""
+    import numpy as np
+    import pytest
+
+    from real_time_crypto_market_data_pipeline_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    points = spark.createDataFrame([(0, 50, 1)], "k INT, ts LONG, pid INT")
+    intervals = spark.createDataFrame([(0, 0, 99, 7)], "k INT, s LONG, e LONG, iid INT")
+
+    def run(width):
+        return interval_join_binned(
+            points, intervals, keys=["k"], point_ts="ts",
+            start_col="s", end_col="e", bin_width=width,
+        ).count()
+
+    assert run(np.int64(100)) == 1  # Integral, not bare int: accepted
+    for bad in (True, False, 0, -5, 0.5, "100"):
+        with pytest.raises(ValueError, match="positive int"):
+            run(bad)

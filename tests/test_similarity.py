@@ -252,3 +252,32 @@ def test_ivf_kmeans_training_sample_is_partition_layout_invariant(spark):
     centers_a = [list(c) for c in model_a.clusterCenters()]
     centers_b = [list(c) for c in model_b.clusterCenters()]
     assert centers_a == centers_b
+
+
+def test_assign_cells_rejects_noncontiguous_cell_ids(emb):
+    """r8 ADVICE: the routing levels are id prefixes and the oracle
+    selects them BY VALUE, so sparse/offset cell_ids must fail fast
+    instead of silently diverging from the oracle's level sets."""
+    sparse = emb.where(F.col("vec_id").isin([0, 2, 5, 9])).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    with pytest.raises(ValueError, match="0..num_cells-1"):
+        S.assign_cells(emb, sparse, 4).collect()
+
+
+def test_zero_norm_vectors_route_and_survive_semdedup(spark):
+    """r8 ADVICE: zero-norm vectors score cosine 0 everywhere (the
+    greatest(norm, eps) policy), so assignment stays NaN-free and
+    SemDeDup keeps them rather than NaN-dropping them."""
+    import random
+
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows[17] = (17, [0.0] * 8)  # corpus zero vector (not a centroid)
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    assigned = {r.vec_id: r.cell_id for r in S.ivf_assign(e, num_cells=4).collect()}
+    assert len(assigned) == 40 and assigned[17] in {0, 1, 2, 3}
+    kept = {r.vec_id for r in D.semantic_dedup(e, num_cells=4, threshold=0.9).collect()}
+    assert 17 in kept
