@@ -18,44 +18,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_csv_snapshot"](spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies a prefix of this dict (50 queries per round),
-# so ordering is evidence allocation: the prefix is always the 50
-# queries whose driver evidence is OLDEST ("oldest-first" rotation).
-# With 122 registered queries and 50 slots per round, oldest-first
+# The driver verifies a prefix of this dict (50 queries per round), so
+# ordering is evidence allocation: oldest driver evidence first, which
 # keeps every query's evidence at most 2 rounds old in steady state
-# (tools/selfcheck.py --evidence-age mechanizes the check).
+# (tools/selfcheck.py --evidence-age mechanizes the check; past
+# allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-8 allocation: (1) the 23 r5-evidence queries (oldest, age 2);
-# (2) 5 slots for queries whose OPERATOR CODE changed this round (the
-# three-level IVF/SemDeDup quantizer + its oracle CTE rewrite, the
-# range-join bin_width validation, the checkpoint-dir warn guard) -
-# age-0, but the driver re-verifies the changed code; (3) the 22
-# alphabetically-first r6-evidence queries as fill; the 27 remaining
-# r6-evidence queries lead the round-9 prefix via section 4. (Past
-# allocations are reconstructible from CORRECTNESS_r0N.json prefixes.)
+# Round-9 allocation: (1) the 27 r6-evidence queries (oldest, age 2);
+# (2) re-checks for CODE CHANGED in round 9: the quantile ring split +
+# its oracle CTE (q_semdedup), similarity-module zero-norm guards (the
+# q_ann*/q_cosine* family), the shared _COS oracle-string refactor
+# (q_dedup_embed), bin_width widening (q_interval_join), dedup.py
+# (q_dedup_clusters); (3) r7-evidence fill in registry order - the
+# remaining 28 r7-evidence queries rotate into round 10's prefix.
 _PRIORITY = [
-    # --- 1: r5-evidence cohort (23; oldest driver evidence, 2 rounds) ---
-    "q_funnel", "q_invariant_check", "q_lang_id", "q_latency_cols",
-    "q_media_features", "q_mix_temperature", "q_ohlc_rollup",
-    "q_pack_sequences", "q_pit_read", "q_quality_topp", "q_quantize_int8",
-    "q_realized_vol", "q_repetition_stats", "q_retention_cohort",
-    "q_salted_stats", "q_scd2_history", "q_session_stats", "q_sessionize",
-    "q_shuffle_shard", "q_token_count_bpe", "q_tpch_q13", "q_tpch_q16",
-    "q_zorder_key",
-    # --- 2: code changed in round 8 (re-verify post-change) ---
-    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_interval_join",
-    "q_dedup_clusters",
-    # --- 3: r6-evidence fill, registry order (22) ---
-    "q_array_transform", "q_best_levels", "q_channel_split",
-    "q_chunk_documents", "q_corpus_sample", "q_corpus_split",
-    "q_cosine_topk", "q_dedup_exact", "q_dedup_jaccard", "q_dedup_near",
-    "q_element_at", "q_explode", "q_filter_isin", "q_fingerprint",
-    "q_first_last_value", "q_grouped_stats", "q_grouping_sets",
-    "q_interval_count", "q_json_decode", "q_media_summary",
-    "q_merge_upsert", "q_ohlc_bars",
-    # --- 4: beyond the 50-slot prefix: remaining r6-evidence (27) ---
-    # these are the registry's oldest evidence after round 8 closes,
-    # so they lead the round-9 prefix.
+    # --- 1: r6-evidence cohort (27; oldest driver evidence) ---
     "q_part_brand_stats", "q_percentiles", "q_profile_columns",
     "q_quality_score", "q_rollup_merge", "q_scrub_text",
     "q_sketch_distinct", "q_stale_stats", "q_struct_project",
@@ -64,8 +41,17 @@ _PRIORITY = [
     "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
     "q_tpch_q8", "q_tpch_q9", "q_try_cast", "q_twap",
     "q_unpivot_percentiles",
-    # --- 5: the r7-evidence cohort follows in registry order via the
-    #        fallback in queries(); it rotates back in rounds 9-10. ---
+    # --- 2: code changed in round 9 (re-verify post-change) ---
+    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_dedup_clusters",
+    "q_interval_join", "q_cosine_topk",
+    "q_dedup_embed", "q_cosine_topk_arrow_highdim", "q_ann_lsh_buckets",
+    # --- 3: r7-evidence fill, registry order (14; rest lead round 10) ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
+    "q_semi_anti", "q_above_customer_avg", "q_drawdown", "q_correlation",
+    "q_null_guard", "q_spread", "q_date_partition", "q_format_string",
+    "q_zero_rate",
+    # --- 4: the remaining r7-evidence cohort follows in registry order
+    #        via the fallback in queries(). ---
 ]
 
 

@@ -4,18 +4,15 @@ Four families, each designed so the heavy work is a keyed shuffle that
 scales linearly and the pairwise work only ever happens inside small
 candidate buckets:
 
-- exact:   groupBy(text) with a deterministic representative (min doc_id).
-           At 100 TB: shuffle on md5(text) (64-hex key, uniform) - never
-           on the raw text bytes.
-- MinHash+LSH: shingle -> k independent min-hashes -> band buckets ->
-           candidate pairs only within buckets. Cost: O(corpus) for
-           signatures (explode + groupBy), O(sum bucket^2) for pairs.
-- SimHash: per-token hash bits, weighted sum per bit position, sign ->
-           fingerprint; near-dups share fingerprints (or low Hamming
-           distance). Linear, single shuffle.
-- n-gram Jaccard: exact verify step - intersection counts via a
-           shingle-equi-join restricted to plausible pairs, never a
-           cross join.
+- exact:   groupBy(text), min-doc_id representative; at 100 TB shuffle
+           on md5(text) (uniform 64-hex key), never raw text bytes.
+- MinHash+LSH: shingle -> k min-hashes -> band buckets -> candidate
+           pairs only within buckets: O(corpus) signatures,
+           O(sum bucket^2) pairs.
+- SimHash: per-token hash bits, weighted sum per position, sign ->
+           fingerprint; near-dups share low Hamming distance. Linear.
+- n-gram Jaccard: exact verify via a shingle-equi-join restricted to
+           plausible pairs, never a cross join.
 
 Hashing uses md5 (cross-engine stable) so every operator has an exact
 DuckDB oracle. Spark's murmur3 ``hash()`` / ``xxhash64`` would be ~2x
@@ -454,19 +451,13 @@ def connected_components(
     relational engine): every node starts labeled with itself; each
     round joins labels across edges and keeps the minimum; stop when a
     round changes nothing. Rounds needed = graph diameter (dup
-    clusters are near-cliques, so 2-3 in practice). Each round is two
-    shuffles (edge join + min agg); intermediates are checkpointed
-    per round so lineage does not grow unboundedly - the standard
-    iterative-algorithm discipline on Spark.
+    clusters are near-cliques, so 2-3 in practice); each round is two
+    shuffles (edge join + min agg), checkpointed so lineage stays flat.
 
-    Checkpoint mode tradeoff: the default ``localCheckpoint`` keeps
-    each round's labels in executor block storage - no extra I/O, but
-    the blocks pin their executors, so ONE executor loss mid-run kills
-    the job (lineage truncated, blocks unrecomputable); fine locally.
-    On a real cluster pass ``checkpoint_dir``: rounds then use
-    reliable ``checkpoint()`` to that HDFS/S3 path - one write+read
-    of the label table per round, and an executor loss only recomputes
-    tasks from the last checkpoint. At 100 TB always set it.
+    Checkpoint tradeoff: default ``localCheckpoint`` pins label blocks
+    to executors (no extra I/O, but one executor loss kills the run -
+    fine locally); on a cluster pass ``checkpoint_dir`` for reliable
+    HDFS/S3 checkpoints. At 100 TB always set it.
 
     Returns (doc_id, component) with component = min doc_id reachable.
     """
@@ -568,53 +559,44 @@ def simhash_pairs(
 
 
 def semantic_dedup(
-    embeddings: DataFrame,
-    num_cells: int | None = None,
-    threshold: float = 0.40,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    checkpoint_dir: str | None = None,
+    embeddings: DataFrame, num_cells: int | None = None, threshold: float = 0.40,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    checkpoint_dir: str | None = None, max_cell: int | None = 1000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
-    The two-stage policy of Abbas et al. 2023 ("SemDeDup: Data-efficient
-    learning at web-scale through semantic deduplication"): cluster the
+    The two-stage policy of Abbas et al. 2023 ("SemDeDup"): cluster the
     corpus (the deterministic three-level IVF assignment, so the whole
     pipeline is oracle-checkable; k-means centroids in production), then
     inside each cluster drop every vector with a lower-id neighbor at
     cosine >= ``threshold``. Returns the KEPT (id, cell_id).
 
-    ``num_cells=None`` (the default) derives C = max(8, n // 250)
-    from an eager corpus count, so cells hold ~250 vectors at any
-    scale (the r6-measured sweet spot) and within-cell pairwise work
-    stays linear in n - a FIXED cell count is the measured 32x-for-10x
-    quadratic wall (SCALING.md), so the default must never be one.
+    ``num_cells=None`` derives C = max(8, n // 250): cells hold ~250
+    vectors at any scale, keeping within-cell pairwise work linear in n
+    (a FIXED C is the measured 32x-for-10x quadratic wall, SCALING.md).
+    ``max_cell`` (default 1000 = 4x the design cell) additionally ring-
+    splits intrinsically dense cells (``split_hot_cells``) - the
+    r8-measured 104x-mean hot cell that k-means could not rebalance.
 
-    Scale: pairwise work only inside a cell - sum(cell^2), never n^2.
-    The pairwise stage is ``applyInPandas`` over cell groups: ONE
-    shuffle on cell_id (the r7 self-join shuffled both sides and paid
-    an interpreted fold per pair - ~50x slower per dot than the BLAS
-    gram matrix per cell, SCALING.md), row-blocked so a skewed cell's
-    score matrix stays bounded in memory; float64 BLAS vs the oracle's
-    fold can flip a pair only on a ~1e-15 threshold tie. The dropped
-    ids are few, so the survivors anti-join broadcasts under AQE. The
-    (id, cell, vector) assignment is EAGERLY materialized before its
-    two uses (as lazy lineage it re-executed per use); at 100 TB it is
-    the assignment table the IVF scale path writes partitioned by
-    cell_id anyway. Without ``checkpoint_dir`` the materialization is
-    ``localCheckpoint`` (executor-pinned, fine locally); on a cluster
-    pass an HDFS/S3 dir, same policy as ``connected_components``.
-
-    Threshold is corpus-calibrated: random vectors top out ~0.49
-    within-cell, so 0.40 prunes the most-similar tail; real embedded
-    text uses ~0.95+.
+    Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
+    the pairwise stage is ``applyInPandas`` over cell groups (ONE
+    cell_id shuffle), row-blocked lower-triangle BLAS gram per cell
+    (~50x faster per dot than the r7 fold self-join, SCALING.md);
+    survivors anti-join broadcasts under AQE. The (id, cell, vector)
+    assignment is EAGERLY materialized before its two uses - the
+    assignment table the IVF path writes partitioned by cell_id at
+    100 TB. Without ``checkpoint_dir`` materialization is
+    ``localCheckpoint``; on a cluster pass an HDFS/S3 dir. Threshold
+    is corpus-calibrated: random vectors top out ~0.49 within-cell,
+    so 0.40 prunes the most-similar tail; embedded text uses ~0.95+.
     """
     import numpy as np
 
     from .similarity import ivf_assign
 
     assign = ivf_assign(
-        embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True
+        embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True,
+        max_cell=max_cell,
     )
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)
@@ -625,8 +607,7 @@ def semantic_dedup(
     def drop_in_cell(pdf):
         pdf = pdf.sort_values(id_col, ignore_index=True)
         V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-        # greatest(norm, eps) policy: a zero vector scores cos 0 (kept),
-        # never NaN - matching the guarded oracle, not IEEE NaN-compares
+        # greatest(norm, eps): zero vectors score cos 0 (kept), not NaN
         Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
         dropped = np.zeros(len(pdf), dtype=bool)
         for lo in range(0, len(pdf), 1024):  # row blocks bound the gram matrix

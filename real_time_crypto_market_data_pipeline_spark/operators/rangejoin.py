@@ -76,11 +76,7 @@ def interval_join_binned(
     # in non-ANSI sessions): reject anything but a positive int.
     # Integral (not bare int): np.int64 from a pandas/COUNT result is a
     # valid width; bool is not (True renders as `div True` -> SQL error).
-    if (
-        not isinstance(bin_width, numbers.Integral)
-        or isinstance(bin_width, bool)
-        or bin_width <= 0
-    ):
+    if not isinstance(bin_width, numbers.Integral) or isinstance(bin_width, bool) or bin_width <= 0:
         raise ValueError(f"bin_width must be a positive int, got {bin_width!r}")
     bin_width = int(bin_width)
 

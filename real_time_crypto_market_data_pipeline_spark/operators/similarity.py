@@ -1,25 +1,20 @@
 """Vector similarity search operators (SURVEY 2.7 X3).
 
-Brute-force cosine top-k as the exact baseline, and an IVF-style
-(inverted-file) two-stage search as the scale path. Dot products are
-built from ``zip_with`` + ``aggregate`` higher-order functions - a
-sequential JVM-side fold with deterministic summation order, which is
-what makes the DuckDB oracle match bit-for-bit before rounding.
+Brute-force cosine top-k as the exact baseline, an IVF-style two-stage
+search as the scale path. Dot products use ``zip_with`` + ``aggregate``
+folds (deterministic summation order = bit-for-bit DuckDB oracle match).
 
-Scale notes (100 TB of embeddings):
-- brute force: broadcast the handful of query vectors; the scan side
-  never shuffles and top-k is TakeOrderedAndProject, not a global sort.
-- IVF: assignment is a three-level coarse quantizer (``assign_cells``,
-  ~3n*cbrt(C) cosines, zero corpus shuffle); the probe only scans
-  matching cells. Cell id becomes the partition key on disk so
-  partition pruning skips everything else.
-- at 64 dims the built-in fold is fine; for 1k+ dims switch to the
-  Arrow/numpy matmul path (``cosine_topk_arrow``) - same plan shape.
+Scale notes (100 TB): brute force broadcasts the query vectors - the
+scan never shuffles and top-k is TakeOrderedAndProject; IVF assignment
+is the three-level quantizer (``assign_cells``, ~3n*cbrt(C) cosines,
+zero corpus shuffle) with cell_id as the disk partition key, so probes
+partition-prune; past a few hundred dims switch the scoring to the
+Arrow/numpy matmul path (``cosine_topk_arrow``) - same plan shape.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,10 +54,9 @@ def _broadcast_query_topk(
     extra=(), pred=None,
 ) -> DataFrame:
     """Score ``corpus`` against a broadcast one-row query (``_qvec``,
-    ``_qn``), keep the exact top-k: BroadcastNestedLoopJoin (scan stays
-    shuffle-free) + TakeOrderedAndProject (no global sort). Same
-    arithmetic as ``cosine_sim``, query norm precomputed (folds run
-    interpreted - each one dropped is ~1/3 of the scoring cost)."""
+    ``_qn``), keep the exact top-k: BroadcastNestedLoopJoin (scan
+    stays shuffle-free) + TakeOrderedAndProject (no global sort);
+    query norm precomputed (interpreted folds, ~1/3 of the cost)."""
     cos = dot(F.col(vec_col), F.col("_qvec")) / (
         l2_norm(F.col(vec_col)) * F.col("_qn")
     )
@@ -123,16 +117,13 @@ def _routing_tree(C, Cn, sizes):
     for j, size in enumerate(sizes[1:]):
         parents = route(C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
-        # every level-j id is a legal descent target for CORPUS vectors,
-        # so each must have captured children (normally itself: cos(c,c)
-        # is maximal). Near-duplicate centroids can break that via float
-        # asymmetry - fail at build time, not KeyError mid-task.
+        # every level-j id is a legal descent target for CORPUS vectors
+        # and must have children (normally itself; near-dup centroids +
+        # float asymmetry can break that) - fail at build, not mid-task
         missing = [p for p in range(sizes[j]) if p not in kids[-1]]
         if missing:
-            raise ValueError(
-                f"degenerate centroid geometry: level-{j} centroid(s) "
-                f"{missing[:5]} captured no children; dedupe or jitter cents"
-            )
+            raise ValueError(f"degenerate centroid geometry: level-{j} "
+                             f"{missing[:5]} captured no children")
     return route
 
 
@@ -147,34 +138,28 @@ def assign_cells(
     """Three-level coarse-quantized nearest-centroid assignment,
     scored by Arrow-batched BLAS.
 
-    ``cents``: small (cell_id, cvec) relation, cell_ids 0..C-1. The
-    FAISS-style hierarchical quantizer removes the n x C assignment
-    term SCALING.md measured as the IVF/SemDeDup scale wall: the
-    lowest cell_ids double as routing levels of size g1 = ceil(cbrt C)
-    and g2 = min(C, g1^2); each corpus vector descends top -> winner's
-    mids -> winner's cells (~3n*cbrt(C) cosines, not n*C), every
-    centroid a child of itself at each level (cos(c,c) = 1 is
-    maximal), ties -> lowest cell_id at every hop. Scoring is one BLAS
-    matmul per Arrow batch per hop inside ``mapInPandas`` - r8
-    replaced the expression-fold hops after measuring them ~50x slower
-    per dot (SCALING.md); the fold form survives in
-    tests/_reference_impls.py with an equality test, and float64 BLAS
-    vs the fold can disagree only on a ~1e-15 cosine tie.
+    ``cents``: small (cell_id, cvec) relation, cell_ids 0..C-1, whose
+    lowest ids double as FAISS-style routing levels of size
+    g1 = ceil(cbrt C) and g2 = min(C, g1^2): each corpus vector
+    descends top -> winner's mids -> winner's cells (~3n*cbrt(C)
+    cosines, not the n x C wall SCALING.md measured), ties -> lowest
+    cell_id at every hop; one BLAS matmul per Arrow batch per hop
+    (the r8-retired expression-fold form survives in
+    tests/_reference_impls.py with an equality test; float64 BLAS vs
+    fold can disagree only on a ~1e-15 cosine tie).
 
     Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle,
     no join, no broadcast exchange; the index-scale centroid relation
-    (C = n/250 rows) is collected once driver-side like
-    ``ivf_kmeans_index``'s clusterCenters and ships in the task
-    closure. Cell id remains the disk partition key.
+    (C = n/250 rows) is collected once driver-side and ships in the
+    task closure. Cell id remains the disk partition key.
     """
     import numpy as np
     import pandas as pd
 
     rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
     ids = np.array([r.cell_id for r in rows], dtype=np.int64)
-    # the routing levels are ID PREFIXES (and the oracle selects them by
-    # id value), so sparse/offset cell_ids must fail fast, not silently
-    # route differently from the oracle.
+    # routing levels are ID PREFIXES selected by value in the oracle:
+    # sparse/offset cell_ids must fail fast, not silently diverge
     if len(ids) != num_cells or not (ids == np.arange(num_cells)).all():
         raise ValueError("cents.cell_id must be exactly 0..num_cells-1")
     C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
@@ -200,32 +185,101 @@ def assign_cells(
     )
 
 
+def split_hot_cells(
+    assigned: DataFrame, num_cells: int, max_cell: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantile ring split: cap cell sizes after quantizer assignment.
+
+    Each cell over ``max_cell`` is cut into k = ceil(size/max_cell)
+    RINGS by rank of cosine-to-centroid (ties -> lower id): exact
+    integer tiling, cap guaranteed in ONE pass, near-dup pairs stay
+    co-ringed unless they straddle a ring boundary; new cell_id =
+    ``num_cells`` + cumulative-block(cell) + ring, collision-free;
+    cold cells untouched. Chosen over nearest-of-k-members splitting,
+    which re-concentrates on the member nearest the blob center
+    (measured 140/179, SCALING.md r9). One small count agg finds hot
+    cells (driver holds hot_cells rows + centroid vectors - index
+    scale); ranking + tiling is ``applyInPandas`` over hot-cell groups
+    only - ONE shuffle of the hot mass. The DuckDB oracle
+    (``_split_cte``) replays blocks + tile exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vec_ddl = assigned.schema[vec_col].dataType.simpleString()
+    e = assigned.localCheckpoint()
+    sizes = e.groupBy("cell_id").count().where(F.col("count") > max_cell).collect()
+    if not sizes:
+        return e
+    start, plan = num_cells, {}
+    for c, cnt in sorted((r[0], r[1]) for r in sizes):
+        plan[c] = (start, cnt, -(-cnt // max_cell))  # ceil(cnt/max_cell) rings
+        start += plan[c][2]
+    cvecs = {
+        r[0]: np.asarray(r[1], np.float64)
+        for r in e.where(F.col(id_col).isin(list(plan))).select(id_col, vec_col).collect()
+    }
+
+    def ring(pdf):
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        blk, cnt, k = plan[int(pdf["cell_id"].iloc[0])]
+        cv = cvecs[int(pdf["cell_id"].iloc[0])]
+        V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, np.float64)))
+        Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+        cos = (V @ cv) / (Vn * max(np.linalg.norm(cv), 1e-12))
+        rank = np.empty(len(pdf), np.int64)
+        rank[np.lexsort((pdf[id_col].to_numpy(), -cos))] = np.arange(len(pdf))
+        # NTILE-style exact tiling, integer math = the oracle's SQL CASE
+        q, rm = cnt // k, cnt % k
+        tile = np.where(rank < rm * (q + 1), rank // (q + 1), rm + (rank - rm * (q + 1)) // max(q, 1))
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cell_id": (blk + tile).astype("int32"),
+            vec_col: pdf[vec_col],
+        })
+
+    hot_df = F.broadcast(
+        e.sparkSession.createDataFrame([(int(c),) for c in plan], "cell_id INT")
+    )
+    return (
+        e.join(hot_df, "cell_id", "left_anti")
+        .select(id_col, "cell_id", vec_col)
+        .unionByName(
+            e.join(hot_df, "cell_id", "left_semi")
+            .groupBy("cell_id")
+            .applyInPandas(ring, f"{id_col} LONG, cell_id INT, {vec_col} {vec_ddl}")
+        )
+    )
+
+
 def ivf_assign(
-    embeddings: DataFrame,
-    num_cells: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    keep_vec: bool = False,
-    corpus_count: int | None = None,
+    embeddings: DataFrame, num_cells: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", keep_vec: bool = False,
+    corpus_count: int | None = None, max_cell: int | None = None,
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
     Deterministic 'training': centroids are the ``num_cells``
-    smallest-id vectors (fixed, reproducible; real pipelines run
+    smallest-id vectors (reproducible; real pipelines run
     ``ivf_kmeans_index``). ``num_cells=None`` derives C as
-    max(8, n // 250): cells stay ~250 rows at any scale (the
-    r6-measured sweet spot), keeping SemDeDup's within-cell pairwise
-    work linear vs the 32x-for-10x fixed-C wall (SCALING.md). n comes
-    from ``corpus_count`` when given; otherwise ONE eager ``count()``
-    scan runs here - at 100 TB pass the count or reuse a written
-    assignment table. Assignment is ``assign_cells``.
+    max(8, n // 250) - cells stay ~250 rows at any scale vs the
+    32x-for-10x fixed-C wall (SCALING.md); n comes from
+    ``corpus_count`` when given, else ONE eager ``count()`` runs here.
+    ``max_cell`` ring-splits oversized cells (``split_hot_cells``).
     """
     if num_cells is None:
         num_cells = max(8, (corpus_count or embeddings.count()) // 250)
     cents = embeddings.where(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec")
     )
-    return assign_cells(embeddings, cents, num_cells, id_col, vec_col, keep_vec)
+    out = assign_cells(
+        embeddings, cents, num_cells, id_col, vec_col, keep_vec or max_cell is not None
+    )
+    if max_cell is not None:  # r9: cap cell sizes (needs vectors to re-route)
+        out = split_hot_cells(out, num_cells, max_cell, id_col, vec_col)
+        return out if keep_vec else out.drop(vec_col)
+    return out
 
 
 def ivf_topk(
@@ -238,10 +292,9 @@ def ivf_topk(
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
-    At scale the assignment table is written partitioned by cell_id,
-    making this probe a partition-pruned scan of ~1/C of the corpus +
-    a local top-k; ``keep_vec`` means the corpus contributes ONE scan
-    (the broadcast query row re-derives via an id-pushed lookup).
+    At scale the assignment table is written partitioned by cell_id:
+    the probe is a partition-pruned scan of ~1/C of the corpus + a
+    local top-k; ``keep_vec`` keeps the corpus at ONE scan.
     """
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
@@ -267,17 +320,13 @@ def ivf_kmeans_index(
     """IVF-k-means index build: train centroids, assign every vector.
 
     Training input: the ``training_cap`` rows with smallest
-    ``xxhash64(id)`` - a deterministic pseudo-random sample, so the
-    trained centroids (and index layout) are reproducible across
-    cluster sizes and partition layouts, unlike a bare ``limit`` whose
-    LocalLimit picks whichever partitions answer first; the order-by
-    compiles to TakeOrderedAndProject and the fit only ever sees
-    ``training_cap`` rows. Unit normalization guards zero norms with
-    greatest(norm, eps). Assignment does NOT use model.transform (an
-    n x C euclidean pass): the trained centroids feed ``assign_cells``
-    - ~3n*cbrt(C) cosines, same metric (cosine) as the probe-cell
-    selection. Returns ``(model, assigned)``; ``assigned`` carries
-    (id, cell_id, vec) - written partitioned by cell_id at scale.
+    ``xxhash64(id)`` - a deterministic pseudo-random sample compiling
+    to TakeOrderedAndProject, reproducible across partition layouts
+    (a bare ``limit`` is not). Unit normalization guards zero norms
+    with greatest(norm, eps). Assignment does NOT use model.transform
+    (an n x C euclidean pass): the trained centroids feed
+    ``assign_cells``. Returns ``(model, assigned)``; ``assigned``
+    carries (id, cell_id, vec) - partitioned by cell_id at scale.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -326,21 +375,15 @@ def ivf_kmeans_topk(
 ) -> DataFrame:
     """X3: IVF with a REAL k-means training pass (MLlib), n-cell probing.
 
-    The production IVF recipe: vectors are unit-normalized (euclidean
-    k-means then clusters by cosine geometry), MLlib KMeans learns
-    ``num_cells`` centroids, and the search scans only the ``n_probe``
-    cells whose centroids are most cosine-similar to the query. At
-    ``n_probe == num_cells`` the probed cells cover the corpus, so the
-    result is EXACTLY brute force for ANY trained model - the
-    driver-oracle invariant; pytest pins partial-probe recall.
-
-    Scale notes: training sees only the ``training_cap`` sample;
-    assignment is the quantizer pass (``ivf_kmeans_index``); at 100 TB
-    the assignment table is written partitioned by cell_id so a probe
-    is a partition-pruned scan of n_probe/C of the corpus. Centroids
-    and the query vector are driver-side by design - kilobytes.
-    Zero-norm vectors are guarded on every normalization (greatest
-    row-side, ``or 1.0`` driver-side): cosine 0, not NaN.
+    Vectors unit-normalize (euclidean k-means then clusters by cosine
+    geometry), MLlib KMeans learns ``num_cells`` centroids, the search
+    scans only the ``n_probe`` most-cosine-similar cells. At
+    ``n_probe == num_cells`` the result is EXACTLY brute force for ANY
+    trained model - the driver-oracle invariant; pytest pins
+    partial-probe recall. At 100 TB the assignment table is written
+    partitioned by cell_id, so a probe scans n_probe/C of the corpus.
+    Centroids + query vector are driver-side by design - kilobytes;
+    zero norms guarded on every normalization (cosine 0, not NaN).
     """
     model, assigned = ivf_kmeans_index(
         embeddings, num_cells, seed, id_col, vec_col, training_cap
@@ -362,10 +405,9 @@ def cosine_topk_arrow(
 ) -> DataFrame:
     """X3 high-dim path: brute-force cosine via Arrow-batched numpy.
 
-    Above a few hundred dims the per-element expression fold loses to
-    one BLAS matmul per Arrow batch (``stack @ q`` inside mapInPandas);
-    the TakeOrdered top-k plan shape is unchanged, and the query
-    vector travels in the closure (broadcast-equivalent for one row).
+    Above a few hundred dims the expression fold loses to one BLAS
+    matmul per Arrow batch; the TakeOrdered top-k plan shape is
+    unchanged and the query vector travels in the closure.
     """
     import numpy as np
     import pandas as pd
@@ -397,12 +439,11 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """X3 alternative scale path: random-hyperplane LSH for vectors.
 
-    bucket = sign-bit signature of dot products against ``num_bits``
-    deterministic pseudo-random hyperplanes (coefficients from
-    md5(bit, dim) - reproducible everywhere, no RNG state to ship).
-    Cosine-similar vectors agree on most sign bits, so equal buckets
-    are ANN candidates. Pure projection - no shuffle; at scale the
-    bucket is the storage partition key, and no training pass at all.
+    bucket = sign-bit signature against ``num_bits`` deterministic
+    pseudo-random hyperplanes (md5(bit, dim) coefficients - no RNG
+    state to ship); cosine-similar vectors share buckets. Pure
+    projection, no shuffle, no training; at scale the bucket is the
+    storage partition key.
     """
     import hashlib
 
@@ -434,17 +475,12 @@ def scalar_quantize_int8(
 ) -> DataFrame:
     """X3: per-vector symmetric int8 scalar quantization + error audit.
 
-    The storage-compression step an embedding index runs before
-    building IVF/HNSW at scale: int8 codes ``floor(x*127/amax + 0.5)``
-    with ``amax = max(|x|)`` (the FAISS ``SQ8`` layout - 4x smaller
-    than fp32, one float of scale per vector). Emits per vector:
-    ``dims``, ``amax``, ``code_sum`` (exact BIGINT checksum the oracle
-    reproduces bit-for-bit) and ``mse`` (reconstruction error).
-
-    Rounding is floor(x + 0.5), not round(): both engines lower it to
-    the same IEEE floor, sidestepping round-half-to-even divergence.
-    Pure per-row HOFs - no shuffle, no Python; at 100 TB this maps
-    over the corpus scan, codes written next to the scale.
+    int8 codes ``floor(x*127/amax + 0.5)`` with ``amax = max(|x|)``
+    (the FAISS ``SQ8`` layout); emits ``dims``, ``amax``, ``code_sum``
+    (exact BIGINT checksum the oracle reproduces bit-for-bit), ``mse``.
+    floor(x + 0.5), not round(): both engines lower to the same IEEE
+    floor, sidestepping round-half-to-even divergence. Pure per-row
+    HOFs - no shuffle, no Python; at 100 TB this maps over the scan.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))

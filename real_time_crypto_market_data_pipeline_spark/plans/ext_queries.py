@@ -58,21 +58,17 @@ _MINHASH = f"""
       FROM band
     )
 """
-_COS = (
+_DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
-    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
-    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
-
-# guarded twin of _COS for CTEs mirroring the numpy kernels, which pin
-# zero-norm vectors to cosine 0 via np.maximum(norm, 1e-12) - the fold-
-# backed queries keep raw _COS (both engines yield NaN there).
+_NRM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_COS = f"{_DOT} / ({_NRM.format(v='{a}')} * {_NRM.format(v='{b}')})"
+# guarded twin for CTEs mirroring numpy kernels (zero norms pin to
+# cosine 0); fold-backed queries keep raw _COS (NaN both engines).
 _COSG = (
-    "list_sum(list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
-    "/ (GREATEST(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) "
-    "* GREATEST(sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12))"
+    f"{_DOT} / (GREATEST({_NRM.format(v='{a}')}, 1e-12) "
+    f"* GREATEST({_NRM.format(v='{b}')}, 1e-12))"
 )
 
 
@@ -492,13 +488,10 @@ def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_best(prm: str) -> str:
     """Three-level IVF assignment as DuckDB CTEs, mirroring
     operators/similarity.assign_cells: ``prm`` yields one row with
-    c = num_cells; g1 = exact ceil(cbrt(c)) (float pow corrected by
-    +-1, matching ``_cbrt_ceil``), g2 = least(c, g1^2). ``best`` maps
-    every vector to (vec_id, embedding, cell_id) by descending
-    top -> mids of the winner -> cells of the winner (ties -> lowest
-    id at every hop); centroids route down the same hops when the
-    parent maps are built, and a degenerate level (g2 = c) reduces
-    to the identity hop (Spark side: level dedup)."""
+    c = num_cells, g1 = exact ceil(cbrt(c)) (float pow corrected +-1,
+    matching ``_cbrt_ceil``), g2 = least(c, g1^2); ``best`` descends
+    top -> winner's mids -> winner's cells, ties -> lowest id at every
+    hop, centroids routed down the same hops when parent maps build."""
     rn = "row_number() OVER (PARTITION BY {p} ORDER BY {s} DESC, {t}) AS rn"
 
     def hop(name: str, aid: str, avec: str, bid: str, bvec: str, frm: str) -> str:
@@ -537,6 +530,37 @@ def _ivf_best(prm: str) -> str:
 _DERIVED_CELLS = "SELECT GREATEST(8, COUNT(*) // 250) AS c FROM embeddings"
 
 
+def _split_cte(cap: int) -> tuple[str, str]:
+    """Quantile ring split mirroring ``similarity.split_hot_cells``:
+    cells over ``cap`` cut into k = ceil(size/cap) rings by rank of
+    cosine-to-centroid (ties -> lower id); new cell_id = prm.c +
+    cumulative-block(cell) + NTILE-style integer tile. CTEs are
+    MATERIALIZED (DuckDB's default inlining re-expands ``best``'s
+    parquet scans multiplicatively). Returns (text, final name)."""
+    tile = (
+        "CASE WHEN rn < (cnt % k) * (cnt // k + 1) THEN rn // (cnt // k + 1) "
+        "ELSE (cnt % k) + (rn - (cnt % k) * (cnt // k + 1)) // GREATEST(cnt // k, 1) END"
+    )
+    return f""",
+    a0 AS MATERIALIZED (SELECT * FROM best),
+    hot AS MATERIALIZED (SELECT cell_id, COUNT(*) AS cnt,
+        CAST(CEIL(COUNT(*) / CAST({cap} AS DOUBLE)) AS BIGINT) AS k
+        FROM a0 GROUP BY cell_id HAVING COUNT(*) > {cap}),
+    blk AS MATERIALIZED (SELECT cell_id, cnt, k,
+        (SELECT c FROM prm) + SUM(k) OVER (ORDER BY cell_id) - k AS blk0 FROM hot),
+    ringed AS MATERIALIZED (
+        SELECT vec_id, embedding, blk0 + {tile} AS cell_id FROM (
+        SELECT a.vec_id, a.embedding, b.blk0, b.cnt, b.k,
+               ROW_NUMBER() OVER (PARTITION BY a.cell_id
+                   ORDER BY {_COSG.format(a='a.embedding', b='cv.embedding')} DESC,
+                            a.vec_id) - 1 AS rn
+        FROM a0 a JOIN blk b ON a.cell_id = b.cell_id
+        JOIN embeddings cv ON cv.vec_id = b.cell_id) t),
+    fin AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cell_id FROM a0 a
+        WHERE a.cell_id NOT IN (SELECT cell_id FROM hot)
+        UNION ALL SELECT vec_id, embedding, cell_id FROM ringed)""", "fin"
+
+
 @query(
     "q_ann_ivf",
     oracle=_ivf_best("SELECT 8 AS c")
@@ -566,13 +590,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: k-means-trained IVF at full probe width.
 
-    The MLlib training pass is not SQL-expressible, but at
-    n_probe == num_cells the probed cells cover the whole corpus, so
+    MLlib training is not SQL-expressible, but at n_probe == num_cells
     the result equals exact brute-force top-k FOR ANY trained model -
-    the oracle checks that invariant (and with it the whole
-    normalize -> train -> assign -> probe -> score plumbing), while
-    tests/test_similarity.py pins partial-probe recall, which is the
-    part training quality actually affects.
+    the oracle checks that invariant (and the whole normalize -> train
+    -> assign -> probe -> score plumbing); pytest pins partial-probe
+    recall, the part training quality actually affects.
     """
     return S.ivf_kmeans_topk(
         load(spark, sf_dir, "embeddings"),
@@ -1064,12 +1086,11 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 final stage: connected components over LSH candidate pairs.
 
-    Iterative min-label propagation with per-round localCheckpoint
-    (also verified against a union-find reference in pytest); the
-    canonical representative of every near-dup cluster. The DuckDB
-    oracle computes the same components by recursive-CTE transitive
-    closure - fine at oracle scale, quadratic in cluster size, which
-    is exactly why the distributed form is label propagation instead.
+    Iterative min-label propagation, per-round localCheckpoint (also
+    verified against a union-find reference in pytest). The DuckDB
+    oracle recomputes components by recursive-CTE transitive closure -
+    quadratic in cluster size, which is exactly why the distributed
+    form is label propagation instead.
     """
     pairs = D.lsh_candidate_pairs(D.lsh_bucket_table(load(spark, sf_dir, "documents")))
     return D.connected_components(pairs)
@@ -1350,18 +1371,22 @@ def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- X2/X3 (SemDeDup)
+_SD_SPLIT, _SD_FINAL = _split_cte(cap=64)
+
+
 @query(
     "q_semdedup",
     oracle=_ivf_best(_DERIVED_CELLS)
+    + _SD_SPLIT
     + f""",
     dropped AS (
       SELECT DISTINCT b.vec_id
-      FROM best a JOIN best b
+      FROM {_SD_FINAL} a JOIN {_SD_FINAL} b
         ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
       WHERE {_COSG.format(a='a.embedding', b='b.embedding')} >= 0.40
     )
     SELECT k.vec_id, CAST(k.cell_id AS INTEGER) AS cell_id
-    FROM best k
+    FROM {_SD_FINAL} k
     WHERE k.vec_id NOT IN (SELECT vec_id FROM dropped)
     """,
 )
@@ -1369,14 +1394,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3: SemDeDup - IVF-cluster the embeddings, keep one
     representative (min id) per within-cell epsilon-ball.
 
-    Pairwise cosine only inside a cell (sum(cell^2), never n^2); the
-    deterministic three-level assignment keeps the whole
-    cluster->pair->policy pipeline value-checkable against SQL, and
+    Pairwise cosine only inside a cell (sum(cell^2), never n^2);
     num_cells is corpus-derived (the oracle's prm CTE replays the
-    derivation) so the DEFAULT scales linearly, never the measured
-    fixed-C quadratic wall. Threshold 0.40 fits this random corpus.
+    derivation) so the DEFAULT scales linearly. Threshold 0.40 fits
+    this random corpus. ``max_cell=64`` exercises the r9 quantile
+    ring split at driver scale (sf0.01's biggest cells run ~70 rows);
+    production default is 1000 = 4x the design cell (SCALING.md).
     """
-    return D.semantic_dedup(load(spark, sf_dir, "embeddings"))
+    return D.semantic_dedup(load(spark, sf_dir, "embeddings"), max_cell=64)
 
 
 # ---------------------------------------------------------------- X1 (ingest form)

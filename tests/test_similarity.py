@@ -281,3 +281,45 @@ def test_zero_norm_vectors_route_and_survive_semdedup(spark):
     assert len(assigned) == 40 and assigned[17] in {0, 1, 2, 3}
     kept = {r.vec_id for r in D.semantic_dedup(e, num_cells=4, threshold=0.9).collect()}
     assert 17 in kept
+
+
+def test_split_hot_cells_caps_sizes_and_preserves_cold_cells(spark):
+    """r9 hot-cell split: a deliberately skewed corpus (most vectors
+    near one centroid) gets its hot cell recursively split under the
+    cap, cold cells keep their assignment bit-for-bit, the id space
+    stays collision-free, and a high cap is the identity."""
+    import random
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = []
+    for i in range(200):
+        if i >= 8 and i % 10 != 0:  # ~170 vectors crowd centroid 0's cell
+            v = [b + rnd.uniform(-0.05, 0.05) for b in base]
+        else:
+            v = [rnd.uniform(-1, 1) for _ in range(16)]
+    # centroid 0 sits at the crowd's center so the crowd routes to cell 0
+        rows.append((i, base if i == 0 else v, 0))
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+    plain = {r.vec_id: r.cell_id for r in S.ivf_assign(e, num_cells=8).collect()}
+    sizes = {}
+    for c in plain.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert max(sizes.values()) > 64  # the skew is real
+
+    capped = {r.vec_id: r.cell_id for r in S.ivf_assign(e, num_cells=8, max_cell=24).collect()}
+    assert set(capped) == set(plain)  # every vector assigned exactly once
+    cap_sizes = {}
+    for c in capped.values():
+        cap_sizes[c] = cap_sizes.get(c, 0) + 1
+    assert max(cap_sizes.values()) <= 24  # converged under the cap
+    hot = {c for c, n in sizes.items() if n > 24}
+    for v, c in plain.items():
+        if c not in hot:
+            assert capped[v] == c  # cold cells untouched
+        else:
+            assert capped[v] >= 8  # split ids live above the 0..C-1 range
+
+    ident = {r.vec_id: r.cell_id for r in S.ivf_assign(e, num_cells=8, max_cell=500).collect()}
+    assert ident == plain  # high cap: no round runs, assignment unchanged
