@@ -574,30 +574,30 @@ def semantic_dedup(
     ``num_cells=None`` derives C = max(8, n // 250): cells hold ~250
     vectors at any scale, keeping within-cell pairwise work linear in n
     (a FIXED C is the measured 32x-for-10x quadratic wall, SCALING.md).
-    ``max_cell`` (default 1000 = 4x the design cell) additionally ring-
-    splits intrinsically dense cells (``split_hot_cells``) - the
-    r8-measured 104x-mean hot cell that k-means could not rebalance.
+    ``max_cell`` (default 1000 = 4x the design cell) bounds comparisons
+    inside intrinsically dense cells - the r8-measured 104x-mean hot
+    cell k-means could not rebalance - by FUSING the quantile ring
+    split (``similarity.ring_tiles``) into the pairwise kernel: the
+    group already holds every vector, so rings are computed in-task and
+    only same-ring pairs compared. Zero extra passes where the physical
+    split regressed (SCALING.md r9); output keeps the PARENT cell,
+    kept-sets are identical either way.
 
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
     the pairwise stage is ``applyInPandas`` over cell groups (ONE
     cell_id shuffle), row-blocked lower-triangle BLAS gram per cell
     (~50x faster per dot than the r7 fold self-join, SCALING.md);
     survivors anti-join broadcasts under AQE. The (id, cell, vector)
-    assignment is EAGERLY materialized before its two uses - the
-    assignment table the IVF path writes partitioned by cell_id at
-    100 TB. Without ``checkpoint_dir`` materialization is
-    ``localCheckpoint``; on a cluster pass an HDFS/S3 dir. Threshold
-    is corpus-calibrated: random vectors top out ~0.49 within-cell,
-    so 0.40 prunes the most-similar tail; embedded text uses ~0.95+.
+    assignment is EAGERLY materialized before its two uses
+    (``localCheckpoint``; pass an HDFS/S3 ``checkpoint_dir`` on a
+    cluster). Threshold is corpus-calibrated: random vectors top out
+    ~0.49 within-cell so 0.40 prunes the tail; embedded text ~0.95+.
     """
     import numpy as np
 
-    from .similarity import ivf_assign
+    from .similarity import ivf_assign, ring_tiles
 
-    assign = ivf_assign(
-        embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True,
-        max_cell=max_cell,
-    )
+    assign = ivf_assign(embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True)
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)
         e = assign.checkpoint()
@@ -609,14 +609,21 @@ def semantic_dedup(
         V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
         # greatest(norm, eps): zero vectors score cos 0 (kept), not NaN
         Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-        dropped = np.zeros(len(pdf), dtype=bool)
-        for lo in range(0, len(pdf), 1024):  # row blocks bound the gram matrix
-            hi = min(lo + 1024, len(pdf))
-            # rows lo..hi only compare against columns < hi: the lower-
-            # triangle restriction halves matmul + traffic on hot cells
-            S = (V[lo:hi] @ V[:hi].T) / np.outer(Vn[lo:hi], Vn[:hi])
-            tri = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
-            dropped[lo:hi] = ((S >= threshold) & tri).any(axis=1)
+        n = len(pdf)
+        if max_cell is not None and n > max_cell:  # fused ring split
+            tile = ring_tiles(pdf[id_col].to_numpy(), V, Vn, -(-n // max_cell))
+            groups = [np.flatnonzero(tile == t) for t in range(tile.max() + 1)]
+        else:
+            groups = [np.arange(n)]
+        dropped = np.zeros(n, dtype=bool)
+        for idx in groups:
+            W, Wn = V[idx], Vn[idx]
+            for lo in range(0, len(idx), 1024):  # row blocks bound the gram
+                hi = min(lo + 1024, len(idx))
+                # lower-triangle: rows lo..hi compare against columns < hi only
+                S = (W[lo:hi] @ W[:hi].T) / np.outer(Wn[lo:hi], Wn[:hi])
+                tri = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+                dropped[idx[lo:hi]] = ((S >= threshold) & tri).any(axis=1)
         return pdf.loc[dropped, [id_col]]
 
     dropped = e.groupBy("cell_id").applyInPandas(drop_in_cell, schema=f"{id_col} long")

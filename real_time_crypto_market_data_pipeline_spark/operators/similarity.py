@@ -42,8 +42,7 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 
 def _query_row(embeddings: DataFrame, query_vec_id: int, id_col: str, vec_col: str):
-    """One-row (_qvec, _qn) query side: the query norm is computed once
-    here instead of once per scanned corpus row."""
+    """One-row (_qvec, _qn) query side: query norm computed once."""
     return embeddings.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
     )
@@ -83,8 +82,7 @@ def cosine_topk(
 
 
 def _cbrt_ceil(c: int) -> int:
-    """Exact ceil(cbrt(c)) - float pow alone misrounds perfect cubes
-    (pow(27, 1/3) = 3.0000000000000004), so correct by +-1."""
+    """Exact ceil(cbrt(c)): float pow misrounds perfect cubes, correct by +-1."""
     g = max(1, round(c ** (1 / 3)))
     while g * g * g < c:
         g += 1
@@ -94,10 +92,9 @@ def _cbrt_ceil(c: int) -> int:
 
 
 def _routing_tree(C, Cn, sizes):
-    """Per-level children maps for the hierarchical descent: level
-    sizes are nested id prefixes, so kids[j][p] = members of level j+1
-    whose level-j route lands on parent p (ascending ids - np.argmax's
-    first-max IS the oracle's cosine DESC, id ASC tie rule)."""
+    """Per-level children maps for the hierarchical descent: kids[j][p]
+    = members of level j+1 whose level-j route lands on parent p
+    (ascending ids - np.argmax's first-max IS the oracle's tie rule)."""
     import numpy as np
 
     kids: list[dict] = []
@@ -117,9 +114,8 @@ def _routing_tree(C, Cn, sizes):
     for j, size in enumerate(sizes[1:]):
         parents = route(C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
-        # every level-j id is a legal descent target for CORPUS vectors
-        # and must have children (normally itself; near-dup centroids +
-        # float asymmetry can break that) - fail at build, not mid-task
+        # every level-j id must have children (normally itself; near-dup
+        # centroids can break that) - fail at build, not mid-task
         missing = [p for p in range(sizes[j]) if p not in kids[-1]]
         if missing:
             raise ValueError(f"degenerate centroid geometry: level-{j} "
@@ -143,10 +139,8 @@ def assign_cells(
     g1 = ceil(cbrt C) and g2 = min(C, g1^2): each corpus vector
     descends top -> winner's mids -> winner's cells (~3n*cbrt(C)
     cosines, not the n x C wall SCALING.md measured), ties -> lowest
-    cell_id at every hop; one BLAS matmul per Arrow batch per hop
-    (the r8-retired expression-fold form survives in
-    tests/_reference_impls.py with an equality test; float64 BLAS vs
-    fold can disagree only on a ~1e-15 cosine tie).
+    cell_id at every hop; one BLAS matmul per Arrow batch per hop (the
+    r8-retired expression-fold twin lives in tests/_reference_impls).
 
     Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle,
     no join, no broadcast exchange; the index-scale centroid relation
@@ -185,6 +179,22 @@ def assign_cells(
     )
 
 
+def ring_tiles(ids, V, Vn, k: int):
+    """Tile one id-sorted cell group into ``k`` cosine rings: rank by
+    cosine to the MIN-ID member (row 0 - the centroid's own row in the
+    deterministic path, well-defined under trained centroids too),
+    ties -> lower id, then NTILE-style exact integer tiling matching
+    the oracle's SQL CASE. Shared by split + fused-dedup paths."""
+    import numpy as np
+
+    cos = (V @ V[0]) / (Vn * Vn[0])
+    rank = np.empty(len(ids), np.int64)
+    rank[np.lexsort((ids, -cos))] = np.arange(len(ids))
+    q, rm = len(ids) // k, len(ids) % k
+    return np.where(rank < rm * (q + 1), rank // (q + 1),
+                    rm + (rank - rm * (q + 1)) // max(q, 1))
+
+
 def split_hot_cells(
     assigned: DataFrame, num_cells: int, max_cell: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -192,17 +202,14 @@ def split_hot_cells(
     """Quantile ring split: cap cell sizes after quantizer assignment.
 
     Each cell over ``max_cell`` is cut into k = ceil(size/max_cell)
-    RINGS by rank of cosine-to-centroid (ties -> lower id): exact
-    integer tiling, cap guaranteed in ONE pass, near-dup pairs stay
-    co-ringed unless they straddle a ring boundary; new cell_id =
+    RINGS (``ring_tiles``): cap guaranteed in ONE pass, near-dup pairs
+    co-ringed unless they straddle a boundary; new cell_id =
     ``num_cells`` + cumulative-block(cell) + ring, collision-free;
-    cold cells untouched. Chosen over nearest-of-k-members splitting,
-    which re-concentrates on the member nearest the blob center
-    (measured 140/179, SCALING.md r9). One small count agg finds hot
-    cells (driver holds hot_cells rows + centroid vectors - index
-    scale); ranking + tiling is ``applyInPandas`` over hot-cell groups
-    only - ONE shuffle of the hot mass. The DuckDB oracle
-    (``_split_cte``) replays blocks + tile exactly.
+    cold cells untouched (nearest-of-k-members splitting
+    re-concentrates instead: 140/179, SCALING.md r9). One small count
+    agg finds hot cells; ranking + tiling is ``applyInPandas`` over
+    hot-cell groups only - ONE shuffle of the hot mass; the DuckDB
+    oracle (``_split_cte``) replays it exactly.
     """
     import numpy as np
     import pandas as pd
@@ -216,41 +223,23 @@ def split_hot_cells(
     for c, cnt in sorted((r[0], r[1]) for r in sizes):
         plan[c] = (start, cnt, -(-cnt // max_cell))  # ceil(cnt/max_cell) rings
         start += plan[c][2]
-    cvecs = {
-        r[0]: np.asarray(r[1], np.float64)
-        for r in e.where(F.col(id_col).isin(list(plan))).select(id_col, vec_col).collect()
-    }
 
     def ring(pdf):
         pdf = pdf.sort_values(id_col, ignore_index=True)
         blk, cnt, k = plan[int(pdf["cell_id"].iloc[0])]
-        cv = cvecs[int(pdf["cell_id"].iloc[0])]
         V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, np.float64)))
         Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-        cos = (V @ cv) / (Vn * max(np.linalg.norm(cv), 1e-12))
-        rank = np.empty(len(pdf), np.int64)
-        rank[np.lexsort((pdf[id_col].to_numpy(), -cos))] = np.arange(len(pdf))
-        # NTILE-style exact tiling, integer math = the oracle's SQL CASE
-        q, rm = cnt // k, cnt % k
-        tile = np.where(rank < rm * (q + 1), rank // (q + 1), rm + (rank - rm * (q + 1)) // max(q, 1))
-        return pd.DataFrame({
-            id_col: pdf[id_col],
-            "cell_id": (blk + tile).astype("int32"),
-            vec_col: pdf[vec_col],
-        })
+        tile = ring_tiles(pdf[id_col].to_numpy(), V, Vn, k)
+        return pd.DataFrame({id_col: pdf[id_col],
+                             "cell_id": (blk + tile).astype("int32"),
+                             vec_col: pdf[vec_col]})
 
-    hot_df = F.broadcast(
-        e.sparkSession.createDataFrame([(int(c),) for c in plan], "cell_id INT")
-    )
+    hot_df = F.broadcast(e.sparkSession.createDataFrame([(int(c),) for c in plan], "cell_id INT"))
     return (
-        e.join(hot_df, "cell_id", "left_anti")
-        .select(id_col, "cell_id", vec_col)
+        e.join(hot_df, "cell_id", "left_anti").select(id_col, "cell_id", vec_col)
         .unionByName(
-            e.join(hot_df, "cell_id", "left_semi")
-            .groupBy("cell_id")
-            .applyInPandas(ring, f"{id_col} LONG, cell_id INT, {vec_col} {vec_ddl}")
-        )
-    )
+            e.join(hot_df, "cell_id", "left_semi").groupBy("cell_id")
+            .applyInPandas(ring, f"{id_col} LONG, cell_id INT, {vec_col} {vec_ddl}")))
 
 
 def ivf_assign(
@@ -271,11 +260,9 @@ def ivf_assign(
     if num_cells is None:
         num_cells = max(8, (corpus_count or embeddings.count()) // 250)
     cents = embeddings.where(F.col(id_col) < num_cells).select(
-        F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec")
-    )
-    out = assign_cells(
-        embeddings, cents, num_cells, id_col, vec_col, keep_vec or max_cell is not None
-    )
+        F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec"))
+    out = assign_cells(embeddings, cents, num_cells, id_col, vec_col,
+                       keep_vec or max_cell is not None)
     if max_cell is not None:  # r9: cap cell sizes (needs vectors to re-route)
         out = split_hot_cells(out, num_cells, max_cell, id_col, vec_col)
         return out if keep_vec else out.drop(vec_col)
@@ -289,14 +276,17 @@ def ivf_topk(
     num_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
     At scale the assignment table is written partitioned by cell_id:
     the probe is a partition-pruned scan of ~1/C of the corpus + a
-    local top-k; ``keep_vec`` keeps the corpus at ONE scan.
+    local top-k; ``keep_vec`` keeps the corpus at ONE scan. With
+    ``max_cell`` the probed unit is the query's RING (the cap bounds
+    what a probe reads, at the usual recall trade).
     """
-    e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True)
+    e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True, max_cell=max_cell)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
         F.col("cell_id").alias("_qcell"),
         F.col(vec_col).alias("_qvec"),
@@ -404,11 +394,9 @@ def cosine_topk_arrow(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """X3 high-dim path: brute-force cosine via Arrow-batched numpy.
-
     Above a few hundred dims the expression fold loses to one BLAS
     matmul per Arrow batch; the TakeOrdered top-k plan shape is
-    unchanged and the query vector travels in the closure.
-    """
+    unchanged and the query vector travels in the closure."""
     import numpy as np
     import pandas as pd
 
@@ -438,13 +426,11 @@ def hyperplane_lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """X3 alternative scale path: random-hyperplane LSH for vectors.
-
     bucket = sign-bit signature against ``num_bits`` deterministic
     pseudo-random hyperplanes (md5(bit, dim) coefficients - no RNG
     state to ship); cosine-similar vectors share buckets. Pure
     projection, no shuffle, no training; at scale the bucket is the
-    storage partition key.
-    """
+    storage partition key."""
     import hashlib
 
     # driver-side hyperplanes in [-1, 1), shipped as literal arrays

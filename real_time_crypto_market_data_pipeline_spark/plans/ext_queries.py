@@ -531,12 +531,12 @@ _DERIVED_CELLS = "SELECT GREATEST(8, COUNT(*) // 250) AS c FROM embeddings"
 
 
 def _split_cte(cap: int) -> tuple[str, str]:
-    """Quantile ring split mirroring ``similarity.split_hot_cells``:
-    cells over ``cap`` cut into k = ceil(size/cap) rings by rank of
-    cosine-to-centroid (ties -> lower id); new cell_id = prm.c +
-    cumulative-block(cell) + NTILE-style integer tile. CTEs are
-    MATERIALIZED (DuckDB's default inlining re-expands ``best``'s
-    parquet scans multiplicatively). Returns (text, final name)."""
+    """Quantile ring split mirroring ``similarity.ring_tiles`` (rank
+    by cosine to the cell's min-id member, ties -> lower id). ``fin``
+    carries BOTH the parent ``cell_id`` (what the fused kernel emits)
+    and ``ring_cell`` = prm.c + cumulative-block + tile (what physical
+    ``split_hot_cells`` re-assigns; parent for cold cells). CTEs stay
+    MATERIALIZED against DuckDB's multiplicative inlining."""
     tile = (
         "CASE WHEN rn < (cnt % k) * (cnt // k + 1) THEN rn // (cnt // k + 1) "
         "ELSE (cnt % k) + (rn - (cnt % k) * (cnt // k + 1)) // GREATEST(cnt // k, 1) END"
@@ -548,34 +548,41 @@ def _split_cte(cap: int) -> tuple[str, str]:
         FROM a0 GROUP BY cell_id HAVING COUNT(*) > {cap}),
     blk AS MATERIALIZED (SELECT cell_id, cnt, k,
         (SELECT c FROM prm) + SUM(k) OVER (ORDER BY cell_id) - k AS blk0 FROM hot),
+    ax AS MATERIALIZED (SELECT a.cell_id, a.embedding AS avec FROM a0 a
+        JOIN (SELECT cell_id, MIN(vec_id) AS m FROM a0 GROUP BY cell_id) t
+          ON a.cell_id = t.cell_id AND a.vec_id = t.m),
     ringed AS MATERIALIZED (
-        SELECT vec_id, embedding, blk0 + {tile} AS cell_id FROM (
-        SELECT a.vec_id, a.embedding, b.blk0, b.cnt, b.k,
-               ROW_NUMBER() OVER (PARTITION BY a.cell_id
-                   ORDER BY {_COSG.format(a='a.embedding', b='cv.embedding')} DESC,
-                            a.vec_id) - 1 AS rn
-        FROM a0 a JOIN blk b ON a.cell_id = b.cell_id
-        JOIN embeddings cv ON cv.vec_id = b.cell_id) t),
-    fin AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cell_id FROM a0 a
-        WHERE a.cell_id NOT IN (SELECT cell_id FROM hot)
-        UNION ALL SELECT vec_id, embedding, cell_id FROM ringed)""", "fin"
+        SELECT vec_id, embedding, cell_id, blk0 + {tile} AS ring_cell FROM (
+        SELECT a.vec_id, a.embedding, a.cell_id, b.blk0, b.cnt, b.k,
+            ROW_NUMBER() OVER (PARTITION BY a.cell_id ORDER BY
+                {_COSG.format(a='a.embedding', b='x.avec')} DESC, a.vec_id) - 1 AS rn
+        FROM a0 a JOIN blk b ON a.cell_id = b.cell_id JOIN ax x ON x.cell_id = b.cell_id) t),
+    fin AS MATERIALIZED (
+        SELECT a.vec_id, a.embedding, a.cell_id, a.cell_id AS ring_cell
+        FROM a0 a WHERE a.cell_id NOT IN (SELECT cell_id FROM hot)
+        UNION ALL SELECT vec_id, embedding, cell_id, ring_cell FROM ringed)""", "fin"
+
+
+_IVF_SPLIT, _IVF_FINAL = _split_cte(cap=80)
 
 
 @query(
     "q_ann_ivf",
     oracle=_ivf_best("SELECT 8 AS c")
+    + _IVF_SPLIT
     + f""",
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT b.vec_id, CAST(b.cell_id AS INTEGER) AS cell_id,
+    SELECT b.vec_id, CAST(b.ring_cell AS INTEGER) AS cell_id,
            {_COS.format(a='b.embedding', b='q.qe')} AS cosine
-    FROM best b CROSS JOIN q
-    WHERE b.cell_id = (SELECT cell_id FROM best WHERE vec_id = 0)
+    FROM {_IVF_FINAL} b CROSS JOIN q
+    WHERE b.ring_cell = (SELECT ring_cell FROM {_IVF_FINAL} WHERE vec_id = 0)
     ORDER BY cosine DESC, b.vec_id LIMIT 5
     """,
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: IVF-style ANN - assign to nearest of 8 deterministic centroids, probe one cell."""
-    return S.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+    """X3: IVF ANN - 8 deterministic centroids, ``max_cell=80`` physical
+    ring cap (the disk-partition bound), probe the query's ring."""
+    return S.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, max_cell=80)
 
 
 @query(
@@ -1382,7 +1389,7 @@ _SD_SPLIT, _SD_FINAL = _split_cte(cap=64)
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM {_SD_FINAL} a JOIN {_SD_FINAL} b
-        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        ON a.ring_cell = b.ring_cell AND a.vec_id < b.vec_id
       WHERE {_COSG.format(a='a.embedding', b='b.embedding')} >= 0.40
     )
     SELECT k.vec_id, CAST(k.cell_id AS INTEGER) AS cell_id
@@ -1397,8 +1404,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise cosine only inside a cell (sum(cell^2), never n^2);
     num_cells is corpus-derived (the oracle's prm CTE replays the
     derivation) so the DEFAULT scales linearly. Threshold 0.40 fits
-    this random corpus. ``max_cell=64`` exercises the r9 quantile
-    ring split at driver scale (sf0.01's biggest cells run ~70 rows);
+    this random corpus. ``max_cell=64`` exercises the r9 FUSED ring
+    cap at driver scale (sf0.01's biggest cells run ~70 rows); the
     production default is 1000 = 4x the design cell (SCALING.md).
     """
     return D.semantic_dedup(load(spark, sf_dir, "embeddings"), max_cell=64)

@@ -537,6 +537,43 @@ def test_semantic_dedup_keeps_min_id_per_ball(spark):
     assert {1, 2, 3, 4, 5, 6, 7} <= kept     # orthogonal centroids untouched
 
 
+def test_semantic_dedup_fused_rings_match_physical_split(spark):
+    """The r9 fused in-kernel rings and the physical ``split_hot_cells``
+    re-assignment must induce the SAME kept-set (same ring arithmetic,
+    different execution strategy): verify against an independent numpy
+    replay of pairwise-drop over the physically ringed assignment."""
+    import random
+
+    import numpy as np
+
+    from real_time_crypto_market_data_pipeline_spark.operators import similarity as S
+
+    rnd = random.Random(23)
+    base = [rnd.uniform(-1, 1) for _ in range(12)]
+    rows = [
+        (i, [b + rnd.uniform(-0.3, 0.3) for b in base]
+            if i >= 8 and i % 7 else [rnd.uniform(-1, 1) for _ in range(12)])
+        for i in range(160)
+    ]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    fused = {r.vec_id for r in
+             D.semantic_dedup(e, num_cells=8, threshold=0.6, max_cell=16).collect()}
+
+    cells: dict = {}
+    for r in S.ivf_assign(e, 8, keep_vec=True, max_cell=16).collect():
+        cells.setdefault(r.cell_id, []).append((r.vec_id, np.asarray(r.embedding)))
+    physical = set()
+    for members in cells.values():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            vn = max(np.linalg.norm(v), 1e-12)
+            if not any(float(v @ w) / (vn * max(np.linalg.norm(w), 1e-12)) >= 0.6
+                       for _, w in members[:i]):
+                physical.add(vid)
+    assert fused == physical and len(fused) < 160
+
+
 def test_incremental_dedup_rejects_seen_and_intra_batch(spark):
     corpus = spark.createDataFrame(
         [(0, "already ingested page"), (2, "another known page")],
