@@ -7,8 +7,7 @@ candidate buckets:
 - exact:   groupBy(text), min-doc_id representative; at 100 TB shuffle
            on md5(text) (uniform 64-hex key), never raw text bytes.
 - MinHash+LSH: shingle -> k min-hashes -> band buckets -> candidate
-           pairs only within buckets: O(corpus) signatures,
-           O(sum bucket^2) pairs.
+           pairs only within buckets.
 - SimHash: per-token hash bits, weighted sum per position, sign ->
            fingerprint; near-dups share low Hamming distance. Linear.
 - n-gram Jaccard: exact verify via a shingle-equi-join restricted to
@@ -595,8 +594,9 @@ def semantic_dedup(
     """
     import numpy as np
 
-    from .similarity import ivf_assign, ring_tiles
+    from .similarity import check_cap, ivf_assign, ring_tiles
 
+    max_cell = check_cap(max_cell)
     assign = ivf_assign(embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True)
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)

@@ -57,12 +57,10 @@ def grouped_stats_exact(
       pass ``scale=1`` for columns that are already integral),
     - the group state is sum(x) and sum(x^2) over DECIMAL(38,0) - exact
       under ANY partial-aggregation/merge order, unlike double sums or
-      the Welford merge behind ``stddev_samp`` whose last ulp depends on
-      which shuffle partial arrives first,
-    - floating point only enters at the very edge: two divisions and a
-      sqrt of integers both engines agree on bit-for-bit, so the result
-      is run-deterministic AND cross-engine-reproducible (the DuckDB
-      oracle mirrors the same formula over HUGEINT).
+      ``stddev_samp``'s Welford merge (last-ulp depends on merge order),
+    - floating point only enters at the edge: two divisions and a sqrt
+      of integers, run-deterministic AND cross-engine-reproducible (the
+      DuckDB oracle mirrors the same formula over HUGEINT).
 
     Sample variance via the sum-of-squares identity
     ``(n*ssq - s^2) / (n*(n-1))``: algebraically equal to the n-1 form

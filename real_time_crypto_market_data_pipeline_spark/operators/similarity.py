@@ -14,8 +14,19 @@ Arrow/numpy matmul path (``cosine_topk_arrow``) - same plan shape.
 
 from __future__ import annotations
 
+import numbers
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def check_cap(max_cell):
+    """ValueError on bool / non-integral / non-positive ``max_cell`` (the
+    bin_width lesson: bool IS an int; 0 becomes a kernel ZeroDivisionError)."""
+    if max_cell is not None and (isinstance(max_cell, bool)
+            or not isinstance(max_cell, numbers.Integral) or max_cell < 1):
+        raise ValueError(f"max_cell must be a positive integer, got {max_cell!r}")
+    return None if max_cell is None else int(max_cell)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -257,6 +268,7 @@ def ivf_assign(
     ``corpus_count`` when given, else ONE eager ``count()`` runs here.
     ``max_cell`` ring-splits oversized cells (``split_hot_cells``).
     """
+    max_cell = check_cap(max_cell)
     if num_cells is None:
         num_cells = max(8, (corpus_count or embeddings.count()) // 250)
     cents = embeddings.where(F.col(id_col) < num_cells).select(

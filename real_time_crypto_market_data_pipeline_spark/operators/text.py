@@ -447,12 +447,10 @@ def temperature_mix(
     deterministic md5-bucket test against floor(rate * 16^6), so the
     sample is a pure function of content, stable under repartitioning.
 
-    T is pinned to 2 so the rate is a single IEEE-754 ``sqrt`` of a
-    single division - both operations are *correctly rounded* by the
-    standard, so any IEEE-double engine (the DuckDB oracle included)
-    computes a bit-identical threshold; a general pow(x, 1-1/T) is
-    only 1-ulp-accurate and could flip a boundary bucket between
-    engines.
+    T is pinned to 2 so the rate is a single IEEE-754 ``sqrt`` of one
+    division - both correctly rounded, so any IEEE-double engine (the
+    DuckDB oracle included) computes a bit-identical threshold; a
+    general pow(x, 1-1/T) is only 1-ulp-accurate across engines.
 
     Scale: the per-source census is a ~|sources|-row aggregate
     (map-side combined), broadcast back onto the corpus; the filter

@@ -785,11 +785,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     - one groupBy on the window's user_id partitioning takes the
       stage minimums.
 
-    The chained-join form (the naive translation) re-scans events
-    five times because each stage's DataFrame is reused in two
-    places; this windowed form was adopted after reading that plan.
-    No per-user event-array collect either - a hot user streams
-    through the sort, never materializing in memory.
+    The chained-join form (the naive translation) re-scans events five
+    times; this windowed form was adopted after reading that plan. No
+    per-user event-array collect - a hot user streams through the sort.
     """
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ms")
     # RANGE frame on ms: equal-ms peers are IN the frame, so the

@@ -320,11 +320,9 @@ def start_exact_layout_jsonl_sink(
     per (channel, date, symbol), exactly as the reference writes it.
 
     foreachBatch collects each microbatch's lines grouped by path and
-    appends driver-side. This matches the reference's single-process
-    sink 1:1 and is the right tool for compatibility replays; at scale
-    use ``start_jsonl_sink`` (Hive layout, executor-parallel, same
-    content) - a per-(key,batch) driver append is the same
-    serialization point the reference has.
+    appends driver-side - the reference's single-process sink 1:1, the
+    right tool for compatibility replays; at scale use
+    ``start_jsonl_sink`` (Hive layout, executor-parallel, same content).
 
     Replay idempotence: foreachBatch re-delivers the last epoch after
     a restart whose appends ran but whose checkpoint commit did not. A
@@ -537,12 +535,10 @@ def _start_partials_sink(
     Additive merge is not naturally idempotent, so replayed epochs are
     skipped via a ``_last_epoch`` marker renamed into place only after
     the merge landed (same recovery discipline as the exact-layout
-    JSONL sink; a crash between write and rename can replay one epoch
-    - on Delta/Iceberg the marker becomes the transaction log). Epoch
-    ids restart at 0 when a stream gets a fresh checkpoint, so the
-    marker stores the checkpoint path it was written under and is
-    ignored on mismatch - deleting/relocating the checkpoint while
-    keeping the partials dir must not silently drop every new batch.
+    JSONL sink; on Delta/Iceberg the marker becomes the transaction
+    log). Epoch ids restart at 0 under a fresh checkpoint, so the
+    marker stores its checkpoint path and is ignored on mismatch -
+    relocating the checkpoint must not silently drop every new batch.
 
     OPERATIONAL CONTRACT: a checkpoint reset makes the fresh stream
     replay its source from the beginning, and this sink will merge

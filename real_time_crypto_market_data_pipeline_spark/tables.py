@@ -38,13 +38,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_ms_col(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-ms expression for ``events.ts``, adaptive to the storage type.
 
-    The driver's testdata has shipped ``ts`` both as LONG nanoseconds and
-    as parquet ``timestamp[us]`` (Spark: TIMESTAMP_NTZ) across rounds;
-    every time-derived query funnels through this one helper so a storage
-    change is a one-line diagnosis, not a broken round. Both branches use
-    integer arithmetic only - ns values (~1.7e18) exceed double's 2^53
-    exact range, so float division could flip an ms even on the matching
-    type:
+    The driver's testdata has shipped ``ts`` both as LONG nanoseconds
+    and as parquet ``timestamp[us]`` (Spark: TIMESTAMP_NTZ) across
+    rounds; every time-derived query funnels through this one helper.
+    Both branches use integer arithmetic only - ns values (~1.7e18)
+    exceed double's 2^53 exact range:
 
     - LONG ns  -> ``ts DIV 1000000`` (integer floor-div)
     - timestamp/timestamp_ntz -> ``unix_millis(cast(ts as timestamp_ltz))``

@@ -283,6 +283,39 @@ def test_zero_norm_vectors_route_and_survive_semdedup(spark):
     assert 17 in kept
 
 
+def test_max_cell_validation_rejects_bool_zero_float(spark):
+    """check_cap mirrors the bin_width rule: Integral only, bool and
+    non-positives rejected before they become kernel crashes."""
+    import numpy as np
+    import pytest
+
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    e = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for bad in (0, -5, True, False, 2.5, "64"):
+        with pytest.raises(ValueError, match="max_cell"):
+            S.ivf_assign(e, num_cells=1, max_cell=bad)
+        with pytest.raises(ValueError, match="max_cell"):
+            D.semantic_dedup(e, num_cells=1, max_cell=bad)
+    assert S.check_cap(np.int64(64)) == 64 and S.check_cap(None) is None
+
+
+def test_ring_tiles_exact_tiling_invariants():
+    """Tile sizes differ by at most 1, every ring <= ceil(n/k), labels
+    are a permutation-stable function of (ids, cosine ranks)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for n, k in [(10, 2), (11, 3), (250, 7), (999, 4), (5, 5)]:
+        ids = np.arange(n)
+        V = rng.randn(n, 8)
+        Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+        tile = S.ring_tiles(ids, V, Vn, k)
+        sizes = np.bincount(tile, minlength=k)
+        assert sizes.sum() == n and sizes.max() - sizes.min() <= 1
+        assert sizes.max() == -(-n // k)
+
+
 def test_split_hot_cells_caps_sizes_and_preserves_cold_cells(spark):
     """r9 hot-cell split: a deliberately skewed corpus (most vectors
     near one centroid) gets its hot cell recursively split under the
