@@ -14,9 +14,8 @@ candidate buckets:
            plausible pairs, never a cross join.
 
 Hashing uses md5 (cross-engine stable) so every operator has an exact
-DuckDB oracle. Spark's murmur3 ``hash()`` / ``xxhash64`` would be ~2x
-faster JVM-side; at production scale swap `_hash_str` to xxhash64 and
-drop oracle parity - the topology is unchanged.
+DuckDB oracle; at production scale swap `_hash_str` to xxhash64 (~2x
+faster JVM-side), dropping oracle parity - the topology is unchanged.
 """
 
 from __future__ import annotations

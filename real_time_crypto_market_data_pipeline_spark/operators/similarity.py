@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numbers
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -225,6 +225,7 @@ def split_hot_cells(
     import numpy as np
     import pandas as pd
 
+    max_cell = check_cap(max_cell)
     vec_ddl = assigned.schema[vec_col].dataType.simpleString()
     e = assigned.localCheckpoint()
     sizes = e.groupBy("cell_id").count().where(F.col("count") > max_cell).collect()
