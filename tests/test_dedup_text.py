@@ -574,6 +574,19 @@ def test_semantic_dedup_fused_rings_match_physical_split(spark):
     assert fused == physical and len(fused) < 160
 
 
+def test_semantic_dedup_fused_rings_with_zero_vectors(spark):
+    """Zero-norm vectors inside a RINGED hot cell: the guarded norms pin
+    their cosine to 0 everywhere (ring axis scoring AND pairwise), so
+    they are kept (no NaN drop) and never drag neighbors out."""
+    rows = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(40)]      # near-dup crowd
+    rows += [(100, [0.0, 0.0]), (101, [0.0, 0.0])]               # zero vectors
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    kept = {r.vec_id for r in
+            D.semantic_dedup(e, num_cells=1, threshold=0.9, max_cell=8).collect()}
+    assert {100, 101} <= kept                 # cos(0-vec, anything) pins to 0
+    assert 0 in kept and len(kept) < 42       # crowd deduped within rings
+
+
 def test_incremental_dedup_rejects_seen_and_intra_batch(spark):
     corpus = spark.createDataFrame(
         [(0, "already ingested page"), (2, "another known page")],

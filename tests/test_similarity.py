@@ -283,6 +283,21 @@ def test_zero_norm_vectors_route_and_survive_semdedup(spark):
     assert 17 in kept
 
 
+def test_ivf_topk_capped_probes_one_ring_on_testdata(spark):
+    """q_ann_ivf's registered shape on the real sf0.001/sf0.01 corpus:
+    every capped cell size <= max_cell, and the probe's hits all carry
+    the query's ring cell."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sf, "embeddings")
+        assigned = S.ivf_assign(e, num_cells=8, max_cell=80)
+        sizes = assigned.groupBy("cell_id").count().collect()
+        assert max(r["count"] for r in sizes) <= 80
+        hits = S.ivf_topk(e, query_vec_id=0, k=5, num_cells=8, max_cell=80).collect()
+        assert len({r.cell_id for r in hits}) == 1 and len(hits) == 5
+
+
 def test_max_cell_validation_rejects_bool_zero_float(spark):
     """check_cap mirrors the bin_width rule: Integral only, bool and
     non-positives rejected before they become kernel crashes."""
