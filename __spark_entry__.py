@@ -24,33 +24,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-9 allocation: (1) the 27 r6-evidence queries (oldest, age 2);
-# (2) re-checks for CODE CHANGED in round 9: the quantile ring split +
-# its oracle CTE (q_semdedup), similarity-module zero-norm guards (the
-# q_ann*/q_cosine* family), the shared _COS oracle-string refactor
-# (q_dedup_embed), bin_width widening (q_interval_join), dedup.py
-# (q_dedup_clusters); (3) r7-evidence fill in registry order - the
-# remaining 28 r7-evidence queries rotate into round 10's prefix.
+# Round-10 allocation: (1) the 28 r7-evidence queries (oldest, age 2 -
+# the rotation edge VERDICT r9 names); (2) re-checks for CODE CHANGED
+# in round 10: the int8-wire SemDeDup transport + its dequantized
+# oracle CTEs (q_semdedup), the assign_cells broadcast crossover +
+# _route restructure + ivf_assign clamp + split_hot_cells
+# checkpoint_dir (q_ann_ivf, q_ann_ivf_kmeans); (3) r8-evidence fill
+# in registry order - the remaining 25 r8-evidence queries rotate
+# into round 11's prefix.
 _PRIORITY = [
-    # --- 1: r6-evidence cohort (27; oldest driver evidence) ---
-    "q_part_brand_stats", "q_percentiles", "q_profile_columns",
-    "q_quality_score", "q_rollup_merge", "q_scrub_text",
-    "q_sketch_distinct", "q_stale_stats", "q_struct_project",
-    "q_supplier_region", "q_tfidf", "q_to_json", "q_token_stats",
-    "q_topk_per_group", "q_tpch_q1", "q_tpch_q10", "q_tpch_q2",
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_tpch_q9", "q_try_cast", "q_twap",
-    "q_unpivot_percentiles",
-    # --- 2: code changed in round 9 (re-verify post-change) ---
-    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_dedup_clusters",
-    "q_interval_join", "q_cosine_topk",
-    "q_dedup_embed", "q_cosine_topk_arrow_highdim", "q_ann_lsh_buckets",
-    # --- 3: r7-evidence fill, registry order (14; rest lead round 10) ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
-    "q_semi_anti", "q_above_customer_avg", "q_drawdown", "q_correlation",
-    "q_null_guard", "q_spread", "q_date_partition", "q_format_string",
-    "q_zero_rate",
-    # --- 4: the remaining r7-evidence cohort follows in registry order
+    # --- 1: r7-evidence cohort (28; oldest driver evidence) ---
+    "q_boilerplate", "q_corpus_prep", "q_count_by_key", "q_csv_snapshot",
+    "q_decontaminate", "q_decontaminate_bloom", "q_dedup_incremental",
+    "q_dedup_lsh_jaccard", "q_dedup_near_pairs", "q_dedup_retention",
+    "q_dedup_simhash_pairs", "q_filter_funnel", "q_having_gate",
+    "q_join_enrich", "q_lag_diff", "q_order_revenue_topk", "q_tpch_q11",
+    "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_window_range", "q_window_variety",
+    # --- 2: code changed in round 10 (re-verify post-change) ---
+    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans",
+    # --- 3: r8-evidence fill, registry order (19; rest lead round 11) ---
+    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
+    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
+    "q_invariant_check", "q_filter_isin", "q_channel_split",
+    "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
+    "q_latency_cols", "q_grouped_stats", "q_dedup_exact", "q_dedup_near",
+    # --- 4: the remaining r8-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]
 
