@@ -24,14 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-10 allocation: (1) the 28 r7-evidence queries (oldest, age 2 -
-# the rotation edge VERDICT r9 names); (2) re-checks for CODE CHANGED
-# in round 10: the int8-wire SemDeDup transport + its dequantized
-# oracle CTEs (q_semdedup), the assign_cells broadcast crossover +
-# _route restructure + ivf_assign clamp + split_hot_cells
-# checkpoint_dir (q_ann_ivf, q_ann_ivf_kmeans); (3) r8-evidence fill
-# in registry order - the remaining 25 r8-evidence queries rotate
-# into round 11's prefix.
+# Round-10 allocation: (1) the 28 r7-evidence queries (oldest, age 2);
+# (2) re-checks for CODE CHANGED in round 10: the int8-wire SemDeDup
+# transport + dequantized oracle CTEs (q_semdedup), the sq8_wire reuse
+# (q_quantize_int8), the assign_cells broadcast crossover + _route
+# restructure + ivf_assign clamp + split_hot_cells checkpoint_dir
+# (q_ann_ivf*); (3) r8-evidence fill in registry order - the remaining
+# 26 r8-evidence queries rotate into round 11's prefix.
 _PRIORITY = [
     # --- 1: r7-evidence cohort (28; oldest driver evidence) ---
     "q_boilerplate", "q_corpus_prep", "q_count_by_key", "q_csv_snapshot",
@@ -43,13 +42,13 @@ _PRIORITY = [
     "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_window_range", "q_window_variety",
     # --- 2: code changed in round 10 (re-verify post-change) ---
-    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans",
-    # --- 3: r8-evidence fill, registry order (19; rest lead round 11) ---
+    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quantize_int8",
+    # --- 3: r8-evidence fill, registry order (18; rest lead round 11) ---
     "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
     "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
     "q_invariant_check", "q_filter_isin", "q_channel_split",
     "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
-    "q_latency_cols", "q_grouped_stats", "q_dedup_exact", "q_dedup_near",
+    "q_latency_cols", "q_grouped_stats", "q_dedup_exact",
     # --- 4: the remaining r8-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]

@@ -64,10 +64,9 @@ def incremental_dedup(
 
     Scale: the corpus side reduces to its hash column first, so the
     shuffle carries 32-byte keys - at 100 TB the hash set stays
-    materialized between ingests (partitioned by hash prefix) and the
-    anti-join is a partition-local probe; a bloom prefilter
-    (sketches.bloom_bitmap) cuts probe volume on tiny batches.
-    Streaming twin: streaming_near_dedup's dropDuplicatesWithinWatermark.
+    materialized between ingests (partitioned by hash prefix), the
+    anti-join is a partition-local probe, a bloom prefilter cuts probe
+    volume. Streaming twin: dropDuplicatesWithinWatermark.
     """
     b = (
         batch.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
@@ -559,7 +558,8 @@ def simhash_pairs(
 def semantic_dedup(
     embeddings: DataFrame, num_cells: int | None = None, threshold: float = 0.40,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    checkpoint_dir: str | None = None, max_cell: int | None = 1000,
+    checkpoint_dir: str | None = None, max_cell: int | None = None,
+    transport: str = "float",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -572,31 +572,38 @@ def semantic_dedup(
     ``num_cells=None`` derives C = max(8, n // 250): cells hold ~250
     vectors at any scale, keeping within-cell pairwise work linear in n
     (a FIXED C is the measured 32x-for-10x quadratic wall, SCALING.md).
-    ``max_cell`` (default 1000 = 4x the design cell) bounds comparisons
-    inside intrinsically dense cells - the r8-measured 104x-mean hot
-    cell k-means could not rebalance - by FUSING the quantile ring
-    split (``similarity.ring_tiles``) into the pairwise kernel: the
-    group already holds every vector, so rings are computed in-task and
-    only same-ring pairs compared. Zero extra passes where the physical
+    ``max_cell`` (OPT-IN; default None = exact within-cell dedup, since
+    the cap changes results - near-dup pairs straddling a ring boundary
+    survive; pass 1000 = 4x the design cell at scale) bounds dense
+    cells by FUSING the quantile ring split (``similarity.ring_tiles``)
+    into the pairwise kernel: rings are computed in-task, only
+    same-ring pairs compared - zero extra passes where the physical
     split regressed (SCALING.md r9); output keeps the PARENT cell,
-    kept-sets are identical either way.
+    kept-sets identical to the physical split either way.
+
+    ``transport="int8"`` moves EVERY corpus leg (assign pipe in/out,
+    checkpoint, cell shuffle, pairwise pipe) onto the SQ8 wire
+    (``similarity.sq8_wire``, ~3.5x fewer bytes than float32), with
+    assignment, rings, and pairwise cosines on the DEQUANTIZED values -
+    deterministic, oracle-replayable bit-for-bit; the kept-set differs
+    from float near the threshold by quantization eps (~1e-3 cosine).
 
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
     the pairwise stage is ``applyInPandas`` over cell groups (ONE
     cell_id shuffle), row-blocked lower-triangle BLAS gram per cell
-    (~50x faster per dot than the r7 fold self-join, SCALING.md);
-    survivors anti-join broadcasts under AQE. The (id, cell, vector)
-    assignment is EAGERLY materialized before its two uses
-    (``localCheckpoint``; pass an HDFS/S3 ``checkpoint_dir`` on a
-    cluster). Threshold is corpus-calibrated: random vectors top out
-    ~0.49 within-cell so 0.40 prunes the tail; embedded text ~0.95+.
+    (~50x faster per dot than the r7 fold self-join); survivors
+    anti-join broadcasts under AQE. The assignment is EAGERLY
+    materialized before its two uses (``localCheckpoint``; pass an
+    HDFS/S3 ``checkpoint_dir`` on a cluster). Threshold is corpus-
+    calibrated: random vectors top out ~0.49 within-cell, text ~0.95+.
     """
     import numpy as np
 
-    from .similarity import check_cap, ivf_assign, ring_tiles
+    from .similarity import _q8_mat, check_cap, ivf_assign, ring_tiles
 
     max_cell = check_cap(max_cell)
-    assign = ivf_assign(embeddings, num_cells, id_col=id_col, vec_col=vec_col, keep_vec=True)
+    assign = ivf_assign(embeddings, num_cells, id_col=id_col, vec_col=vec_col,
+                        keep_vec=True, transport=transport)
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)
         e = assign.checkpoint()
@@ -605,7 +612,8 @@ def semantic_dedup(
 
     def drop_in_cell(pdf):
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        V = _q8_mat(pdf) if transport == "int8" else np.stack(
+            pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
         # greatest(norm, eps): zero vectors score cos 0 (kept), not NaN
         Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
         n = len(pdf)

@@ -4,12 +4,12 @@ Brute-force cosine top-k as the exact baseline, an IVF-style two-stage
 search as the scale path. Dot products use ``zip_with`` + ``aggregate``
 folds (deterministic summation order = bit-for-bit DuckDB oracle match).
 
-Scale notes (100 TB): brute force broadcasts the query vectors - the
-scan never shuffles and top-k is TakeOrderedAndProject; IVF assignment
-is the three-level quantizer (``assign_cells``, ~3n*cbrt(C) cosines,
-zero corpus shuffle) with cell_id as the disk partition key, so probes
-partition-prune; past a few hundred dims switch the scoring to the
-Arrow/numpy matmul path (``cosine_topk_arrow``) - same plan shape.
+Scale notes (100 TB): brute force broadcasts the query vectors (scan
+never shuffles, top-k is TakeOrderedAndProject); IVF assignment is the
+three-level quantizer (``assign_cells``, ~3n*cbrt(C) cosines, zero
+corpus shuffle, int8 wire + broadcast index past 128 MB) with cell_id
+as the disk partition key, so probes partition-prune; past a few
+hundred dims score via Arrow/numpy matmul (``cosine_topk_arrow``).
 """
 
 from __future__ import annotations
@@ -81,11 +81,8 @@ def _broadcast_query_topk(
 
 
 def cosine_topk(
-    embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    embeddings: DataFrame, query_vec_id: int, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """X3 baseline: exact brute-force cosine top-k for one stored query."""
     q = _query_row(embeddings, query_vec_id, id_col, vec_col)
@@ -102,65 +99,110 @@ def _cbrt_ceil(c: int) -> int:
     return g
 
 
+def _route(C, Cn, kids, sizes, V, Vn, depth):
+    """Descend ``depth`` routing levels: argmax cosine per hop (first-max
+    IS the oracle's lowest-id tie rule); module-level so the index pickles
+    for the broadcast path."""
+    import numpy as np
+
+    S = (V @ C[: sizes[0]].T) / np.outer(Vn, Cn[: sizes[0]])
+    cur = S.argmax(axis=1)
+    for j in range(1, depth):
+        nxt = np.empty(len(V), dtype=np.int64)
+        for p in np.unique(cur):
+            m, sel = cur == p, kids[j - 1][p]
+            S = (V[m] @ C[sel].T) / np.outer(Vn[m], Cn[sel])
+            nxt[m] = sel[S.argmax(axis=1)]
+        cur = nxt
+    return cur
+
+
 def _routing_tree(C, Cn, sizes):
     """Per-level children maps for the hierarchical descent: kids[j][p]
-    = members of level j+1 whose level-j route lands on parent p
-    (ascending ids - np.argmax's first-max IS the oracle's tie rule)."""
+    = members of level j+1 whose level-j route lands on parent p."""
     import numpy as np
 
     kids: list[dict] = []
-
-    def route(V, Vn, depth):
-        S = (V @ C[: sizes[0]].T) / np.outer(Vn, Cn[: sizes[0]])
-        cur = S.argmax(axis=1)
-        for j in range(1, depth):
-            nxt = np.empty(len(V), dtype=np.int64)
-            for p in np.unique(cur):
-                m, sel = cur == p, kids[j - 1][p]
-                S = (V[m] @ C[sel].T) / np.outer(Vn[m], Cn[sel])
-                nxt[m] = sel[S.argmax(axis=1)]
-            cur = nxt
-        return cur
-
     for j, size in enumerate(sizes[1:]):
-        parents = route(C[:size], Cn[:size], j + 1)
+        parents = _route(C, Cn, kids, sizes, C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
-        # every level-j id must have children (normally itself; near-dup
-        # centroids can break that) - fail at build, not mid-task
-        missing = [p for p in range(sizes[j]) if p not in kids[-1]]
-        if missing:
+        # A childless parent is harmless iff an EARLIER bit-identical
+        # twin exists: every cosine ties bit-for-bit, so first-max / the
+        # oracle's ORDER-BY-id rule never selects it in either engine.
+        # Anything else is unroutable geometry - fail at build.
+        bad = [p for p in range(sizes[j]) if p not in kids[-1]
+               and not any((C[q] == C[p]).all() for q in range(p))]
+        if bad:
             raise ValueError(f"degenerate centroid geometry: level-{j} "
-                             f"{missing[:5]} captured no children")
-    return route
+                             f"{bad[:5]} captured no children")
+    return kids
+
+
+def sq8_wire(vec_col: str):
+    """(codes tinyint[], amax) JVM columns - the ``scalar_quantize_int8``
+    layout cast for TRANSPORT: 4x fewer Arrow bytes than float32 through
+    the Python-worker pipe (and through any shuffle that carries it)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(amax > 0, F.transform(
+        v, lambda x: F.floor(x * 127.0 / amax + 0.5).cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return codes, amax
+
+
+def _sq8_roundtrip_np(C):
+    """Driver-side quantize->dequantize, bit-exact with ``sq8_wire`` +
+    ``_q8_mat``: centroids must see the values the wire carries."""
+    import numpy as np
+
+    amax = np.abs(C).max(axis=1, keepdims=True)
+    a = np.where(amax > 0, amax, 1.0)  # zero rows quantize to zero codes
+    return np.floor(C * 127.0 / a + 0.5) * a / 127.0
+
+
+def _q8_mat(pdf):
+    """Dequantize a wire batch: op-for-op the oracle's left-assoc
+    ``c * amax / 127.0``."""
+    import numpy as np
+
+    codes = np.stack(pdf["__q8"].map(np.asarray)).astype(np.float64)
+    return codes * pdf["__amax"].to_numpy()[:, None] / 127.0
 
 
 def assign_cells(
-    embeddings: DataFrame,
-    cents: DataFrame,
-    num_cells: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    keep_vec: bool = False,
+    embeddings: DataFrame, cents: DataFrame, num_cells: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    keep_vec: bool = False, transport: str = "float",
+    broadcast_threshold_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Three-level coarse-quantized nearest-centroid assignment,
     scored by Arrow-batched BLAS.
 
     ``cents``: small (cell_id, cvec) relation, cell_ids 0..C-1, whose
-    lowest ids double as FAISS-style routing levels of size
-    g1 = ceil(cbrt C) and g2 = min(C, g1^2): each corpus vector
-    descends top -> winner's mids -> winner's cells (~3n*cbrt(C)
-    cosines, not the n x C wall SCALING.md measured), ties -> lowest
-    cell_id at every hop; one BLAS matmul per Arrow batch per hop (the
-    r8-retired expression-fold twin lives in tests/_reference_impls).
+    lowest ids double as FAISS-style routing levels of size g1 =
+    ceil(cbrt C) and g2 = min(C, g1^2): each vector descends top ->
+    winner's mids -> winner's cells (~3n*cbrt(C) cosines, not the n x C
+    wall SCALING.md measured), ties -> lowest cell_id at every hop; one
+    BLAS matmul per Arrow batch per hop (the r8-retired fold twin:
+    tests/_reference_impls).
 
-    Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle,
-    no join, no broadcast exchange; the index-scale centroid relation
-    (C = n/250 rows) is collected once driver-side and ships in the
-    task closure. Cell id remains the disk partition key.
+    Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle, no
+    join; the index-scale centroid relation (C = n/250 rows) collects
+    once driver-side and ships in the task closure, or - past
+    ``broadcast_threshold_bytes`` (128 MB, SCALING.md's C~2.5e5
+    closure-reserialization crossover) - as ONE torrent-shipped
+    ``SparkContext.broadcast`` per executor. ``transport="int8"``: the
+    corpus crosses the worker pipe as SQ8 codes + amax (``sq8_wire``,
+    4x fewer bytes than float32), the descent routes on DEQUANTIZED
+    values (centroids round-tripped identically) so a dequantizing
+    oracle replays bit-for-bit; ``keep_vec`` carries ``__q8``/
+    ``__amax``. Cell id remains the disk partition key.
     """
     import numpy as np
     import pandas as pd
 
+    if transport not in ("float", "int8"):
+        raise ValueError(f"transport must be 'float' or 'int8', got {transport!r}")
     rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
     ids = np.array([r.cell_id for r in rows], dtype=np.int64)
     # routing levels are ID PREFIXES selected by value in the oracle:
@@ -168,26 +210,38 @@ def assign_cells(
     if len(ids) != num_cells or not (ids == np.arange(num_cells)).all():
         raise ValueError("cents.cell_id must be exactly 0..num_cells-1")
     C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
+    if transport == "int8":  # route against what the wire carries
+        C = _sq8_roundtrip_np(C)
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)  # zero-norm -> cos 0
     g1 = _cbrt_ceil(num_cells)
     sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
-    route = _routing_tree(C, Cn, sizes)
     depth = len(sizes)
+    payload, bv = (ids, C, Cn, _routing_tree(C, Cn, sizes)), None
+    if C.nbytes > broadcast_threshold_bytes:
+        bv = embeddings.sparkSession.sparkContext.broadcast(payload)
+        payload = None  # closure must NOT also capture the index
 
     def assign(batches):
+        ids_, C_, Cn_, kids_ = bv.value if bv is not None else payload
         for pdf in batches:
-            V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            V = _q8_mat(pdf) if transport == "int8" else np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-            cell = ids[route(V, Vn, depth)]
+            cell = ids_[_route(C_, Cn_, kids_, sizes, V, Vn, depth)]
             out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
-            if keep_vec:
-                out[vec_col] = pdf[vec_col]
+            if keep_vec:  # pass the wire columns through untouched
+                out = out.join(pdf.drop(columns=[id_col]))
             yield out
 
-    vec_ddl = f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}" if keep_vec else ""
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} LONG, cell_id INT" + vec_ddl
-    )
+    if transport == "int8":
+        codes, amax = sq8_wire(vec_col)
+        inp = embeddings.select(id_col, codes.alias("__q8"), amax.alias("__amax"))
+        keep_ddl = ", __q8 ARRAY<TINYINT>, __amax DOUBLE" if keep_vec else ""
+    else:
+        inp = embeddings.select(id_col, vec_col)
+        keep_ddl = (f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}"
+                    if keep_vec else "")
+    return inp.mapInPandas(assign, schema=f"{id_col} LONG, cell_id INT" + keep_ddl)
 
 
 def ring_tiles(ids, V, Vn, k: int):
@@ -195,7 +249,11 @@ def ring_tiles(ids, V, Vn, k: int):
     cosine to the MIN-ID member (row 0 - the centroid's own row in the
     deterministic path, well-defined under trained centroids too),
     ties -> lower id, then NTILE-style exact integer tiling matching
-    the oracle's SQL CASE. Shared by split + fused-dedup paths."""
+    the oracle's SQL CASE. Shared by split + fused-dedup paths.
+    Boundary-tie caveat (the ~1e-15 threshold caveat's rank twin): BLAS
+    vs fold cosines a last ulp apart STRADDLING a quantile boundary can
+    swap rings cross-engine; never observed on testdata - a corpus
+    hitting it should quantize cosines identically before ranking."""
     import numpy as np
 
     cos = (V @ V[0]) / (Vn * Vn[0])
@@ -209,6 +267,7 @@ def ring_tiles(ids, V, Vn, k: int):
 def split_hot_cells(
     assigned: DataFrame, num_cells: int, max_cell: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Quantile ring split: cap cell sizes after quantizer assignment.
 
@@ -216,18 +275,23 @@ def split_hot_cells(
     RINGS (``ring_tiles``): cap guaranteed in ONE pass, near-dup pairs
     co-ringed unless they straddle a boundary; new cell_id =
     ``num_cells`` + cumulative-block(cell) + ring, collision-free;
-    cold cells untouched (nearest-of-k-members splitting
-    re-concentrates instead: 140/179, SCALING.md r9). One small count
-    agg finds hot cells; ranking + tiling is ``applyInPandas`` over
-    hot-cell groups only - ONE shuffle of the hot mass; the DuckDB
-    oracle (``_split_cte``) replays it exactly.
+    cold cells untouched (nearest-of-k splitting re-concentrates:
+    SCALING.md r9). One small count agg finds hot cells; ranking +
+    tiling is ``applyInPandas`` over hot-cell groups only - ONE shuffle
+    of the hot mass; the ``_split_cte`` oracle replays it exactly.
     """
     import numpy as np
     import pandas as pd
 
     max_cell = check_cap(max_cell)
     vec_ddl = assigned.schema[vec_col].dataType.simpleString()
-    e = assigned.localCheckpoint()
+    if checkpoint_dir is not None:  # reliable, survives executor loss
+        from .dedup import _ensure_checkpoint_dir
+
+        _ensure_checkpoint_dir(assigned, checkpoint_dir)
+        e = assigned.checkpoint()
+    else:  # executor-pinned blocks (the connected_components policy knob)
+        e = assigned.localCheckpoint()
     sizes = e.groupBy("cell_id").count().where(F.col("count") > max_cell).collect()
     if not sizes:
         return e
@@ -258,6 +322,7 @@ def ivf_assign(
     embeddings: DataFrame, num_cells: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", keep_vec: bool = False,
     corpus_count: int | None = None, max_cell: int | None = None,
+    transport: str = "float", checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
@@ -270,26 +335,27 @@ def ivf_assign(
     ``max_cell`` ring-splits oversized cells (``split_hot_cells``).
     """
     max_cell = check_cap(max_cell)
+    if max_cell is not None and transport != "float":
+        raise ValueError("max_cell ring split carries float vectors; use transport='float'")
     if num_cells is None:
-        num_cells = max(8, (corpus_count or embeddings.count()) // 250)
+        n = corpus_count or embeddings.count()
+        # clamped to available centroid rows (ids dense-from-0): a tiny
+        # corpus trains on all n vectors instead of failing the strict check
+        num_cells = max(1, min(max(8, n // 250), n))
     cents = embeddings.where(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec"))
     out = assign_cells(embeddings, cents, num_cells, id_col, vec_col,
-                       keep_vec or max_cell is not None)
+                       keep_vec or max_cell is not None, transport)
     if max_cell is not None:  # r9: cap cell sizes (needs vectors to re-route)
-        out = split_hot_cells(out, num_cells, max_cell, id_col, vec_col)
+        out = split_hot_cells(out, num_cells, max_cell, id_col, vec_col, checkpoint_dir)
         return out if keep_vec else out.drop(vec_col)
     return out
 
 
 def ivf_topk(
-    embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 5,
-    num_cells: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_cell: int | None = None,
+    embeddings: DataFrame, query_vec_id: int, k: int = 5, num_cells: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cell: int | None = None, checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
@@ -297,9 +363,11 @@ def ivf_topk(
     the probe is a partition-pruned scan of ~1/C of the corpus + a
     local top-k; ``keep_vec`` keeps the corpus at ONE scan. With
     ``max_cell`` the probed unit is the query's RING (the cap bounds
-    what a probe reads, at the usual recall trade).
+    what a probe reads, at the usual recall trade; ``checkpoint_dir``
+    makes the split's checkpoint reliable).
     """
-    e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True, max_cell=max_cell)
+    e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True,
+                   max_cell=max_cell, checkpoint_dir=checkpoint_dir)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
         F.col("cell_id").alias("_qcell"),
         F.col(vec_col).alias("_qvec"),
@@ -313,23 +381,19 @@ def ivf_topk(
 
 
 def ivf_kmeans_index(
-    embeddings: DataFrame,
-    num_cells: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    embeddings: DataFrame, num_cells: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
     training_cap: int = 100_000,
 ):
     """IVF-k-means index build: train centroids, assign every vector.
 
     Training input: the ``training_cap`` rows with smallest
     ``xxhash64(id)`` - a deterministic pseudo-random sample compiling
-    to TakeOrderedAndProject, reproducible across partition layouts
-    (a bare ``limit`` is not). Unit normalization guards zero norms
-    with greatest(norm, eps). Assignment does NOT use model.transform
-    (an n x C euclidean pass): the trained centroids feed
-    ``assign_cells``. Returns ``(model, assigned)``; ``assigned``
-    carries (id, cell_id, vec) - partitioned by cell_id at scale.
+    to TakeOrderedAndProject, reproducible across partition layouts (a
+    bare ``limit`` is not); zero norms guarded by greatest(norm, eps).
+    Assignment does NOT use model.transform (an n x C euclidean pass):
+    the trained centroids feed ``assign_cells``. Returns ``(model,
+    assigned)``; ``assigned`` is partitioned by cell_id at scale.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -366,27 +430,22 @@ def ivf_kmeans_probe_cells(model, query_vec, n_probe: int) -> list[int]:
 
 
 def ivf_kmeans_topk(
-    embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 10,
-    num_cells: int = 8,
-    n_probe: int = 2,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    embeddings: DataFrame, query_vec_id: int, k: int = 10,
+    num_cells: int = 8, n_probe: int = 2, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
     training_cap: int = 100_000,
 ) -> DataFrame:
     """X3: IVF with a REAL k-means training pass (MLlib), n-cell probing.
 
     Vectors unit-normalize (euclidean k-means then clusters by cosine
     geometry), MLlib KMeans learns ``num_cells`` centroids, the search
-    scans only the ``n_probe`` most-cosine-similar cells. At
-    ``n_probe == num_cells`` the result is EXACTLY brute force for ANY
-    trained model - the driver-oracle invariant; pytest pins
-    partial-probe recall. At 100 TB the assignment table is written
-    partitioned by cell_id, so a probe scans n_probe/C of the corpus.
-    Centroids + query vector are driver-side by design - kilobytes;
-    zero norms guarded on every normalization (cosine 0, not NaN).
+    scans only the ``n_probe`` most-cosine-similar cells; at ``n_probe
+    == num_cells`` the result is EXACTLY brute force for ANY trained
+    model - the driver-oracle invariant (pytest pins partial-probe
+    recall). At 100 TB the assignment table is written partitioned by
+    cell_id, so a probe scans n_probe/C of the corpus. Centroids +
+    query vector are driver-side by design - kilobytes; zero norms
+    guarded on every normalization (cosine 0, not NaN).
     """
     model, assigned = ivf_kmeans_index(
         embeddings, num_cells, seed, id_col, vec_col, training_cap
@@ -400,11 +459,8 @@ def ivf_kmeans_topk(
 
 
 def cosine_topk_arrow(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """X3 high-dim path: brute-force cosine via Arrow-batched numpy.
     Above a few hundred dims the expression fold loses to one BLAS
@@ -480,13 +536,11 @@ def scalar_quantize_int8(
     floor(x + 0.5), not round(): both engines lower to the same IEEE
     floor, sidestepping round-half-to-even divergence. Pure per-row
     HOFs - no shuffle, no Python; at 100 TB this maps over the scan.
+    Shares the ``sq8_wire`` quantizer (tinyint codes; the bigint
+    ``code_sum`` accumulator widens them).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    codes = F.when(
-        amax > 0,
-        F.transform(v, lambda x: F.floor(x * 127.0 / amax + 0.5).cast("bigint")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("bigint")))
+    codes, amax = sq8_wire(vec_col)
     recon_err = F.zip_with(
         v,
         codes,

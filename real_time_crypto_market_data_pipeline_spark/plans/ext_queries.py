@@ -485,13 +485,14 @@ def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- X3 (IVF scale path)
-def _ivf_best(prm: str) -> str:
+def _ivf_best(prm: str, src: str = "embeddings", pre: str = "") -> str:
     """Three-level IVF assignment as DuckDB CTEs, mirroring
     operators/similarity.assign_cells: ``prm`` yields one row with
-    c = num_cells, g1 = exact ceil(cbrt(c)) (float pow corrected +-1,
-    matching ``_cbrt_ceil``), g2 = least(c, g1^2); ``best`` descends
-    top -> winner's mids -> winner's cells, ties -> lowest id at every
-    hop, centroids routed down the same hops when parent maps build."""
+    c = num_cells, g1 = exact ceil(cbrt(c)) (float pow corrected +-1),
+    g2 = least(c, g1^2); ``best`` descends top -> winner's mids ->
+    winner's cells, ties -> lowest id at every hop, centroids routed
+    down the same hops when parent maps build. ``src``/``pre`` swap the
+    vector relation (e.g. ``_EQ_PRE``'s SQ8-dequantized ``eq``)."""
     rn = "row_number() OVER (PARTITION BY {p} ORDER BY {s} DESC, {t}) AS rn"
 
     def hop(name: str, aid: str, avec: str, bid: str, bvec: str, frm: str) -> str:
@@ -503,23 +504,23 @@ def _ivf_best(prm: str) -> str:
         FROM {frm}) t WHERE rn = 1)"""
 
     return f"""
-    WITH prm AS (SELECT c, g1, LEAST(c, g1 * g1) AS g2 FROM (
+    WITH {pre}prm AS (SELECT c, g1, LEAST(c, g1 * g1) AS g2 FROM (
         SELECT c, CASE WHEN r > 1 AND (r-1)*(r-1)*(r-1) >= c THEN r-1
                        WHEN r*r*r >= c THEN r ELSE r+1 END AS g1
         FROM (SELECT c, GREATEST(1, CAST(ROUND(POW(c, 1.0/3.0)) AS BIGINT)) AS r
               FROM ({prm}) prm0) t) t),
     top AS (SELECT vec_id AS top_id, embedding AS tvec
-            FROM embeddings, prm WHERE vec_id < prm.g1),
+            FROM {src}, prm WHERE vec_id < prm.g1),
     mid AS (SELECT vec_id AS mid_id, embedding AS mvec
-            FROM embeddings, prm WHERE vec_id < prm.g2),
+            FROM {src}, prm WHERE vec_id < prm.g2),
     cents AS (SELECT vec_id AS cell_id, embedding AS cvec
-              FROM embeddings, prm WHERE vec_id < prm.c),
+              FROM {src}, prm WHERE vec_id < prm.c),
     {hop("mmap", "m.mid_id", "m.mvec", "t.top_id", "t.tvec", "mid m CROSS JOIN top t")},
     {hop("ctop", "c.cell_id", "c.cvec", "t.top_id", "t.tvec", "cents c CROSS JOIN top t")},
     {hop("cmap", "ct.cell_id", "ct.cvec", "m.mid_id", "m.mvec",
          "ctop ct JOIN mmap m ON ct.top_id = m.top_id")},
     {hop("vtop", "e.vec_id", "e.embedding", "t.top_id", "t.tvec",
-         "embeddings e CROSS JOIN top t")},
+         f"{src} e CROSS JOIN top t")},
     {hop("vmid", "v.vec_id", "v.embedding", "m.mid_id", "m.mvec",
          "vtop v JOIN mmap m ON v.top_id = m.top_id")},
     {hop("best", "v.vec_id", "v.embedding", "c.cell_id", "c.cvec",
@@ -528,6 +529,18 @@ def _ivf_best(prm: str) -> str:
 
 # Spark twin: ivf_assign(num_cells=None) - C = max(8, n//250); g1/g2 derived in _ivf_best
 _DERIVED_CELLS = "SELECT GREATEST(8, COUNT(*) // 250) AS c FROM embeddings"
+
+# transport="int8" wire view: SQ8 quantize -> dequantize, every op in
+# the exact order of similarity.sq8_wire + _q8_mat (left-assoc
+# c*amax/127.0), so routing/rings/pairwise on ``eq`` replay Spark exactly.
+_EQ_PRE = """eq AS (
+      SELECT vec_id, CASE WHEN amax > 0
+        THEN list_transform(v, x -> floor(x * 127.0 / amax + 0.5) * amax / 127.0)
+        ELSE list_transform(v, x -> 0.0) END AS embedding
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings) t),
+    """
 
 
 def _split_cte(cap: int) -> tuple[str, str]:
@@ -1383,7 +1396,7 @@ _SD_SPLIT, _SD_FINAL = _split_cte(cap=64)
 
 @query(
     "q_semdedup",
-    oracle=_ivf_best(_DERIVED_CELLS)
+    oracle=_ivf_best(_DERIVED_CELLS, src="eq", pre=_EQ_PRE)
     + _SD_SPLIT
     + f""",
     dropped AS (
@@ -1403,12 +1416,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pairwise cosine only inside a cell (sum(cell^2), never n^2);
     num_cells is corpus-derived (the oracle's prm CTE replays the
-    derivation) so the DEFAULT scales linearly. Threshold 0.40 fits
-    this random corpus. ``max_cell=64`` exercises the r9 FUSED ring
-    cap at driver scale (sf0.01's biggest cells run ~70 rows); the
-    production default is 1000 = 4x the design cell (SCALING.md).
+    derivation) so the DEFAULT scales linearly; threshold 0.40 fits
+    this random corpus; ``max_cell=64`` exercises the r9 FUSED ring cap
+    at driver scale. ``transport="int8"`` (r10) runs every corpus leg
+    on the SQ8 wire - the oracle's ``eq`` CTE dequantizes identically
+    and replays the whole chain on it.
     """
-    return D.semantic_dedup(load(spark, sf_dir, "embeddings"), max_cell=64)
+    return D.semantic_dedup(load(spark, sf_dir, "embeddings"), max_cell=64,
+                            transport="int8")
 
 
 # ---------------------------------------------------------------- X1 (ingest form)

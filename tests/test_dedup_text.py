@@ -412,8 +412,12 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     """checkpoint_dir mode (reliable checkpoint, the 100 TB
     restart-safe path) produces the identical labeling as the default
     localCheckpoint mode, and actually materializes checkpoint data
-    under the given directory."""
+    under the session's effective directory (the checkpoint dir is
+    session-global and FIRST-SETTER-WINS - _ensure_checkpoint_dir warns
+    rather than overrides - so another checkpoint test running first
+    legitimately redirects this one; order-independent on purpose)."""
     import os
+    from urllib.parse import urlparse
 
     chain = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a LONG, doc_b LONG"
@@ -425,7 +429,8 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
         for r in D.connected_components(chain, checkpoint_dir=ckpt).collect()
     }
     assert reliable == local == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
-    assert any(files for _, _, files in os.walk(ckpt))  # data really landed
+    eff = urlparse(spark.sparkContext.getCheckpointDir()).path
+    assert any(files for _, _, files in os.walk(eff))  # data really landed
 
 
 def test_rowlocal_minhash_signature_matches_batch(spark):
@@ -622,3 +627,48 @@ def test_quality_top_p_keeps_best_half_per_source(spark):
     kept = {r.doc_id: r.quality for r in T.quality_top_p(docs).collect()}
     assert set(kept) == {0, 1, 4}
     assert kept[0] >= kept[1]
+
+
+def test_semantic_dedup_int8_transport_matches_numpy_replay(spark):
+    """transport='int8' = SemDeDup over SQ8-dequantized vectors on every
+    corpus leg: a pure numpy replay (quantize -> route -> fused rings ->
+    lower-triangle pairwise) over the real sf0.001 corpus pins the
+    kept-set bit-for-bit - the q_semdedup oracle's eq-CTE twin."""
+    import numpy as np
+
+    from real_time_crypto_market_data_pipeline_spark.operators import similarity as S
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    assert [r.vec_id for r in rows] == list(range(len(rows)))
+    Q = S._sq8_roundtrip_np(
+        np.stack([np.asarray(r.embedding, np.float64) for r in rows]))
+    num_cells = max(8, len(rows) // 250)
+    C = Q[:num_cells]
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+    g1 = S._cbrt_ceil(num_cells)
+    sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
+    kids = S._routing_tree(C, Cn, sizes)
+    Qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+    cell = S._route(C, Cn, kids, sizes, Q, Qn, len(sizes))
+
+    max_cell, thr = 64, 0.40
+    expect = set()
+    for c in np.unique(cell):
+        idx = np.flatnonzero(cell == c)
+        V, Vn = Q[idx], Qn[idx]
+        if len(idx) > max_cell:
+            tile = S.ring_tiles(idx, V, Vn, -(-len(idx) // max_cell))
+            groups = [np.flatnonzero(tile == t) for t in range(tile.max() + 1)]
+        else:
+            groups = [np.arange(len(idx))]
+        for g in groups:
+            W, Wn = V[g], Vn[g]
+            sim = (W @ W.T) / np.outer(Wn, Wn)
+            dropped = np.tril(sim >= thr, -1).any(axis=1)
+            expect.update(int(idx[g[i]]) for i in np.flatnonzero(~dropped))
+
+    kept = {r.vec_id for r in
+            D.semantic_dedup(e, max_cell=64, transport="int8").collect()}
+    assert kept == expect and 0 < len(kept) < len(rows)

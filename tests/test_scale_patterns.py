@@ -344,6 +344,43 @@ def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path_factory):
     assert got == want and len(got) > 0
 
 
+def test_capped_ivf_index_probe_reads_bounded_partition(spark, tmp_path_factory):
+    """The r9 amortization claim, test-backed: an ivf_assign(max_cell=)
+    index written partitionBy(cell_id) has EVERY disk partition at most
+    max_cell rows (the split's one-time build cost buys this bound),
+    and a probe of the query's cell is partition-pruned (PartitionFilters
+    on cell_id) - so each probe scans a <= max_cell-row directory, not
+    an unbounded hot cell."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(8)]
+    rows = [(i, [b + rnd.uniform(-0.02, 0.02) for b in base] if i >= 4
+             else [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cap = 32
+    assigned = S.ivf_assign(emb, num_cells=4, max_cell=cap, keep_vec=True)
+    path = str(tmp_path_factory.mktemp("ivf_capped") / "assigned_by_cell")
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
+
+    table = spark.read.parquet(path)
+    sizes = {r.cell_id: r["count"] for r in table.groupBy("cell_id").count().collect()}
+    assert max(sizes.values()) <= cap  # the cap holds ON DISK
+
+    qcell = assigned.where(F.col("vec_id") == 7).first().cell_id
+    probed = table.where(F.col("cell_id") == qcell)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("FileScan")[-1].split("PartitionFilters:")[1].split("]")[0]
+    assert "cell_id" in part_filters  # directory-level skip
+    assert probed.count() == sizes[qcell] <= cap
+
+
 def test_interval_join_binned_plans_equi_join_and_matches_naive(spark):
     """The bin-rewrite range join must (a) never plan a nested-loop or
     cartesian join - the O(points x intervals) trap the rewrite exists

@@ -371,3 +371,96 @@ def test_split_hot_cells_caps_sizes_and_preserves_cold_cells(spark):
 
     ident = {r.vec_id: r.cell_id for r in S.ivf_assign(e, num_cells=8, max_cell=500).collect()}
     assert ident == plain  # high cap: no round runs, assignment unchanged
+
+
+# ---------------------------------------------------------------- r10
+
+
+def test_assign_cells_broadcast_path_matches_closure(emb):
+    """SCALING.md crossover, now in code: past broadcast_threshold_bytes
+    the centroid index ships as ONE SparkContext.broadcast per executor
+    instead of per-task closure re-serialization; assignments must be
+    bit-identical either way."""
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec"))
+    closure = {r.vec_id: r.cell_id for r in S.assign_cells(emb, cents, 16).collect()}
+    bcast = {r.vec_id: r.cell_id for r in
+             S.assign_cells(emb, cents, 16, broadcast_threshold_bytes=0).collect()}
+    assert bcast == closure and len(closure) == 64
+
+
+def test_int8_transport_matches_numpy_replay_on_testdata(spark):
+    """transport='int8' routes on the DEQUANTIZED wire: replay quantize
+    -> dequantize -> three-hop descent in pure numpy over the real
+    sf0.001 corpus and demand bit-identical assignments."""
+    import numpy as np
+
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    assert [r.vec_id for r in rows] == list(range(len(rows)))
+    Q = S._sq8_roundtrip_np(
+        np.stack([np.asarray(r.embedding, np.float64) for r in rows]))
+    num_cells = max(8, len(rows) // 250)
+    C = Q[:num_cells]
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+    g1 = S._cbrt_ceil(num_cells)
+    sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
+    kids = S._routing_tree(C, Cn, sizes)
+    Qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-12)
+    expect = S._route(C, Cn, kids, sizes, Q, Qn, len(sizes))
+    got = {r.vec_id: r.cell_id for r in S.ivf_assign(e, transport="int8").collect()}
+    assert got == {r.vec_id: int(expect[i]) for i, r in enumerate(rows)}
+
+
+def test_derived_num_cells_clamps_to_tiny_corpus(spark):
+    """r9 ADVICE: a corpus smaller than the derived C = max(8, n//250)
+    clamps C to n (ids dense-from-0) instead of failing the strict
+    0..C-1 centroid check; user-supplied cents keep the fail-fast."""
+    rows = [(i, [float(i + 1), 1.0]) for i in range(5)]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.cell_id for r in S.ivf_assign(e).collect()}
+    assert set(got) == set(range(5)) and all(0 <= c < 5 for c in got.values())
+
+
+def test_split_hot_cells_reliable_checkpoint_dir(spark, tmp_path):
+    """r9 ADVICE: checkpoint_dir threads ivf_assign -> split_hot_cells
+    and switches the executor-pinned localCheckpoint to a RELIABLE
+    checkpoint (the connected_components policy); results unchanged."""
+    import random
+
+    rnd = random.Random(5)
+    base = [rnd.uniform(-1, 1) for _ in range(8)]
+    rows = [(i, [b + rnd.uniform(-0.05, 0.05) for b in base] if i >= 4
+             else [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    plain = {r.vec_id: r.cell_id
+             for r in S.ivf_assign(e, num_cells=4, max_cell=32).collect()}
+    assert max(list(plain.values()).count(c) for c in set(plain.values())) <= 32
+    ck = {r.vec_id: r.cell_id for r in S.ivf_assign(
+        e, num_cells=4, max_cell=32, checkpoint_dir=str(tmp_path)).collect()}
+    assert ck == plain and spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_childless_twin_centroid_tolerated_degenerate_still_raises(spark):
+    """r9 ADVICE: an exact-duplicate centroid that captures no children
+    no longer fails the build - every cosine against the copy ties
+    bit-for-bit, so first-max / the oracle's lowest-id rule provably
+    never selects it in either engine. A childless parent WITHOUT a
+    bit-identical earlier twin (here a power-of-2 scaled colinear copy:
+    cosine exactly 1.0, different bits) still fails fast at build."""
+    def cents_df(vec1):
+        rows = [(0, [1.0, 0.0, 0.0]), (1, vec1),
+                (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+        return spark.createDataFrame(rows, "cell_id LONG, cvec ARRAY<DOUBLE>")
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(12)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.cell_id for r in
+           S.assign_cells(corpus, cents_df([1.0, 0.0, 0.0]), 4).collect()}
+    assert len(got) == 12 and 1 not in got.values()  # twin never selected
+    with pytest.raises(ValueError, match="captured no children"):
+        S.assign_cells(corpus, cents_df([2.0, 0.0, 0.0]), 4).collect()
