@@ -29,12 +29,8 @@ from pyspark.sql import functions as F
 
 
 def asof_join(
-    left: DataFrame,
-    right: DataFrame,
-    keys: Sequence[str],
-    ts_col: str,
-    right_cols: Sequence[str],
-    tiebreak_col: str,
+    left: DataFrame, right: DataFrame, keys: Sequence[str], ts_col: str,
+    right_cols: Sequence[str], tiebreak_col: str,
 ) -> DataFrame:
     """Left as-of join: all left columns + latest-at-or-before right_cols.
 
@@ -72,14 +68,8 @@ def asof_join(
 
 
 def banded_interval_count(
-    left: DataFrame,
-    right: DataFrame,
-    key_cols: list[str],
-    left_ts: str,
-    right_ts: str,
-    range_ms: int,
-    left_id: str,
-    out_col: str = "n_in_range",
+    left: DataFrame, right: DataFrame, key_cols: list[str], left_ts: str,
+    right_ts: str, range_ms: int, left_id: str, out_col: str = "n_in_range",
 ) -> DataFrame:
     """Count right-side rows within ``[left_ts - range_ms, left_ts)``
     per left row - an interval join banded for scale.

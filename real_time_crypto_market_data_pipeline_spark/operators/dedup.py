@@ -581,12 +581,16 @@ def semantic_dedup(
     split regressed (SCALING.md r9); output keeps the PARENT cell,
     kept-sets identical to the physical split either way.
 
-    ``transport="int8"`` moves EVERY corpus leg (assign pipe in/out,
-    checkpoint, cell shuffle, pairwise pipe) onto the SQ8 wire
-    (``similarity.sq8_wire``, ~3.5x fewer bytes than float32), with
+    ``transport="int8"`` quantizes SQ8 in the assign worker (numpy;
+    the JVM-HOF form lost 17x, SCALING.md r10) and moves every leg
+    AFTER it - assign pipe out, checkpoint, cell shuffle, pairwise
+    pipe - onto the int8 wire (~4x fewer bytes than float32), with
     assignment, rings, and pairwise cosines on the DEQUANTIZED values -
-    deterministic, oracle-replayable bit-for-bit; the kept-set differs
-    from float near the threshold by quantization eps (~1e-3 cosine).
+    deterministic, oracle-replayable bit-for-bit. The kept-set is the
+    SQ8 corpus's, NOT float's: on corpora with cosine mass near the
+    threshold the ~1e-3 quantization shift moves MANY pairs (measured
+    2.6x fewer survivors on the synthetic x1000 probe corpus); use it
+    where dup cosines sit far above threshold (embedded text ~0.95+).
 
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
     the pairwise stage is ``applyInPandas`` over cell groups (ONE

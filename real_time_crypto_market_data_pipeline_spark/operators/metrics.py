@@ -39,12 +39,8 @@ from pyspark.sql import functions as F
 
 
 def grouped_stats_exact(
-    df: DataFrame,
-    keys: Sequence[str],
-    value_col: str,
-    prefix: str = "",
-    scale: int = 1,
-    sum_dtype: str = "decimal(38,0)",
+    df: DataFrame, keys: Sequence[str], value_col: str, prefix: str = "",
+    scale: int = 1, sum_dtype: str = "decimal(38,0)",
 ) -> DataFrame:
     """A5/A7: count / mean / SAMPLE std / min / max per key, with 0.0
     single-row/empty fallbacks per reference ``rolling.py:180-196``
@@ -122,12 +118,8 @@ def grouped_stats_exact(
 
 
 def lag_diff(
-    df: DataFrame,
-    keys: Sequence[str],
-    ts_col: str,
-    tiebreak_col: str,
-    out_col: str = "stale_ms",
-    order_col: str | None = None,
+    df: DataFrame, keys: Sequence[str], ts_col: str, tiebreak_col: str,
+    out_col: str = "stale_ms", order_col: str | None = None,
 ) -> DataFrame:
     """A6: staleness = ts - lag(ts) per key; first row per key dropped.
 
@@ -213,12 +205,8 @@ def conditional_rate(
 
 
 def sliding_range_stats(
-    df: DataFrame,
-    keys: Sequence[str],
-    ts_ms_col: str,
-    value_col: str,
-    window_ms: int = 5000,
-    tiebreak_col: str | None = None,
+    df: DataFrame, keys: Sequence[str], ts_ms_col: str, value_col: str,
+    window_ms: int = 5000, tiebreak_col: str | None = None,
 ) -> DataFrame:
     """A1 (batch analog): per-row stats over the trailing ``window_ms``.
 

@@ -139,9 +139,11 @@ def _routing_tree(C, Cn, sizes):
 
 
 def sq8_wire(vec_col: str):
-    """(codes tinyint[], amax) JVM columns - the ``scalar_quantize_int8``
-    layout cast for TRANSPORT: 4x fewer Arrow bytes than float32 through
-    the Python-worker pipe (and through any shuffle that carries it)."""
+    """(codes tinyint[], amax) JVM columns - the SQ8 layout as pure-SQL
+    expressions (``scalar_quantize_int8``'s kernel). NOT the transport
+    hot path: array HOFs evaluate interpreted per element, measured 17x
+    the numpy quantizer at 2M vectors (SCALING.md r10), so
+    ``assign_cells(transport='int8')`` quantizes worker-side instead."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     codes = F.when(amax > 0, F.transform(
@@ -191,12 +193,14 @@ def assign_cells(
     once driver-side and ships in the task closure, or - past
     ``broadcast_threshold_bytes`` (128 MB, SCALING.md's C~2.5e5
     closure-reserialization crossover) - as ONE torrent-shipped
-    ``SparkContext.broadcast`` per executor. ``transport="int8"``: the
-    corpus crosses the worker pipe as SQ8 codes + amax (``sq8_wire``,
-    4x fewer bytes than float32), the descent routes on DEQUANTIZED
-    values (centroids round-tripped identically) so a dequantizing
-    oracle replays bit-for-bit; ``keep_vec`` carries ``__q8``/
-    ``__amax``. Cell id remains the disk partition key.
+    ``SparkContext.broadcast`` per executor. ``transport="int8"``:
+    vectors are SQ8-quantized IN THE WORKER (vectorized numpy - the
+    JVM-HOF form of ``sq8_wire`` measured 17x slower at 2M, SCALING.md
+    r10), the descent routes on the DEQUANTIZED values (centroids
+    round-tripped identically) so a dequantizing oracle replays
+    bit-for-bit, and ``keep_vec`` emits ``__q8``/``__amax`` - every
+    leg AFTER this pass (checkpoint, cell shuffle, pairwise pipe)
+    carries ~4x fewer bytes. Cell id remains the disk partition key.
     """
     import numpy as np
     import pandas as pd
@@ -224,24 +228,30 @@ def assign_cells(
     def assign(batches):
         ids_, C_, Cn_, kids_ = bv.value if bv is not None else payload
         for pdf in batches:
-            V = _q8_mat(pdf) if transport == "int8" else np.stack(
-                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            if transport == "int8":  # quantize here; route on the dequant
+                amax = np.abs(V).max(axis=1)
+                a = np.where(amax > 0, amax, 1.0)  # zero rows -> zero codes
+                q8 = np.floor(V * 127.0 / a[:, None] + 0.5)
+                V = q8 * amax[:, None] / 127.0  # op-for-op _q8_mat
             Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
             cell = ids_[_route(C_, Cn_, kids_, sizes, V, Vn, depth)]
             out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
-            if keep_vec:  # pass the wire columns through untouched
-                out = out.join(pdf.drop(columns=[id_col]))
+            if keep_vec:
+                if transport == "int8":
+                    out["__q8"] = list(q8.astype(np.int8))
+                    out["__amax"] = amax
+                else:
+                    out[vec_col] = pdf[vec_col]
             yield out
 
     if transport == "int8":
-        codes, amax = sq8_wire(vec_col)
-        inp = embeddings.select(id_col, codes.alias("__q8"), amax.alias("__amax"))
         keep_ddl = ", __q8 ARRAY<TINYINT>, __amax DOUBLE" if keep_vec else ""
     else:
-        inp = embeddings.select(id_col, vec_col)
         keep_ddl = (f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}"
                     if keep_vec else "")
-    return inp.mapInPandas(assign, schema=f"{id_col} LONG, cell_id INT" + keep_ddl)
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} LONG, cell_id INT" + keep_ddl)
 
 
 def ring_tiles(ids, V, Vn, k: int):

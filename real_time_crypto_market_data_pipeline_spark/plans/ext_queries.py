@@ -1418,9 +1418,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_cells is corpus-derived (the oracle's prm CTE replays the
     derivation) so the DEFAULT scales linearly; threshold 0.40 fits
     this random corpus; ``max_cell=64`` exercises the r9 FUSED ring cap
-    at driver scale. ``transport="int8"`` (r10) runs every corpus leg
-    on the SQ8 wire - the oracle's ``eq`` CTE dequantizes identically
-    and replays the whole chain on it.
+    at driver scale. ``transport="int8"`` (r10) quantizes in the assign
+    worker and rides the SQ8 wire on every later leg - the oracle's
+    ``eq`` CTE dequantizes identically and replays the whole chain.
     """
     return D.semantic_dedup(load(spark, sf_dir, "embeddings"), max_cell=64,
                             transport="int8")
