@@ -464,3 +464,42 @@ def test_childless_twin_centroid_tolerated_degenerate_still_raises(spark):
     assert len(got) == 12 and 1 not in got.values()  # twin never selected
     with pytest.raises(ValueError, match="captured no children"):
         S.assign_cells(corpus, cents_df([2.0, 0.0, 0.0]), 4).collect()
+
+
+def test_sq8_wire_jvm_matches_worker_quantizer(emb):
+    """The JVM sq8_wire expressions (scalar_quantize_int8's kernel) and
+    the worker-side numpy quantizer (assign_cells transport='int8')
+    are the SAME function, code-for-code and amax-for-amax - including
+    a zero vector (amax 0 -> zero codes) and exact +-amax endpoints."""
+    import numpy as np
+
+    edge = emb.sparkSession.createDataFrame(
+        [(1000, [0.0] * 16, 0), (1001, [1.0, -1.0] + [0.5] * 14, 0)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    df = emb.unionByName(edge)
+    codes, amax = S.sq8_wire("embedding")
+    jvm = {r.vec_id: (list(r.q8), r.amax) for r in
+           df.select("vec_id", codes.alias("q8"), amax.alias("amax")).collect()}
+    for r in df.collect():
+        V = np.asarray(r.embedding, dtype=np.float64)[None, :]
+        am = np.abs(V).max(axis=1)
+        a = np.where(am > 0, am, 1.0)
+        q8 = np.floor(V * 127.0 / a[:, None] + 0.5).astype(np.int8)
+        assert jvm[r.vec_id] == (list(q8[0]), am[0])
+    assert jvm[1000] == ([0] * 16, 0.0)
+    assert jvm[1001][0][:2] == [127, -127]
+
+
+def test_semdedup_int8_plan_shuffles_tinyint_wire(spark):
+    """transport='int8' must carry __q8 ARRAY<TINYINT> + __amax through
+    the checkpoint scan, the cell_id exchange, and the pairwise pipe -
+    the float vector column must be GONE from the whole post-assign
+    plan (the ~4x byte cut is a plan property, not a hope)."""
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = D.semantic_dedup(e, transport="int8")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__q8" in plan and "__amax" in plan
+    assert "embedding" not in plan  # float leg ends at the assign worker
+    assert "Exchange hashpartitioning(cell_id" in plan  # the ONE shuffle
