@@ -163,11 +163,13 @@ def _sq8_roundtrip_np(C):
 
 
 def _q8_mat(pdf):
-    """Dequantize a wire batch: op-for-op the oracle's left-assoc
+    """Dequantize a wire batch (one 64-byte blob per row - BINARY pays
+    no per-element Arrow offsets): op-for-op the oracle's left-assoc
     ``c * amax / 127.0``."""
     import numpy as np
 
-    codes = np.stack(pdf["__q8"].map(np.asarray)).astype(np.float64)
+    codes = np.frombuffer(b"".join(pdf["__q8"]), dtype=np.int8).reshape(
+        len(pdf), -1).astype(np.float64)
     return codes * pdf["__amax"].to_numpy()[:, None] / 127.0
 
 
@@ -239,14 +241,14 @@ def assign_cells(
             out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
             if keep_vec:
                 if transport == "int8":
-                    out["__q8"] = list(q8.astype(np.int8))
+                    out["__q8"] = [c.tobytes() for c in q8.astype(np.int8)]
                     out["__amax"] = amax
                 else:
                     out[vec_col] = pdf[vec_col]
             yield out
 
     if transport == "int8":
-        keep_ddl = ", __q8 ARRAY<TINYINT>, __amax DOUBLE" if keep_vec else ""
+        keep_ddl = ", __q8 BINARY, __amax DOUBLE" if keep_vec else ""
     else:
         keep_ddl = (f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}"
                     if keep_vec else "")

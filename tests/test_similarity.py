@@ -491,7 +491,8 @@ def test_sq8_wire_jvm_matches_worker_quantizer(emb):
 
 
 def test_semdedup_int8_plan_shuffles_tinyint_wire(spark):
-    """transport='int8' must carry __q8 ARRAY<TINYINT> + __amax through
+    """transport='int8' must carry __q8 BINARY (one 64-byte blob per
+    row, no per-element Arrow offsets) + __amax through
     the checkpoint scan, the cell_id exchange, and the pairwise pipe -
     the float vector column must be GONE from the whole post-assign
     plan (the ~4x byte cut is a plan property, not a hope)."""

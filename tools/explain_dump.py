@@ -48,7 +48,7 @@ COMMENTARY = {
     "q_mix_temperature": "Temperature mixing: the language census is a 5-row aggregate broadcast back onto the corpus, so the keep/drop decision is a codegen'd md5-bucket comparison inside the scan stage - a 100 TB re-mix that shuffles nothing but the census.",
     "q_boilerplate": "Cross-doc boilerplate: the DF>=5 shingle census comes back as a broadcast LEFT-join flag, so n_shingles and n_boiler fall out of ONE doc-keyed aggregation - two Generates total, never a third corpus re-explode (explode_outer keeps shingle-less docs in-stream, deleting the old restore-join scan), and no doc-keyed shuffle of raw shingles.",
     "q_shuffle_shard": "Training-order shuffle: the window partitions by the md5-derived shard, so the plan is ONE hash exchange plus per-shard local sort - at 10k shards each sort is corpus/10k and spillable, where a global ORDER BY row_number would funnel everything through one partition.",
-    "q_semdedup": "SemDeDup: the (id, cell, vector) assignment - three-level Arrow-BLAS quantizer, ~3n*cbrt(C) cosines with C derived from the corpus count so cells stay ~250 rows at any scale - is computed once and materialized (localCheckpoint - the partitioned assignment table at scale); pairwise cosine runs as a row-blocked gram matrix per cell group (applyInPandas, ONE cell_id exchange) with the r9 FUSED ring cap bounding same-ring comparisons to sum<=max_cell*n work in-task (23.8x -> 3.46x balanced at 20 M vectors, SCALING.md), and the survivors anti-join is broadcastable under AQE; transport='int8' (r10) quantizes SQ8 in the assign worker so checkpoint/shuffle/pairwise legs carry ~4x fewer bytes. As lazy lineage this planned EIGHT corpus scans; the 2 M-vector probe is 7.0 s, 20 M is 71.3 s (SCALING.md r10).",
+    "q_semdedup": "SemDeDup: the (id, cell, vector) assignment - three-level Arrow-BLAS quantizer, ~3n*cbrt(C) cosines with C derived from the corpus count so cells stay ~250 rows at any scale - is computed once and materialized (localCheckpoint - the partitioned assignment table at scale); pairwise cosine runs as a row-blocked gram matrix per cell group (applyInPandas, ONE cell_id exchange) with the r9 FUSED ring cap bounding same-ring comparisons to sum<=max_cell*n work in-task (23.8x -> 3.46x balanced at 20 M vectors, SCALING.md), and the survivors anti-join is broadcastable under AQE; transport='int8' (r10) quantizes SQ8 in the assign worker so checkpoint/shuffle/pairwise legs carry ~4x fewer bytes. As lazy lineage this planned EIGHT corpus scans; the 2 M-vector probe is 5.2 s, 20 M is 54.1 s (SCALING.md r10).",
     "q_realized_vol": "Realized volatility: the lag window and the aggregation both key on user_id, so one exchange+sort serves both; the squared-log-return map is codegen'd inside the window stage.",
     "q_drawdown": "Max drawdown: running max is a rows-frame window (no self-join); the groupBy reuses the window's user_id exchange - one shuffle end to end.",
     "q_quantize_int8": "int8 scalar quantization: pure per-row higher-order functions over the corpus scan - zero exchanges, zero Python; codes and error audit come out of the same projection.",
