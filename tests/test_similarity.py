@@ -504,3 +504,17 @@ def test_semdedup_int8_plan_shuffles_tinyint_wire(spark):
     assert "__q8" in plan and "__amax" in plan
     assert "embedding" not in plan  # float leg ends at the assign worker
     assert "Exchange hashpartitioning(cell_id" in plan  # the ONE shuffle
+
+
+def test_sq8_reconstruction_error_bounded_per_element(emb):
+    """SQ8 epsilon contract: |x - dequant(quant(x))| <= amax/127/2 + ulp
+    per element (floor(v+0.5) rounds to the nearest code), which is the
+    ~1e-3-cosine figure the semantic_dedup docstring quotes."""
+    import numpy as np
+
+    V = np.stack([np.asarray(r.embedding, np.float64) for r in emb.collect()])
+    Q = S._sq8_roundtrip_np(V)
+    amax = np.abs(V).max(axis=1, keepdims=True)
+    bound = amax / 127.0 / 2.0 * (1 + 1e-9)
+    assert (np.abs(V - Q) <= bound).all()
+    assert (np.abs(V - Q) > bound * 0.5).any()  # bound is tight, not slack
