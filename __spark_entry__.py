@@ -24,32 +24,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-10 allocation: (1) the 28 r7-evidence queries (oldest, age 2);
-# (2) re-checks for CODE CHANGED in round 10: the int8-wire SemDeDup
-# transport + dequantized oracle CTEs (q_semdedup), the sq8_wire reuse
-# (q_quantize_int8), the assign_cells broadcast crossover + _route
-# restructure + ivf_assign clamp + split_hot_cells checkpoint_dir
-# (q_ann_ivf*); (3) r8-evidence fill in registry order - the remaining
-# 26 r8-evidence queries rotate into round 11's prefix.
+# Round-11 allocation: (1) the 25 r8-evidence queries (oldest, age 2);
+# (2) re-checks for CODE CHANGED in round 11: the SQ8 codes-on-disk
+# input mode on assign_cells/semantic_dedup + the _DERIVED_CELLS
+# oracle clamp mirror (q_semdedup, q_ann_ivf*, q_quantize_int8);
+# (3) r9-evidence fill in registry order to 50 - the remaining
+# 26 r9-evidence queries rotate into round 12's prefix.
 _PRIORITY = [
-    # --- 1: r7-evidence cohort (28; oldest driver evidence) ---
-    "q_boilerplate", "q_corpus_prep", "q_count_by_key", "q_csv_snapshot",
-    "q_decontaminate", "q_decontaminate_bloom", "q_dedup_incremental",
-    "q_dedup_lsh_jaccard", "q_dedup_near_pairs", "q_dedup_retention",
-    "q_dedup_simhash_pairs", "q_filter_funnel", "q_having_gate",
-    "q_join_enrich", "q_lag_diff", "q_order_revenue_topk", "q_tpch_q11",
-    "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_window_range", "q_window_variety",
-    # --- 2: code changed in round 10 (re-verify post-change) ---
+    # --- 1: r8-evidence cohort (25; oldest driver evidence) ---
+    "q_chunk_documents", "q_corpus_sample", "q_corpus_split",
+    "q_dedup_jaccard", "q_dedup_near", "q_fingerprint",
+    "q_first_last_value", "q_interval_count", "q_lang_id",
+    "q_media_features", "q_media_summary", "q_merge_upsert",
+    "q_mix_temperature", "q_ohlc_bars", "q_ohlc_rollup",
+    "q_pack_sequences", "q_pit_read", "q_quality_topp",
+    "q_repetition_stats", "q_salted_stats", "q_scd2_history",
+    "q_shuffle_shard", "q_token_count_bpe", "q_tpch_q13", "q_tpch_q16",
+    # --- 2: code changed in round 11 (re-verify post-change) ---
     "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quantize_int8",
-    # --- 3: r8-evidence fill, registry order (18; rest lead round 11) ---
-    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
-    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
-    "q_invariant_check", "q_filter_isin", "q_channel_split",
-    "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
-    "q_latency_cols", "q_grouped_stats", "q_dedup_exact",
-    # --- 4: the remaining r8-evidence cohort follows in registry order
+    # --- 3: r9-evidence fill, registry order (21; rest lead round 12) ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
+    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
+    "q_drawdown", "q_interval_join", "q_correlation", "q_null_guard",
+    "q_try_cast", "q_struct_project", "q_spread", "q_date_partition",
+    "q_to_json", "q_format_string", "q_percentiles", "q_zero_rate",
+    # --- 4: the remaining r9-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]
 

@@ -559,7 +559,8 @@ def semantic_dedup(
     embeddings: DataFrame, num_cells: int | None = None, threshold: float = 0.40,
     id_col: str = "vec_id", vec_col: str = "embedding",
     checkpoint_dir: str | None = None, max_cell: int | None = None,
-    transport: str = "float",
+    transport: str = "float", codes_col: str | None = None,
+    amax_col: str = "__amax",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -592,6 +593,12 @@ def semantic_dedup(
     2.6x fewer survivors on the synthetic x1000 probe corpus); use it
     where dup cosines sit far above threshold (embedded text ~0.95+).
 
+    ``codes_col`` (r11): the input IS ``similarity.sq8_encode`` output
+    (codes on disk) - the float column is never scanned, so the INPUT
+    leg (the last big cost SCALING.md r10 named) rides the ~4x-smaller
+    wire too. Kept-set bit-identical to ``transport="int8"``
+    (pytest-pinned); same SQ8-not-float semantics apply.
+
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
     the pairwise stage is ``applyInPandas`` over cell groups (ONE
     cell_id shuffle), row-blocked lower-triangle BLAS gram per cell
@@ -606,8 +613,10 @@ def semantic_dedup(
     from .similarity import _q8_mat, check_cap, ivf_assign, ring_tiles
 
     max_cell = check_cap(max_cell)
+    wire = transport == "int8" or codes_col is not None
     assign = ivf_assign(embeddings, num_cells, id_col=id_col, vec_col=vec_col,
-                        keep_vec=True, transport=transport)
+                        keep_vec=True, transport=transport,
+                        codes_col=codes_col, amax_col=amax_col)
     if checkpoint_dir is not None:
         _ensure_checkpoint_dir(assign, checkpoint_dir)
         e = assign.checkpoint()
@@ -616,7 +625,7 @@ def semantic_dedup(
 
     def drop_in_cell(pdf):
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        V = _q8_mat(pdf) if transport == "int8" else np.stack(
+        V = _q8_mat(pdf) if wire else np.stack(
             pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
         # greatest(norm, eps): zero vectors score cos 0 (kept), not NaN
         Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)

@@ -33,19 +33,12 @@ def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<numeric> columns."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def l2_norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a,
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -73,11 +66,8 @@ def _broadcast_query_topk(
     out = corpus.crossJoin(F.broadcast(q))
     if pred is not None:
         out = out.where(pred)
-    return (
-        out.select(F.col(id_col), *extra, cos.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return (out.select(F.col(id_col), *extra, cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
 def cosine_topk(
@@ -129,9 +119,11 @@ def _routing_tree(C, Cn, sizes):
         # A childless parent is harmless iff an EARLIER bit-identical
         # twin exists: every cosine ties bit-for-bit, so first-max / the
         # oracle's ORDER-BY-id rule never selects it in either engine.
-        # Anything else is unroutable geometry - fail at build.
+        # Anything else is unroutable geometry - fail at build. Twin
+        # lookup hashes row bytes once (O(C*d), not the O(C^2*d) scan).
+        first = {C[p].tobytes(): p for p in reversed(range(sizes[j]))}
         bad = [p for p in range(sizes[j]) if p not in kids[-1]
-               and not any((C[q] == C[p]).all() for q in range(p))]
+               and first[C[p].tobytes()] == p]
         if bad:
             raise ValueError(f"degenerate centroid geometry: level-{j} "
                              f"{bad[:5]} captured no children")
@@ -173,11 +165,48 @@ def _q8_mat(pdf):
     return codes * pdf["__amax"].to_numpy()[:, None] / 127.0
 
 
+def _sq8_quant_np(V):
+    """(codes int8 2-d, amax 1-d) per row - THE wire quantizer (zero
+    rows -> zero codes, amax stored 0), shared by ``sq8_encode`` and
+    the in-worker transport."""
+    import numpy as np
+
+    amax = np.abs(V).max(axis=1)
+    a = np.where(amax > 0, amax, 1.0)  # zero rows quantize to zero codes
+    return np.floor(V * 127.0 / a[:, None] + 0.5).astype(np.int8), amax
+
+
+def sq8_encode(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the SQ8 wire AT INGEST: (id, __q8 BINARY, __amax).
+    The codes-on-disk producer (SCALING.md r10 named the float input
+    leg as SemDeDup's last big cost): write ONCE to parquet, feed back
+    via ``codes_col="__q8"`` - the float column is never read again
+    and the in-worker quantize disappears. Bit-identical to
+    ``transport="int8"`` (same ``_sq8_quant_np``); ONE narrow
+    mapInPandas, no shuffle - at 100 TB this maps over the ingest scan.
+    """
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            q8, amax = _sq8_quant_np(V)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "__q8": [c.tobytes() for c in q8], "__amax": amax})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} LONG, __q8 BINARY, __amax DOUBLE")
+
+
 def assign_cells(
     embeddings: DataFrame, cents: DataFrame, num_cells: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
     keep_vec: bool = False, transport: str = "float",
     broadcast_threshold_bytes: int = 128 << 20,
+    codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
     """Three-level coarse-quantized nearest-centroid assignment,
     scored by Arrow-batched BLAS.
@@ -203,21 +232,39 @@ def assign_cells(
     bit-for-bit, and ``keep_vec`` emits ``__q8``/``__amax`` - every
     leg AFTER this pass (checkpoint, cell shuffle, pairwise pipe)
     carries ~4x fewer bytes. Cell id remains the disk partition key.
+
+    ``codes_col`` (r11): the input ALREADY carries the SQ8 wire
+    (``sq8_encode`` output, materialized at ingest) - the float column
+    is never read, the worker quantize is skipped (dequant is one
+    frombuffer+reshape per batch), and ``cents`` carries the same two
+    columns (dequantizing them IS the int8 roundtrip: SQ8 is
+    idempotent on its own dequants - the max element always codes to
+    +-127). Assignments + downstream wire bit-identical to
+    ``transport="int8"`` (pytest-pinned). Past
+    ``broadcast_threshold_bytes`` the returned DataFrame exposes the
+    broadcast as ``.assign_broadcast`` - the caller's handle to
+    ``unpersist()`` AFTER materialization (a lazy plan forbids earlier).
     """
     import numpy as np
     import pandas as pd
 
     if transport not in ("float", "int8"):
         raise ValueError(f"transport must be 'float' or 'int8', got {transport!r}")
-    rows = cents.select("cell_id", "cvec").orderBy("cell_id").collect()
+    wire = transport == "int8" or codes_col is not None
+    ccols = ("cell_id", "cvec") if codes_col is None else ("cell_id", codes_col, amax_col)
+    rows = cents.select(*ccols).orderBy("cell_id").collect()
     ids = np.array([r.cell_id for r in rows], dtype=np.int64)
     # routing levels are ID PREFIXES selected by value in the oracle:
     # sparse/offset cell_ids must fail fast, not silently diverge
     if len(ids) != num_cells or not (ids == np.arange(num_cells)).all():
         raise ValueError("cents.cell_id must be exactly 0..num_cells-1")
-    C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
-    if transport == "int8":  # route against what the wire carries
-        C = _sq8_roundtrip_np(C)
+    if codes_col is None:
+        C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
+        if wire:  # route against what the wire carries
+            C = _sq8_roundtrip_np(C)
+    else:  # codes dequantize straight to the wire values (left-assoc = _q8_mat)
+        C = np.stack([np.frombuffer(r[1], dtype=np.int8).astype(np.float64)
+                      * r[2] / 127.0 for r in rows])
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)  # zero-norm -> cos 0
     g1 = _cbrt_ceil(num_cells)
     sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
@@ -230,30 +277,35 @@ def assign_cells(
     def assign(batches):
         ids_, C_, Cn_, kids_ = bv.value if bv is not None else payload
         for pdf in batches:
-            V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            if transport == "int8":  # quantize here; route on the dequant
-                amax = np.abs(V).max(axis=1)
-                a = np.where(amax > 0, amax, 1.0)  # zero rows -> zero codes
-                q8 = np.floor(V * 127.0 / a[:, None] + 0.5)
-                V = q8 * amax[:, None] / 127.0  # op-for-op _q8_mat
+            if codes_col is not None:
+                V = _q8_mat(pdf)
+            else:
+                V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+                if transport == "int8":  # quantize here; route on the dequant
+                    q8, amax = _sq8_quant_np(V)
+                    V = q8.astype(np.float64) * amax[:, None] / 127.0  # op-for-op _q8_mat
             Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
             cell = ids_[_route(C_, Cn_, kids_, sizes, V, Vn, depth)]
             out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
             if keep_vec:
-                if transport == "int8":
-                    out["__q8"] = [c.tobytes() for c in q8.astype(np.int8)]
-                    out["__amax"] = amax
+                if codes_col is not None:
+                    out["__q8"], out["__amax"] = pdf["__q8"], pdf["__amax"]
+                elif transport == "int8":
+                    out["__q8"], out["__amax"] = [c.tobytes() for c in q8], amax
                 else:
                     out[vec_col] = pdf[vec_col]
             yield out
 
-    if transport == "int8":
-        keep_ddl = ", __q8 BINARY, __amax DOUBLE" if keep_vec else ""
-    else:
-        keep_ddl = (f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}"
-                    if keep_vec else "")
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} LONG, cell_id INT" + keep_ddl)
+    keep_ddl = "" if not keep_vec else (
+        ", __q8 BINARY, __amax DOUBLE" if wire else
+        f", {vec_col} {embeddings.schema[vec_col].dataType.simpleString()}")
+    src = embeddings.select(id_col, vec_col) if codes_col is None else (
+        embeddings.select(id_col, F.col(codes_col).alias("__q8"),
+                          F.col(amax_col).alias("__amax")))
+    out = src.mapInPandas(assign, schema=f"{id_col} LONG, cell_id INT" + keep_ddl)
+    if bv is not None:  # release handle: unpersist() after materializing
+        out.assign_broadcast = bv
+    return out
 
 
 def ring_tiles(ids, V, Vn, k: int):
@@ -335,6 +387,7 @@ def ivf_assign(
     id_col: str = "vec_id", vec_col: str = "embedding", keep_vec: bool = False,
     corpus_count: int | None = None, max_cell: int | None = None,
     transport: str = "float", checkpoint_dir: str | None = None,
+    codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
@@ -345,19 +398,24 @@ def ivf_assign(
     32x-for-10x fixed-C wall (SCALING.md); n comes from
     ``corpus_count`` when given, else ONE eager ``count()`` runs here.
     ``max_cell`` ring-splits oversized cells (``split_hot_cells``).
+    ``codes_col``: the input is ``sq8_encode`` output (codes on disk)
+    - centroids are the smallest-id CODE rows, no float column exists.
     """
     max_cell = check_cap(max_cell)
-    if max_cell is not None and transport != "float":
+    if max_cell is not None and (transport != "float" or codes_col is not None):
         raise ValueError("max_cell ring split carries float vectors; use transport='float'")
     if num_cells is None:
         n = corpus_count or embeddings.count()
         # clamped to available centroid rows (ids dense-from-0): a tiny
         # corpus trains on all n vectors instead of failing the strict check
         num_cells = max(1, min(max(8, n // 250), n))
+    payload = (F.col(vec_col).alias("cvec"),) if codes_col is None else (
+        F.col(codes_col), F.col(amax_col))
     cents = embeddings.where(F.col(id_col) < num_cells).select(
-        F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cvec"))
+        F.col(id_col).cast("long").alias("cell_id"), *payload)
     out = assign_cells(embeddings, cents, num_cells, id_col, vec_col,
-                       keep_vec or max_cell is not None, transport)
+                       keep_vec or max_cell is not None, transport,
+                       codes_col=codes_col, amax_col=amax_col)
     if max_cell is not None:  # r9: cap cell sizes (needs vectors to re-route)
         out = split_hot_cells(out, num_cells, max_cell, id_col, vec_col, checkpoint_dir)
         return out if keep_vec else out.drop(vec_col)

@@ -527,8 +527,10 @@ def _ivf_best(prm: str, src: str = "embeddings", pre: str = "") -> str:
          "vmid v JOIN cmap c ON v.mid_id = c.mid_id")}"""
 
 
-# Spark twin: ivf_assign(num_cells=None) - C = max(8, n//250); g1/g2 derived in _ivf_best
-_DERIVED_CELLS = "SELECT GREATEST(8, COUNT(*) // 250) AS c FROM embeddings"
+# Spark twin: ivf_assign(num_cells=None) - C = max(1, min(max(8, n//250), n)),
+# the n<8 clamp mirrored (similarity.py:356 clamps to available centroid rows)
+_DERIVED_CELLS = ("SELECT GREATEST(1, LEAST(GREATEST(8, COUNT(*) // 250),"
+                  " COUNT(*))) AS c FROM embeddings")
 
 # transport="int8" wire view: SQ8 quantize -> dequantize, every op in
 # the exact order of similarity.sq8_wire + _q8_mat (left-assoc

@@ -518,3 +518,67 @@ def test_sq8_reconstruction_error_bounded_per_element(emb):
     bound = amax / 127.0 / 2.0 * (1 + 1e-9)
     assert (np.abs(V - Q) <= bound).all()
     assert (np.abs(V - Q) > bound * 0.5).any()  # bound is tight, not slack
+
+
+def test_sq8_encode_codes_on_disk_assign_bitequal(spark, tmp_path):
+    """r11: the codes-on-disk path. sq8_encode materializes the wire at
+    ingest (parquet roundtrip included - the actual use pattern); feeding
+    it back via codes_col must reproduce transport='int8' BIT-FOR-BIT:
+    same assignments AND the same __q8/__amax wire bytes downstream, on
+    every testdata embeddings table - while never touching the float
+    column (the input literally does not have one)."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sf, "embeddings")
+        path = str(tmp_path / f"codes_{sf.rsplit('sf', 1)[1]}")
+        S.sq8_encode(e).write.parquet(path)
+        codes = spark.read.parquet(path)
+        assert set(codes.columns) == {"vec_id", "__q8", "__amax"}
+        want = {r.vec_id: (r.cell_id, bytes(r["__q8"]), r["__amax"]) for r in
+                S.ivf_assign(e, transport="int8", keep_vec=True).collect()}
+        got = {r.vec_id: (r.cell_id, bytes(r["__q8"]), r["__amax"]) for r in
+               S.ivf_assign(codes, codes_col="__q8", keep_vec=True).collect()}
+        assert got == want and len(got) == e.count()
+
+
+def test_semdedup_codes_col_kept_set_bitequal(spark, tmp_path):
+    """r11 acceptance: semantic_dedup(codes_col=) kept-set == the
+    transport='int8' kept-set, bit-identical (ids AND cells), on all
+    testdata - the oracle needn't move because the results don't."""
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sf, "embeddings")
+        codes = S.sq8_encode(e)
+        want = {(r.vec_id, r.cell_id)
+                for r in D.semantic_dedup(e, transport="int8").collect()}
+        got = {(r.vec_id, r.cell_id)
+               for r in D.semantic_dedup(codes, codes_col="__q8").collect()}
+        assert got == want and len(got) > 0
+
+
+def test_semdedup_codes_col_with_cap_fails_fast(spark):
+    """max_cell's ring split re-routes on float vectors, so the codes
+    path (like transport='int8') must refuse it loudly."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="ring split carries float"):
+        S.ivf_assign(S.sq8_encode(e), codes_col="__q8", max_cell=100)
+
+
+def test_assign_broadcast_release_handle(emb):
+    """r11 (VERDICT nit): past the broadcast crossover the returned
+    DataFrame carries the Broadcast as .assign_broadcast so callers can
+    unpersist() once materialized; the closure path exposes none."""
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec"))
+    out = S.assign_cells(emb, cents, 8, broadcast_threshold_bytes=0)
+    assert out.assign_broadcast is not None
+    n = out.count()
+    out.assign_broadcast.unpersist()  # release after materialization
+    assert n == 64
+    closure = S.assign_cells(emb, cents, 8)
+    assert not hasattr(closure, "assign_broadcast")
