@@ -672,3 +672,39 @@ def test_semantic_dedup_int8_transport_matches_numpy_replay(spark):
     kept = {r.vec_id for r in
             D.semantic_dedup(e, max_cell=64, transport="int8").collect()}
     assert kept == expect and 0 < len(kept) < len(rows)
+
+
+def test_ensure_checkpoint_dir_first_setter_honored():
+    """r10 ADVICE: the order-independent integration test can't see the
+    first-setter case once any earlier test set the session-global dir,
+    so pin _ensure_checkpoint_dir's contract directly: none set -> the
+    REQUESTED dir is set (no warning); same dir re-requested -> no-op,
+    no warning; a DIFFERENT dir -> kept + loud warning, never silently
+    overridden (another operator may still be writing under it)."""
+    import warnings as W
+
+    class _SC:
+        def __init__(self, cur=None):
+            self.cur, self.sets = cur, []
+
+        def getCheckpointDir(self):
+            return self.cur
+
+        def setCheckpointDir(self, d):
+            self.sets.append(d)
+            self.cur = d
+
+    class _DF:
+        def __init__(self, sc):
+            self.sparkSession = type("S", (), {"sparkContext": sc})()
+
+    sc = _SC(None)
+    with W.catch_warnings():
+        W.simplefilter("error")
+        D._ensure_checkpoint_dir(_DF(sc), "/ckpt/a")  # first setter wins
+        assert sc.sets == ["/ckpt/a"] and sc.cur == "/ckpt/a"
+        D._ensure_checkpoint_dir(_DF(sc), "/ckpt/a/")  # same dir: quiet no-op
+        assert sc.sets == ["/ckpt/a"]
+    with pytest.warns(UserWarning, match="already set to /ckpt/a"):
+        D._ensure_checkpoint_dir(_DF(sc), "/ckpt/b")
+    assert sc.cur == "/ckpt/a" and sc.sets == ["/ckpt/a"]  # kept, not overridden

@@ -564,3 +564,37 @@ def test_interval_join_bin_width_accepts_integral_rejects_bool(spark):
     for bad in (True, False, 0, -5, 0.5, "100"):
         with pytest.raises(ValueError, match="positive int"):
             run(bad)
+
+
+def test_scaling_corpus_rebuild_formula_reproduces(spark):
+    """r10 VERDICT optional: replay the SCALING.md probe-corpus rebuild
+    formula (copy i of N rotates embedding coords (0,1) by theta =
+    2*pi*i/N/7, ids offset i*n - the exact /tmp/x100 recipe) at toy
+    scale (x4 of sf0.001) and pin the kept-set counts: the perf
+    ledger's corpora and kernels are reproducible on any box, the way
+    the oracle pins correctness. Constants recorded 2026-08-15 on the
+    round-11 kernels; a change here means the PROBE CORPUS or the
+    dedup kernel semantics moved - re-derive the ledger if intended."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n, copies = base.count(), 4
+    parts = [base.select("vec_id", "embedding")]
+    for i in range(1, copies):
+        th = 2.0 * math.pi * i / copies / 7.0
+        c, s = math.cos(th), math.sin(th)
+        e = F.col("embedding")
+        x, y = F.element_at(e, 1).cast("double"), F.element_at(e, 2).cast("double")
+        rot = F.concat(F.array((x * F.lit(c) - y * F.lit(s)).cast("float")),
+                       F.array((x * F.lit(s) + y * F.lit(c)).cast("float")),
+                       F.slice(e, 3, 62))
+        parts.append(base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                                 rot.alias("embedding")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    assert u.count() == copies * n == 2000
+    assert D.semantic_dedup(u, max_cell=1000).count() == 527
+    assert D.semantic_dedup(u, max_cell=1000, transport="int8").count() == 525
