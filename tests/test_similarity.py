@@ -582,3 +582,26 @@ def test_assign_broadcast_release_handle(emb):
     assert n == 64
     closure = S.assign_cells(emb, cents, 8)
     assert not hasattr(closure, "assign_broadcast")
+
+
+def test_semdedup_codes_plan_never_touches_float(spark, tmp_path):
+    """Plan property for codes-on-disk: the ENTIRE semantic_dedup plan
+    - scan, assign, checkpoint, cell exchange, pairwise - carries only
+    the BINARY wire; no float embedding column exists anywhere (the
+    input-leg cut is a plan fact, not a hope), and the parquet scan
+    reads exactly the three wire columns."""
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "codes")
+    S.sq8_encode(e).write.parquet(path)
+    out = D.semantic_dedup(spark.read.parquet(path), codes_col="__q8")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__q8" in plan and "__amax" in plan
+    assert "embedding" not in plan  # no float leg, input included
+    assert "Exchange hashpartitioning(cell_id" in plan  # still the ONE shuffle
+    # the checkpoint swallows the scan above, so pin it on the assign stage
+    aplan = S.ivf_assign(spark.read.parquet(path), codes_col="__q8",
+                         keep_vec=True)._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in aplan.splitlines() if "Scan parquet" in l)
+    assert "vec_id" in scan and "__q8" in scan and "embedding" not in scan
