@@ -237,9 +237,9 @@ def assign_cells(
     (``sq8_encode`` output, materialized at ingest) - the float column
     is never read, the worker quantize is skipped (dequant is one
     frombuffer+reshape per batch), and ``cents`` carries the same two
-    columns (dequantizing them IS the int8 roundtrip: SQ8 is
-    idempotent on its own dequants - the max element always codes to
-    +-127). Assignments + downstream wire bit-identical to
+    columns (dequantizing them reproduces the int8 roundtrip
+    bit-for-bit: identical codes, amax, and op order - nothing is
+    ever re-quantized). Assignments + downstream wire bit-identical to
     ``transport="int8"`` (pytest-pinned). Past
     ``broadcast_threshold_bytes`` the returned DataFrame exposes the
     broadcast as ``.assign_broadcast`` - the caller's handle to

@@ -346,3 +346,52 @@ def test_quantize_int8_error_bound(spark, vecs):
         else:
             step_half = r.amax / 254.0
             assert r.mse <= step_half * step_half * (1 + 1e-9)
+
+
+vec_strategy = st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                       width=32),
+             min_size=8, max_size=8),
+    min_size=1, max_size=30,
+)
+
+
+@given(vec_strategy)
+@settings(max_examples=50, deadline=None)
+def test_sq8_quantizer_idempotent_on_own_dequants(vecs):
+    """Codes-on-disk keystone (r11): re-quantizing a dequantized wire
+    value reproduces the CODES exactly for any doubles (the max code
+    is 127 and a <=1-ulp amax wobble cannot move floor(q +- tiny +
+    0.5)); for float32-width inputs - the embeddings tables are
+    array<float> - the AMAX and the wire value are bit-for-bit fixed
+    points too, because 127*x is exact in float64 when x carries <= 24
+    significand bits, so (127*x)/127 == x (NOT true for arbitrary
+    doubles: ~2% of random float64 miss by one ulp - measured). Note
+    production bit-equality between codes_col and transport='int8'
+    does not ride on idempotency at all: both paths dequantize the
+    SAME stored codes with the same op order and never re-quantize.
+    Also pins the hard bounds: codes in [-127, 127], amax >= 0, zero
+    rows -> zero codes with amax 0."""
+    import numpy as np
+
+    from real_time_crypto_market_data_pipeline_spark.operators.similarity import (
+        _sq8_quant_np)
+
+    V = np.asarray(vecs, dtype=np.float64)  # float32-width by strategy
+    q1, amax1 = _sq8_quant_np(V)
+    assert q1.dtype == np.int8 and (np.abs(q1.astype(np.int64)) <= 127).all()
+    assert (amax1 >= 0).all()
+    zero = np.abs(V).max(axis=1) == 0
+    assert (q1[zero] == 0).all() and (amax1[zero] == 0).all()
+    deq = q1.astype(np.float64) * amax1[:, None] / 127.0  # the _q8_mat op order
+    q2, amax2 = _sq8_quant_np(deq)
+    assert (q1 == q2).all()  # code idempotency: holds for ANY doubles
+    assert (amax1 == amax2).all()  # bit-equal - float32-width inputs only
+    deq2 = q2.astype(np.float64) * amax2[:, None] / 127.0
+    assert (deq == deq2).all()  # the wire value is a fixed point
+    # and the code claim survives full-precision doubles:
+    rng = np.random.default_rng(hash(V.tobytes()) % 2**32)
+    W = rng.standard_normal(V.shape) * 1e3
+    qa, ama = _sq8_quant_np(W)
+    qb, _ = _sq8_quant_np(qa.astype(np.float64) * ama[:, None] / 127.0)
+    assert (qa == qb).all()
