@@ -605,3 +605,26 @@ def test_semdedup_codes_plan_never_touches_float(spark, tmp_path):
                          keep_vec=True)._jdf.queryExecution().executedPlan().toString()
     scan = next(l for l in aplan.splitlines() if "Scan parquet" in l)
     assert "vec_id" in scan and "__q8" in scan and "embedding" not in scan
+
+
+def test_codes_col_tiny_corpus_clamp_and_reliable_checkpoint(spark, tmp_path):
+    """Codes-mode edge seams: (1) the n<8 derived-cells clamp also
+    holds when centroids come from CODE rows (5-vector corpus trains
+    on all 5); (2) semantic_dedup(codes_col=) composes with a reliable
+    checkpoint_dir, results unchanged vs localCheckpoint."""
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(5)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.cell_id
+           for r in S.ivf_assign(S.sq8_encode(tiny), codes_col="__q8").collect()}
+    assert set(got) == set(range(5)) and all(0 <= c < 5 for c in got.values())
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = S.sq8_encode(e)
+    plain = {(r.vec_id, r.cell_id)
+             for r in D.semantic_dedup(codes, codes_col="__q8").collect()}
+    ck = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
+        codes, codes_col="__q8", checkpoint_dir=str(tmp_path)).collect()}
+    assert ck == plain and len(plain) > 0
