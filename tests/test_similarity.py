@@ -628,3 +628,25 @@ def test_codes_col_tiny_corpus_clamp_and_reliable_checkpoint(spark, tmp_path):
     ck = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
         codes, codes_col="__q8", checkpoint_dir=str(tmp_path)).collect()}
     assert ck == plain and len(plain) > 0
+
+
+def test_codes_col_broadcast_path_matches_closure(spark):
+    """The 128 MB broadcast crossover composes with codes mode: the
+    index payload built from DEQUANTIZED code rows ships identically
+    via closure or SparkContext.broadcast (threshold 0), assignments
+    bit-equal, and the release handle appears on the codes path too."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = S.sq8_encode(e)
+    closure = {r.vec_id: r.cell_id
+               for r in S.ivf_assign(codes, codes_col="__q8").collect()}
+    cents = codes.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), "__q8", "__amax")
+    bdf = S.assign_cells(codes, cents, 8, codes_col="__q8",
+                         broadcast_threshold_bytes=0)
+    bcast = {r.vec_id: r.cell_id for r in bdf.collect()}
+    # same 8-centroid geometry via the default derivation? n=500 derives
+    # C=8 (max(8, 500//250) clamp), so closure and bcast compare 1:1
+    assert bcast == closure and len(bcast) == 500
+    bdf.assign_broadcast.unpersist()
