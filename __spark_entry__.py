@@ -24,31 +24,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-11 allocation: (1) the 25 r8-evidence queries (oldest, age 2);
-# (2) re-checks for CODE CHANGED in round 11: the SQ8 codes-on-disk
-# input mode on assign_cells/semantic_dedup + the _DERIVED_CELLS
-# oracle clamp mirror (q_semdedup, q_ann_ivf*, q_quantize_int8);
-# (3) r9-evidence fill in registry order to 50 - the remaining
-# 26 r9-evidence queries rotate into round 12's prefix.
+# Round-12 allocation: (1) the 26 r9-evidence queries (oldest, age 2);
+# (2) re-checks for CODE CHANGED in round 12: the kept-direct SemDeDup
+# tail + incremental semantic dedup (q_semdedup, q_semdedup_incremental)
+# and the assign_cells/ivf_topk codes-path touches (q_ann_ivf,
+# q_ann_ivf_kmeans); (3) r10-evidence fill in registry order to 50 -
+# the remaining 26 r10-evidence queries rotate into round 13's prefix.
 _PRIORITY = [
-    # --- 1: r8-evidence cohort (25; oldest driver evidence) ---
-    "q_chunk_documents", "q_corpus_sample", "q_corpus_split",
-    "q_dedup_jaccard", "q_dedup_near", "q_fingerprint",
-    "q_first_last_value", "q_interval_count", "q_lang_id",
-    "q_media_features", "q_media_summary", "q_merge_upsert",
-    "q_mix_temperature", "q_ohlc_bars", "q_ohlc_rollup",
-    "q_pack_sequences", "q_pit_read", "q_quality_topp",
-    "q_repetition_stats", "q_salted_stats", "q_scd2_history",
-    "q_shuffle_shard", "q_token_count_bpe", "q_tpch_q13", "q_tpch_q16",
-    # --- 2: code changed in round 11 (re-verify post-change) ---
-    "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans", "q_quantize_int8",
-    # --- 3: r9-evidence fill, registry order (21; rest lead round 12) ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
-    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
-    "q_drawdown", "q_interval_join", "q_correlation", "q_null_guard",
-    "q_try_cast", "q_struct_project", "q_spread", "q_date_partition",
-    "q_to_json", "q_format_string", "q_percentiles", "q_zero_rate",
-    # --- 4: the remaining r9-evidence cohort follows in registry order
+    # --- 1: r9-evidence cohort (26; oldest driver evidence) ---
+    "q_ann_lsh_buckets", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
+    "q_dedup_clusters", "q_dedup_embed", "q_part_brand_stats",
+    "q_profile_columns", "q_quality_score", "q_scrub_text",
+    "q_sketch_distinct", "q_stale_stats", "q_supplier_region",
+    "q_tfidf", "q_token_stats", "q_topk_per_group",
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_unpivot_percentiles",
+    # --- 2: code changed in round 12 (re-verify post-change) ---
+    "q_semdedup", "q_semdedup_incremental", "q_ann_ivf", "q_ann_ivf_kmeans",
+    # --- 3: r10-evidence fill, registry order (20; rest lead round 13) ---
+    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
+    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
+    "q_invariant_check", "q_filter_isin", "q_channel_split",
+    "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
+    "q_latency_cols", "q_count_by_key", "q_grouped_stats", "q_lag_diff",
+    "q_window_range",
+    # --- 4: the remaining r10-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]
 
