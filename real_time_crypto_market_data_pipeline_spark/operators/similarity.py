@@ -120,10 +120,13 @@ def _routing_tree(C, Cn, sizes):
         # twin exists: every cosine ties bit-for-bit, so first-max / the
         # oracle's ORDER-BY-id rule never selects it in either engine.
         # Anything else is unroutable geometry - fail at build. Twin
-        # lookup hashes row bytes once (O(C*d), not the O(C^2*d) scan).
-        first = {C[p].tobytes(): p for p in reversed(range(sizes[j]))}
+        # lookup hashes row bytes once (O(C*d), not the O(C^2*d) scan);
+        # +0.0 collapses -0.0/+0.0 (cosine-identical, byte-distinct).
+        # Byte-identical NaN rows do count as twins - a NaN centroid is
+        # degenerate either way and never routes first-max.
+        first = {(C[p] + 0.0).tobytes(): p for p in reversed(range(sizes[j]))}
         bad = [p for p in range(sizes[j]) if p not in kids[-1]
-               and first[C[p].tobytes()] == p]
+               and first[(C[p] + 0.0).tobytes()] == p]
         if bad:
             raise ValueError(f"degenerate centroid geometry: level-{j} "
                              f"{bad[:5]} captured no children")
@@ -176,6 +179,16 @@ def _sq8_quant_np(V):
     return np.floor(V * 127.0 / a[:, None] + 0.5).astype(np.int8), amax
 
 
+def carry_broadcast(dst: DataFrame, src: DataFrame) -> DataFrame:
+    """Re-attach ``src.assign_broadcast`` (the post-crossover release
+    handle, a plain Python attribute LOST on any derived frame) to
+    ``dst`` so callers that wrap ``assign_cells`` keep an unpersist path."""
+    bv = getattr(src, "assign_broadcast", None)
+    if bv is not None:
+        dst.assign_broadcast = bv
+    return dst
+
+
 def sq8_encode(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
@@ -197,8 +210,9 @@ def sq8_encode(
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "__q8": [c.tobytes() for c in q8], "__amax": amax})
 
+    id_ddl = embeddings.schema[id_col].dataType.simpleString()  # not LONG-only
     return embeddings.select(id_col, vec_col).mapInPandas(
-        enc, schema=f"{id_col} LONG, __q8 BINARY, __amax DOUBLE")
+        enc, schema=f"{id_col} {id_ddl}, __q8 BINARY, __amax DOUBLE")
 
 
 def assign_cells(
@@ -417,8 +431,8 @@ def ivf_assign(
                        keep_vec or max_cell is not None, transport,
                        codes_col=codes_col, amax_col=amax_col)
     if max_cell is not None:  # r9: cap cell sizes (needs vectors to re-route)
-        out = split_hot_cells(out, num_cells, max_cell, id_col, vec_col, checkpoint_dir)
-        return out if keep_vec else out.drop(vec_col)
+        split = split_hot_cells(out, num_cells, max_cell, id_col, vec_col, checkpoint_dir)
+        return carry_broadcast(split if keep_vec else split.drop(vec_col), out)
     return out
 
 

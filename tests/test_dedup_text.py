@@ -708,3 +708,38 @@ def test_ensure_checkpoint_dir_first_setter_honored():
     with pytest.warns(UserWarning, match="already set to /ckpt/a"):
         D._ensure_checkpoint_dir(_DF(sc), "/ckpt/b")
     assert sc.cur == "/ckpt/a" and sc.sets == ["/ckpt/a"]  # kept, not overridden
+
+
+def test_semantic_dedup_kept_direct_matches_anti_join_tail(spark):
+    """r12 kept-direct fold: the kernel now emits KEPT (id, cell_id)
+    rows directly; the retired tail returned DROPPED ids and
+    anti-joined the (checkpointed) assignment. The kept-set must be
+    bit-equal across both tails - same ids AND same cell ids - on both
+    the float and the SQ8 wire transports, rings fused."""
+    import numpy as np
+
+    from real_time_crypto_market_data_pipeline_spark.operators.similarity import (
+        _q8_mat, ivf_assign)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for transport in ("float", "int8"):
+        new = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
+            e, threshold=0.40, max_cell=64, transport=transport).collect()}
+
+        wire = transport == "int8"
+
+        def drop_in_cell(pdf):  # the retired r11 tail, verbatim semantics
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
+            V = _q8_mat(pdf) if wire else np.stack(
+                pdf["embedding"].map(lambda v: np.asarray(v, np.float64)))
+            Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+            dropped = D._dropped_tri(V, Vn, pdf["vec_id"].to_numpy(), 0.40, 64)
+            return pdf.loc[dropped, ["vec_id"]]
+
+        assign = ivf_assign(e, keep_vec=True, transport=transport).localCheckpoint()
+        dropped = assign.groupBy("cell_id").applyInPandas(
+            drop_in_cell, schema="vec_id long")
+        old = {(r.vec_id, int(r.cell_id)) for r in
+               assign.join(dropped, "vec_id", "left_anti")
+               .select("vec_id", "cell_id").collect()}
+        assert new == old and 0 < len(new) < e.count()

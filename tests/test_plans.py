@@ -358,13 +358,16 @@ def test_interval_join_each_source_scanned_once(spark):
 
 
 def test_semdedup_assignment_materialized_once(spark):
-    # the (id, cell, vector) assignment is localCheckpoint'd before
-    # its three uses; as lazy lineage the final plan re-derived it
-    # per use (eight corpus scans). The returned plan must read the
-    # materialized copy, not parquet.
+    # r12 kept-direct tail: the kernel emits KEPT rows, so the
+    # assignment has exactly ONE consumer and the whole dedup is one
+    # unbroken pipeline - scan -> assign -> ONE cell_id exchange ->
+    # kernel. No eager checkpoint copy, no anti-join stage, and the
+    # corpus is scanned exactly once (the old tail's two-use lineage
+    # needed a localCheckpoint to avoid eight re-derived scans).
     plan = physical(QUERIES["q_semdedup"](spark, SF))
-    assert plan.count("FileScan parquet") == 0
-    assert "ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
 
 
 def test_boilerplate_two_scans_no_restore_join(spark):

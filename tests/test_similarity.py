@@ -493,17 +493,21 @@ def test_sq8_wire_jvm_matches_worker_quantizer(emb):
 def test_semdedup_int8_plan_shuffles_tinyint_wire(spark):
     """transport='int8' must carry __q8 BINARY (one 64-byte blob per
     row, no per-element Arrow offsets) + __amax through
-    the checkpoint scan, the cell_id exchange, and the pairwise pipe -
-    the float vector column must be GONE from the whole post-assign
-    plan (the ~4x byte cut is a plan property, not a hope)."""
+    the cell_id exchange and the pairwise pipe - the float vector
+    column must be GONE from everything ABOVE the assign MapInPandas
+    (the ~4x byte cut is a plan property, not a hope). r12: the whole
+    dedup is ONE unbroken pipeline - scan -> assign -> one exchange ->
+    kept-direct kernel; no checkpoint scan, no anti-join stage."""
     from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = D.semantic_dedup(e, transport="int8")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "__q8" in plan and "__amax" in plan
-    assert "embedding" not in plan  # float leg ends at the assign worker
+    post_assign = plan.split("+- MapInPandas")[0]  # everything above assign
+    assert "__q8" in post_assign and "__amax" in post_assign
+    assert "embedding" not in post_assign  # float leg ends at the assign worker
     assert "Exchange hashpartitioning(cell_id" in plan  # the ONE shuffle
+    assert plan.count("Exchange") == 1 and "Join" not in plan  # kept-direct
 
 
 def test_sq8_reconstruction_error_bounded_per_element(emb):
