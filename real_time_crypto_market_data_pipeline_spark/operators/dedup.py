@@ -42,17 +42,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
-        .agg(
-            F.min("doc_id").cast("long").alias("doc_id"),
-            F.count(F.lit(1)).cast("long").alias("n_copies"),
-        )
-    )
+        .agg(F.min("doc_id").cast("long").alias("doc_id"),
+             F.count(F.lit(1)).cast("long").alias("n_copies")))
 
 
 def incremental_dedup(
-    batch: DataFrame,
-    corpus: DataFrame,
-    text_col: str = "text",
+    batch: DataFrame, corpus: DataFrame, text_col: str = "text",
 ) -> DataFrame:
     """X1 (ingest form): admit only batch docs new to the corpus.
 
@@ -70,18 +65,14 @@ def incremental_dedup(
     """
     b = (
         batch.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").cast("long").alias("doc_id"))
-    )
+        .groupBy("text_hash").agg(F.min("doc_id").cast("long").alias("doc_id")))
     seen = corpus.select(F.md5(F.col(text_col)).alias("text_hash"))
     return b.join(seen, "text_hash", "left_anti").select("doc_id", "text_hash")
 
 
 def minhash_wide(
-    docs: DataFrame,
-    text_col: str = "text",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    shingle_n: int = 3,
+    docs: DataFrame, text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3,
 ) -> DataFrame:
     """X2 stage 1: MinHash signature matrix, one row per doc.
 
@@ -96,20 +87,14 @@ def minhash_wide(
     toks = tokens_col(F.col(text_col))
     sh = word_shingles(toks, shingle_n)
     exploded = spread_for_fanout(docs).select(
-        "doc_id", F.explode(sh).alias("shingle")
-    )
+        "doc_id", F.explode(sh).alias("shingle"))
     return exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig{j}")
-            for j in range(num_hashes)
-        ]
-    )
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig{j}")
+          for j in range(num_hashes)])
 
 
 def minhash_signature_col(
-    text_col: Column,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    shingle_n: int = 3,
+    text_col: Column, num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3,
 ) -> Column:
     """Row-local MinHash signature as ONE concatenated string Column.
 
@@ -130,22 +115,17 @@ def minhash_signature_col(
     def _seed_hash(prefix: str):
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    sigs = [
-        F.array_min(F.transform(sh, _seed_hash(f"{j}|")))
-        for j in range(num_hashes)
-    ]
+    sigs = [F.array_min(F.transform(sh, _seed_hash(f"{j}|")))
+            for j in range(num_hashes)]
     return F.when(F.size(sh) > 0, F.concat_ws("", *sigs)).otherwise(
-        F.concat(F.lit("raw|"), F.md5(text_col))
-    )
+        F.concat(F.lit("raw|"), F.md5(text_col)))
 
 
 # (The long-form signature-matrix + banding composition moved to
 # tests/_reference_impls.py in r6: it cross-checks the fused plan below.)
 def lsh_bucket_table(
-    docs: DataFrame,
-    text_col: str = "text",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    band_rows: int = DEFAULT_BAND_ROWS,
+    docs: DataFrame, text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES, band_rows: int = DEFAULT_BAND_ROWS,
     shingle_n: int = 3,
 ) -> DataFrame:
     """X2 stages 1+2 fused: docs -> (doc_id, band, bucket).
@@ -156,23 +136,16 @@ def lsh_bucket_table(
     reference implementation in tests/_reference_impls.py.
     """
     wide = minhash_wide(docs, text_col, num_hashes, shingle_n)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                F.md5(
-                    F.concat(
-                        F.lit(f"{b}|"),
-                        *[F.col(f"sig{b * band_rows + r}") for r in range(band_rows)],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(num_hashes // band_rows)
-        ]
-    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.concat(
+                F.lit(f"{b}|"),
+                *[F.col(f"sig{b * band_rows + r}") for r in range(band_rows)],
+            )).alias("bucket"))
+        for b in range(num_hashes // band_rows)])
     return wide.select("doc_id", F.explode(bands).alias("_b")).select(
-        "doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
-    )
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
@@ -187,16 +160,11 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     return (
         a.join(b, on=["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct())
 
 
-def simhash(
-    docs: DataFrame, text_col: str = "text", bits: int = 32
-) -> DataFrame:
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """X2 (SimHash family): 32-bit SimHash fingerprint per document.
 
     token hash = first 8 hex chars of md5 (32-bit, engine-portable via
@@ -206,11 +174,9 @@ def simhash(
     groupBy(doc_id, bit) with partial aggregation.
     """
     tok = spread_for_fanout(docs).select(
-        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
-    )
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token"))
     hashed = tok.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-    )
+        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint"))
     per_bit = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
@@ -225,23 +191,15 @@ def simhash(
     )
     votes = per_bit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
     return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+        F.sum(F.when(F.col("s") > 0,
+                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+              .otherwise(F.lit(0).cast("bigint")))
+        .cast("long").alias("simhash"))
 
 
 def jaccard_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    shingle_n: int = 3,
-    top_k: int | None = 20,
-    min_jaccard: float | None = None,
+    docs: DataFrame, text_col: str = "text", shingle_n: int = 3,
+    top_k: int | None = 20, min_jaccard: float | None = None,
     max_df: int | None = None,
 ) -> DataFrame:
     """X2 (verify): n-gram Jaccard similarity for co-shingled pairs.
@@ -266,12 +224,9 @@ def jaccard_pairs(
     sh = (
         spread_for_fanout(docs).select(
             "doc_id",
-            F.explode(
-                word_shingles(tokens_col(F.col(text_col)), shingle_n)
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+            F.explode(word_shingles(tokens_col(F.col(text_col)),
+                                    shingle_n)).alias("shingle"))
+        .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         # df-pruning: a shingle appearing in >max_df docs contributes
@@ -279,12 +234,8 @@ def jaccard_pairs(
         # stopword-shingle skew key); drop it before the self-join.
         # NOTE: |A| and |B| keep the full shingle sets, so pruned
         # jaccard is a LOWER bound of the exact value.
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
-        )
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
@@ -297,15 +248,10 @@ def jaccard_pairs(
     jac = (
         inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
+        .select("doc_a", "doc_b",
+                (F.col("inter").cast("double")
+                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+                 ).alias("jaccard")))
     if min_jaccard is not None:
         jac = jac.where(F.col("jaccard") >= min_jaccard)
     if top_k is not None:
@@ -314,10 +260,8 @@ def jaccard_pairs(
 
 
 def embedding_near_dup(
-    embeddings: DataFrame,
-    block_col: str = "label",
-    threshold: float | None = None,
-    top_k: int | None = 20,
+    embeddings: DataFrame, block_col: str = "label",
+    threshold: float | None = None, top_k: int | None = 20,
 ) -> DataFrame:
     """X2 (embedding family): cosine near-dup pairs within blocking keys.
 
@@ -355,11 +299,8 @@ def embedding_near_dup(
 
 
 def lsh_jaccard_dedup(
-    docs: DataFrame,
-    text_col: str = "text",
-    min_jaccard: float = 0.5,
-    shingle_n: int = 3,
-    broadcast_max_candidates: int = 200_000,
+    docs: DataFrame, text_col: str = "text", min_jaccard: float = 0.5,
+    shingle_n: int = 3, broadcast_max_candidates: int = 200_000,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates -> exact Jaccard verify -> dup pairs.
 
@@ -380,8 +321,7 @@ def lsh_jaccard_dedup(
     over the persisted pair list, not a recompute of the minhash agg.
     """
     cands = lsh_candidate_pairs(
-        lsh_bucket_table(docs, text_col, shingle_n=shingle_n)
-    ).persist()
+        lsh_bucket_table(docs, text_col, shingle_n=shingle_n)).persist()
     try:
         n_cands = cands.count()
     except Exception:
@@ -410,13 +350,9 @@ def lsh_jaccard_dedup(
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     denom = (F.size("sh_a") + F.size("sh_b") - n_common).cast("double")
     return (
-        paired.select(
-            "doc_a",
-            "doc_b",
-            (n_common.cast("double") / denom).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
-    )
+        paired.select("doc_a", "doc_b",
+                      (n_common.cast("double") / denom).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard))
 
 
 def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
@@ -436,11 +372,8 @@ def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
 
 
 def connected_components(
-    pairs: DataFrame,
-    max_iterations: int = 20,
-    id_a: str = "doc_a",
-    id_b: str = "doc_b",
-    checkpoint_dir: str | None = None,
+    pairs: DataFrame, max_iterations: int = 20, id_a: str = "doc_a",
+    id_b: str = "doc_b", checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pairs.
 
@@ -478,8 +411,7 @@ def connected_components(
         # candidate labels: own label plus every neighbor's label
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .select(F.col("src").alias("doc_id"), F.col("component"))
-        )
+            .select(F.col("src").alias("doc_id"), F.col("component")))
         new_labels = _persist_round(
             labels.select("doc_id", "component")
             .unionByName(neighbor_labels)
@@ -487,13 +419,8 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "doc_id"
-            )
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .where(F.col("component") != F.col("old")).limit(1).count())
         labels = new_labels
         if changed == 0:
             break
@@ -501,10 +428,7 @@ def connected_components(
 
 
 def simhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    max_hamming: int = 3,
-    bits: int = 32,
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bits: int = 32,
 ) -> DataFrame:
     """X2 (SimHash family): near-dup pairs by fingerprint Hamming ball.
 
@@ -538,30 +462,24 @@ def simhash_pairs(
         ).alias("_b"),
     ).select("doc_id", "simhash", F.col("_b.band").alias("band"), F.col("_b.bv").alias("bv"))
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bv"
-    )
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bv")
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bv"
-    )
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bv")
     cand = (
         a.join(b, ["band", "bv"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
+        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct())
     hamming = F.bit_count(F.expr("sim_a ^ sim_b")).cast("long")
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
-    )
+        F.col("hamming") <= max_hamming)
 
 
 def _dropped_tri(V, Vn, ids, threshold: float, max_cell: int | None):
-    """Lower-triangle SemDeDup mask over one (position-ordered) group:
-    row i drops iff any EARLIER row scores cosine >= threshold. Row
-    blocks bound the gram (~50x faster per dot than the fold self-join);
-    ``max_cell`` fuses the quantile ring split (``similarity.ring_tiles``)
-    so only same-ring pairs compare. Shared by the one-shot kernel and
-    the incremental kernel (which sorts seen rows first)."""
+    """Lower-triangle SemDeDup mask over one position-ordered group:
+    row i drops iff any EARLIER row scores cosine >= threshold; 1024-row
+    blocks bound the BLAS gram; ``max_cell`` fuses the quantile ring
+    split (``similarity.ring_tiles``) so only same-ring pairs compare.
+    Shared by the one-shot and incremental (seen-rows-first) kernels."""
     import numpy as np
 
     from .similarity import ring_tiles
@@ -575,9 +493,9 @@ def _dropped_tri(V, Vn, ids, threshold: float, max_cell: int | None):
     dropped = np.zeros(n, dtype=bool)
     for idx in groups:
         W, Wn = V[idx], Vn[idx]
-        for lo in range(0, len(idx), 1024):  # row blocks bound the gram
+        for lo in range(0, len(idx), 1024):
             hi = min(lo + 1024, len(idx))
-            # lower-triangle: rows lo..hi compare against columns < hi only
+            # rows lo..hi compare against columns < hi only (triangle)
             S = (W[lo:hi] @ W[:hi].T) / np.outer(Wn[lo:hi], Wn[:hi])
             tri = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
             dropped[idx[lo:hi]] = ((S >= threshold) & tri).any(axis=1)
@@ -593,52 +511,43 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
-    The two-stage policy of Abbas et al. 2023 ("SemDeDup"): cluster the
-    corpus (the deterministic three-level IVF assignment, so the whole
-    pipeline is oracle-checkable; k-means centroids in production), then
-    inside each cluster drop every vector with a lower-id neighbor at
-    cosine >= ``threshold``. Returns the KEPT (id, cell_id).
-
-    ``num_cells=None`` derives C = max(8, n // 250): cells hold ~250
-    vectors at any scale, keeping within-cell pairwise work linear in n
-    (a FIXED C is the measured 32x-for-10x quadratic wall, SCALING.md).
-    ``max_cell`` (OPT-IN; default None = exact within-cell dedup, since
-    the cap changes results - near-dup pairs straddling a ring boundary
-    survive; pass 1000 = 4x the design cell at scale) bounds dense
-    cells by FUSING the quantile ring split (``similarity.ring_tiles``)
-    into the pairwise kernel: rings are computed in-task, only
-    same-ring pairs compared - zero extra passes where the physical
-    split regressed (SCALING.md r9); output keeps the PARENT cell,
-    kept-sets identical to the physical split either way.
+    Abbas et al. 2023: cluster the corpus (deterministic three-level
+    IVF assignment, so the whole pipeline is oracle-checkable; k-means
+    in production), then inside each cluster drop every vector with a
+    lower-id neighbor at cosine >= ``threshold``. Returns KEPT
+    (id, cell_id). ``num_cells=None`` derives C = max(8, n // 250):
+    ~250-vector cells at any scale keep within-cell pairwise work
+    linear in n (FIXED C is the measured 32x-for-10x quadratic wall,
+    SCALING.md). ``max_cell`` (OPT-IN; the cap changes results -
+    near-dup pairs straddling a ring boundary survive; 1000 = 4x the
+    design cell at scale) bounds dense cells by FUSING the quantile
+    ring split (``similarity.ring_tiles``) into the pairwise kernel -
+    zero extra passes where the physical split regressed (SCALING.md
+    r9); output keeps the PARENT cell, kept-set identical either way.
 
     ``transport="int8"`` quantizes SQ8 in the assign worker (numpy;
-    the JVM-HOF form lost 17x, SCALING.md r10) and moves every leg
-    AFTER it - assign pipe out, checkpoint, cell shuffle, pairwise
-    pipe - onto the int8 wire (~4x fewer bytes than float32), with
-    assignment, rings, and pairwise cosines on the DEQUANTIZED values -
-    deterministic, oracle-replayable bit-for-bit. The kept-set is the
-    SQ8 corpus's, NOT float's: on corpora with cosine mass near the
-    threshold the ~1e-3 quantization shift moves MANY pairs (measured
-    2.6x fewer survivors on the synthetic x1000 probe corpus); use it
-    where dup cosines sit far above threshold (embedded text ~0.95+).
-
-    ``codes_col`` (r11): the input IS ``similarity.sq8_encode`` output
-    (codes on disk) - the float column is never scanned, so the INPUT
-    leg (the last big cost SCALING.md r10 named) rides the ~4x-smaller
-    wire too. Kept-set bit-identical to ``transport="int8"``
-    (pytest-pinned); same SQ8-not-float semantics apply.
+    the JVM-HOF form lost 17x, SCALING.md r10) and moves every later
+    leg - cell shuffle, pairwise pipe - onto the int8 wire (~4x fewer
+    bytes), with assignment, rings, and pairwise cosines on the
+    DEQUANTIZED values: deterministic, oracle-replayable bit-for-bit.
+    The kept-set is the SQ8 corpus's, NOT float's - near-threshold
+    cosine mass moves (2.6x fewer survivors on the synthetic x1000
+    probe); use where dup cosines sit far above threshold (embedded
+    text ~0.95+). ``codes_col`` (r11): the input IS ``sq8_encode``
+    output (codes on disk) - the float column is never scanned, so the
+    INPUT leg rides the small wire too; kept-set bit-identical to
+    ``transport="int8"`` (pytest-pinned).
 
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
     the pairwise stage is ``applyInPandas`` over cell groups (ONE
     cell_id shuffle), row-blocked lower-triangle BLAS gram per cell
     (~50x faster per dot than the r7 fold self-join). The kernel emits
-    the KEPT rows directly (r12; -1.3 s + one stage at 20M vs the old
-    dropped-ids + anti-join tail, kept-set bit-equal, pytest-pinned),
-    so the assignment has ONE consumer and streams straight into the
-    cell shuffle - no eager copy; pass ``checkpoint_dir`` on a cluster
-    to materialize it reliably (HDFS/S3) before the pairwise stage.
-    Threshold is corpus-calibrated: random vectors top out ~0.49
-    within-cell, text ~0.95+.
+    KEPT rows directly (r12; -1.3 s + one stage at 20M vs the old
+    dropped-ids + anti-join tail, bit-equal, pytest-pinned), so the
+    assignment has ONE consumer and streams straight into the cell
+    shuffle - no eager copy; pass ``checkpoint_dir`` on a cluster for
+    reliable materialization. Threshold is corpus-calibrated: random
+    vectors top out ~0.49 within-cell, text ~0.95+.
     """
     import numpy as np
 
@@ -667,3 +576,89 @@ def semantic_dedup(
     kept = e.groupBy("cell_id").applyInPandas(
         keep_in_cell, schema=f"{id_col} long, cell_id int")
     return carry_broadcast(kept, assign)
+
+
+def semantic_index_build(
+    embeddings: DataFrame, index_dir: str, num_cells: int | None = None,
+    threshold: float = 0.40, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> int:
+    """Build + persist the incremental-SemDeDup index: one-shot
+    ``semantic_dedup`` over the seed corpus on the SQ8 codes wire, then
+    write ``{index_dir}/centroids`` (routing codes) and ``{index_dir}/
+    kept`` (survivors' codes, partitioned by cell_id - the probe's
+    pruning key). Seed ids dense-from-0 (the deterministic trainer's
+    contract; production swaps in k-means). Returns num_cells."""
+    from .similarity import sq8_encode
+
+    codes = sq8_encode(embeddings, id_col, vec_col).localCheckpoint()
+    if num_cells is None:
+        n = codes.count()
+        num_cells = max(1, min(max(8, n // 250), n))
+    kept = semantic_dedup(codes, num_cells, threshold, id_col=id_col,
+                          codes_col="__q8")
+    codes.where(F.col(id_col) < num_cells).select(
+        F.col(id_col).cast("long").alias("cell_id"), "__q8", "__amax"
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    codes.join(kept, id_col).select(id_col, "cell_id", "__q8", "__amax") \
+        .write.mode("overwrite").partitionBy("cell_id").parquet(f"{index_dir}/kept")
+    return num_cells
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame, index_dir: str, threshold: float = 0.40,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    update_index: bool = True, checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Batch-over-time SemDeDup: admit only batch vectors NOT within
+    ``threshold`` of a kept (index) vector or an earlier (lower-id)
+    vector of the same batch - the seen-set is FIXED (a survivor is
+    never re-dropped, even by a lower-id arrival). Per-batch cost is
+    O(batch x cell-residents), never O(corpus^2), never a corpus
+    rescan: (a) encode the batch to SQ8 codes, (b) assign via the
+    saved centroid codes (one narrow mapInPandas), (c) probe ONLY the
+    cells the batch routed to - ``kept/`` is partitioned by cell_id,
+    so the isin filter partition-prunes (test-pinned), (d) the kernel
+    sorts seen rows first and reuses the lower-triangle gram; admitted
+    survivors' codes append to the index. Ids globally unique across
+    batches (monotone ingest ids = the one-shot min-id rule;
+    batches-equal-one-shot is pytest-pinned)."""
+    import numpy as np
+
+    from .similarity import _q8_mat, assign_cells, sq8_encode
+
+    spark = batch.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    num_cells = cents.count()
+    codes = sq8_encode(batch, id_col, vec_col)
+    assigned = assign_cells(codes, cents, num_cells, id_col=id_col,
+                            keep_vec=True, codes_col="__q8")
+    if checkpoint_dir is not None:  # reliable multi-use materialization
+        _ensure_checkpoint_dir(assigned, checkpoint_dir)
+        assigned = assigned.checkpoint()
+    else:
+        assigned = assigned.localCheckpoint()
+    # probed cells: bounded by min(C, |batch|) - an index-scale collect
+    cells = sorted(r[0] for r in assigned.select("cell_id").distinct().collect())
+    kept = (spark.read.parquet(f"{index_dir}/kept")
+            .where(F.col("cell_id").isin(cells)))  # partition-pruned probe
+    both = kept.select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
+                       "__q8", "__amax", F.lit(1).alias("__seen")).unionByName(
+        assigned.select(id_col, "cell_id", "__q8", "__amax",
+                        F.lit(0).alias("__seen")))
+
+    def keep_new_in_cell(pdf):
+        pdf = pdf.sort_values(["__seen", id_col], ascending=[False, True],
+                              ignore_index=True)
+        V = _q8_mat(pdf)
+        Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+        dropped = _dropped_tri(V, Vn, pdf[id_col].to_numpy(), threshold, None)
+        return pdf.loc[~dropped & (pdf["__seen"].to_numpy() == 0),
+                       [id_col, "cell_id"]]
+
+    admitted = both.groupBy("cell_id").applyInPandas(
+        keep_new_in_cell, schema=f"{id_col} long, cell_id int").localCheckpoint()
+    if update_index:  # advance the seen-set: append survivors' codes
+        assigned.join(admitted, id_col, "left_semi").select(
+            id_col, "cell_id", "__q8", "__amax"
+        ).write.mode("append").partitionBy("cell_id").parquet(f"{index_dir}/kept")
+    return admitted

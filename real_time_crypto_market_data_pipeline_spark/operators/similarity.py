@@ -238,26 +238,23 @@ def assign_cells(
     once driver-side and ships in the task closure, or - past
     ``broadcast_threshold_bytes`` (128 MB, SCALING.md's C~2.5e5
     closure-reserialization crossover) - as ONE torrent-shipped
-    ``SparkContext.broadcast`` per executor. ``transport="int8"``:
-    vectors are SQ8-quantized IN THE WORKER (vectorized numpy - the
-    JVM-HOF form of ``sq8_wire`` measured 17x slower at 2M, SCALING.md
-    r10), the descent routes on the DEQUANTIZED values (centroids
-    round-tripped identically) so a dequantizing oracle replays
-    bit-for-bit, and ``keep_vec`` emits ``__q8``/``__amax`` - every
-    leg AFTER this pass (checkpoint, cell shuffle, pairwise pipe)
-    carries ~4x fewer bytes. Cell id remains the disk partition key.
-
-    ``codes_col`` (r11): the input ALREADY carries the SQ8 wire
-    (``sq8_encode`` output, materialized at ingest) - the float column
-    is never read, the worker quantize is skipped (dequant is one
-    frombuffer+reshape per batch), and ``cents`` carries the same two
-    columns (dequantizing them reproduces the int8 roundtrip
-    bit-for-bit: identical codes, amax, and op order - nothing is
-    ever re-quantized). Assignments + downstream wire bit-identical to
-    ``transport="int8"`` (pytest-pinned). Past
-    ``broadcast_threshold_bytes`` the returned DataFrame exposes the
-    broadcast as ``.assign_broadcast`` - the caller's handle to
+    ``SparkContext.broadcast`` per executor, exposed on the returned
+    DataFrame as ``.assign_broadcast``: the caller's handle to
     ``unpersist()`` AFTER materialization (a lazy plan forbids earlier).
+
+    ``transport="int8"``: vectors SQ8-quantize IN THE WORKER
+    (vectorized numpy; the JVM-HOF form of ``sq8_wire`` measured 17x
+    slower at 2M, SCALING.md r10), the descent routes on the
+    DEQUANTIZED values (centroids round-tripped identically) so a
+    dequantizing oracle replays bit-for-bit, and ``keep_vec`` emits
+    ``__q8``/``__amax`` - every leg after this pass carries ~4x fewer
+    bytes; cell id remains the disk partition key. ``codes_col``
+    (r11): the input ALREADY carries that wire (``sq8_encode`` output,
+    materialized at ingest) - the float column is never read, the
+    worker quantize is skipped (dequant = one frombuffer+reshape per
+    batch), ``cents`` carries the same two columns, and nothing is
+    ever re-quantized: assignments + downstream wire bit-identical to
+    ``transport="int8"`` (pytest-pinned).
     """
     import numpy as np
     import pandas as pd
@@ -440,6 +437,7 @@ def ivf_topk(
     embeddings: DataFrame, query_vec_id: int, k: int = 5, num_cells: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_cell: int | None = None, checkpoint_dir: str | None = None,
+    codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
@@ -448,10 +446,33 @@ def ivf_topk(
     local top-k; ``keep_vec`` keeps the corpus at ONE scan. With
     ``max_cell`` the probed unit is the query's RING (the cap bounds
     what a probe reads, at the usual recall trade; ``checkpoint_dir``
-    makes the split's checkpoint reliable).
+    makes the split's checkpoint reliable). ``codes_col`` (r12): the
+    input is ``sq8_encode`` output and the probe rides the codes wire
+    end-to-end - routing AND scoring on the dequantized values (one
+    Arrow-batched matmul; the float column never exists), so a
+    codes-resident corpus (the 100 TB layout) needs no float copy.
     """
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True,
-                   max_cell=max_cell, checkpoint_dir=checkpoint_dir)
+                   max_cell=max_cell, checkpoint_dir=checkpoint_dir,
+                   codes_col=codes_col, amax_col=amax_col)
+    if codes_col is not None:
+        import numpy as np
+        import pandas as pd
+
+        r = e.where(F.col(id_col) == query_vec_id).first()
+        q = np.frombuffer(r["__q8"], np.int8).astype(np.float64) * r["__amax"] / 127.0
+        qn = max(np.linalg.norm(q), 1e-12)
+
+        def score(batches):
+            for pdf in batches:
+                V = _q8_mat(pdf)
+                Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+                yield pd.DataFrame({id_col: pdf[id_col], "cell_id": pdf["cell_id"],
+                                    "cosine": (V @ q) / (Vn * qn)})
+
+        return (e.where(F.col("cell_id") == r["cell_id"])
+                .mapInPandas(score, f"{id_col} LONG, cell_id INT, cosine DOUBLE")
+                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
     qrow = e.where(F.col(id_col) == query_vec_id).select(
         F.col("cell_id").alias("_qcell"),
         F.col(vec_col).alias("_qvec"),

@@ -1464,6 +1464,61 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text_hash")
 
 
+# ------------------------------------------------- X2/X3 (SemDeDup, ingest form)
+@query(
+    "q_semdedup_incremental",
+    oracle=_ivf_best(
+        "SELECT GREATEST(1, LEAST(GREATEST(8, COUNT(*) // 250), COUNT(*))) AS c"
+        " FROM eq WHERE vec_id < (SELECT h FROM half)",
+        src="eq",
+        pre=_EQ_PRE + "half AS (SELECT COUNT(*) // 2 AS h FROM embeddings),\n    ",
+    )
+    + f""",
+    sdrop AS (SELECT DISTINCT b.vec_id FROM best a JOIN best b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE b.vec_id < (SELECT h FROM half)
+        AND {_COSG.format(a='a.embedding', b='b.embedding')} >= 0.40),
+    skept AS (SELECT vec_id, cell_id, embedding FROM best
+      WHERE vec_id < (SELECT h FROM half)
+        AND vec_id NOT IN (SELECT vec_id FROM sdrop)),
+    ndrop AS (
+      SELECT n.vec_id FROM best n JOIN skept s ON s.cell_id = n.cell_id
+      WHERE n.vec_id >= (SELECT h FROM half)
+        AND {_COSG.format(a='s.embedding', b='n.embedding')} >= 0.40
+      UNION
+      SELECT b.vec_id FROM best a JOIN best b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE a.vec_id >= (SELECT h FROM half)
+        AND {_COSG.format(a='a.embedding', b='b.embedding')} >= 0.40)
+    SELECT vec_id, CAST(cell_id AS INTEGER) AS cell_id FROM best
+    WHERE vec_id >= (SELECT h FROM half)
+      AND vec_id NOT IN (SELECT vec_id FROM ndrop)
+    """,
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 (ingest form): incremental SemDeDup. The first half of the
+    corpus (by vec_id) is yesterday's ingest, distilled into a persisted
+    SQ8-codes index (``semantic_index_build``); the second half is
+    today's batch, admitted only where NO kept seen vector and NO
+    earlier (lower-id) batch vector sits within cosine 0.40. The oracle
+    replays index build, batch assignment, and both drop legs over the
+    SQ8-dequantized wire in one CTE chain. The index lives in a per-run
+    temp dir; the admitted result is eagerly materialized inside the
+    operator, so immediate cleanup is safe."""
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    half = e.count() // 2
+    idx = tempfile.mkdtemp(prefix="q_semdedup_incr_")
+    try:
+        D.semantic_index_build(e.where(F.col("vec_id") < half), idx)
+        return D.semantic_dedup_incremental(
+            e.where(F.col("vec_id") >= half), idx, update_index=False)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # ------------------------------------------------- X4 (per-source quality gate)
 @query(
     "q_quality_topp",

@@ -743,3 +743,97 @@ def test_semantic_dedup_kept_direct_matches_anti_join_tail(spark):
                assign.join(dropped, "vec_id", "left_anti")
                .select("vec_id", "cell_id").collect()}
         assert new == old and 0 < len(new) < e.count()
+
+
+def _unit(i, dims=8, scale=1.0):
+    v = [0.0] * dims
+    v[i % dims] = scale
+    return v
+
+
+def _mix(i, j, scale=1.0, dims=8):
+    v = [0.0] * dims
+    v[i], v[j] = scale, scale
+    return v
+
+
+def test_semantic_dedup_incremental_batches_match_one_shot(spark, tmp_path):
+    """Pin (i): batch1 (the index seed) + batch2 + batch3 run through
+    semantic_dedup_incremental == ONE-SHOT semantic_dedup over the
+    union, when batches arrive in id order (parallel-vector clusters,
+    so kept-only probing and all-lower-id probing provably coincide).
+    Also pins composability: batch3's dup of a BATCH2 survivor drops
+    because the index advanced between calls (update_index append)."""
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)]
+        + [(8, _unit(0, scale=2.0)), (9, _unit(1, scale=3.0)),
+           (10, _unit(2, scale=0.5)), (11, _mix(3, 4))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    b2 = spark.createDataFrame(
+        [(20, _unit(0, scale=4.0)), (21, _mix(3, 4, scale=2.0)),
+         (22, _unit(5, scale=1.5)), (23, _mix(6, 7))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    b3 = spark.createDataFrame(
+        [(40, _mix(6, 7, scale=3.0)), (41, _unit(2, scale=7.0)),
+         (42, _mix(0, 2))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    adm2 = {(r.vec_id, r.cell_id) for r in
+            D.semantic_dedup_incremental(b2, idx, threshold=0.9).collect()}
+    adm3 = {(r.vec_id, r.cell_id) for r in
+            D.semantic_dedup_incremental(b3, idx, threshold=0.9).collect()}
+    assert {v for v, _ in adm2} == {23}      # 20, 21, 22 dup kept seen rows
+    assert {v for v, _ in adm3} == {42}      # 40 dups batch2's survivor 23
+    union = seed.unionByName(b2).unionByName(b3)
+    oneshot = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
+        union, num_cells=8, threshold=0.9, transport="int8").collect()}
+    incr = {(r.vec_id, int(r.cell_id)) for r in
+            spark.read.parquet(f"{idx}/kept").select("vec_id", "cell_id").collect()}
+    assert incr == oneshot  # the full advanced index IS the one-shot kept-set
+
+
+def test_semantic_dedup_incremental_seen_survivor_never_redropped(spark, tmp_path):
+    """Pin (ii): the seen-set is FIXED. A batch vector that duplicates a
+    kept index row is dropped even when its id is LOWER than the
+    survivor's (one-shot would have kept the lower id instead), and the
+    index row survives the append untouched."""
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)] + [(100, _mix(2, 3))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    batch = spark.createDataFrame(
+        [(50, _mix(2, 3, scale=5.0)),    # lower-id dup of survivor 100
+         (51, _mix(4, 5))],              # genuinely new direction
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vec_id for r in
+           D.semantic_dedup_incremental(batch, idx, threshold=0.9).collect()}
+    assert adm == {51}                   # 50 rejected by the FIXED seen-set
+    kept_ids = {r.vec_id for r in spark.read.parquet(f"{idx}/kept").collect()}
+    assert 100 in kept_ids and 51 in kept_ids and 50 not in kept_ids
+
+
+def test_semantic_dedup_incremental_probes_only_batch_cells(spark, tmp_path):
+    """Pin (iii): the kept-set scan is partition-pruned to the cells the
+    batch routed to - behaviorally: corrupting the parquet of an
+    UN-probed cell partition leaves the incremental run unaffected
+    (a whole-index scan would die on it)."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)] + [(8, _mix(4, 5))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    for f in glob.glob(f"{idx}/kept/cell_id=6/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet at all")   # poison an un-probed cell
+    with pytest.raises(Exception):            # poison is real
+        spark.read.parquet(f"{idx}/kept").collect()
+    batch = spark.createDataFrame(
+        [(20, _unit(0, scale=2.0)), (21, _mix(1, 2))],  # routes to cells 0/1
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vec_id for r in D.semantic_dedup_incremental(
+        batch, idx, threshold=0.9, update_index=False).collect()}
+    assert adm == {21}                        # pruned scan never read cell 6

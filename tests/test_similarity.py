@@ -654,3 +654,30 @@ def test_codes_col_broadcast_path_matches_closure(spark):
     # C=8 (max(8, 500//250) clamp), so closure and bcast compare 1:1
     assert bcast == closure and len(bcast) == 500
     bdf.assign_broadcast.unpersist()
+
+
+def test_ivf_topk_codes_wire_matches_float_probe(spark, tmp_path):
+    """r12: ivf_topk(codes_col=) rides the sq8_encode wire end-to-end
+    over a codes-on-disk corpus (parquet roundtrip - the actual use).
+    At FULL probe (num_cells=1, every row in the probed cell) the
+    top-k ids match the float probe's on testdata (SQ8 perturbs
+    cosines ~1e-3, far under the ranking gaps here) and the cosines
+    agree to quantization tolerance; the plan never touches a float
+    vector column (the input literally has none). At partial probe
+    the scanned cell is the query's int8-routed cell."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    S.sq8_encode(e).write.parquet(str(tmp_path / "codes"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    flt = S.ivf_topk(e, query_vec_id=7, k=5, num_cells=1).collect()
+    cdf = S.ivf_topk(codes, query_vec_id=7, k=5, num_cells=1, codes_col="__q8")
+    cod = cdf.collect()
+    assert [r.vec_id for r in cod] == [r.vec_id for r in flt]
+    assert all(abs(a.cosine - b.cosine) < 5e-2 for a, b in zip(cod, flt))
+    assert "embedding" not in cdf._jdf.queryExecution().executedPlan().toString()
+    part = S.ivf_topk(codes, query_vec_id=7, k=5, num_cells=8,
+                      codes_col="__q8").collect()
+    qcell = {r.vec_id: r.cell_id for r in
+             S.ivf_assign(e, 8, transport="int8").collect()}[7]
+    assert len(part) == 5 and {r.cell_id for r in part} == {qcell}
