@@ -681,3 +681,24 @@ def test_ivf_topk_codes_wire_matches_float_probe(spark, tmp_path):
     qcell = {r.vec_id: r.cell_id for r in
              S.ivf_assign(e, 8, transport="int8").collect()}[7]
     assert len(part) == 5 and {r.cell_id for r in part} == {qcell}
+
+
+def test_assign_broadcast_handle_survives_wrappers(emb, monkeypatch):
+    """r12 (ADVICE): .assign_broadcast is a plain Python attribute and
+    dies on any derived frame, so ivf_assign (max_cell drop path) and
+    semantic_dedup must re-attach it (carry_broadcast) - otherwise a
+    post-crossover broadcast has no unpersist path from the public
+    entry points."""
+    from real_time_crypto_market_data_pipeline_spark.operators import dedup as D
+
+    real = S.assign_cells
+    monkeypatch.setattr(
+        S, "assign_cells",
+        lambda *a, **kw: real(*a, **{**kw, "broadcast_threshold_bytes": 0}))
+    capped = S.ivf_assign(emb, num_cells=8, max_cell=16)   # split + drop path
+    assert capped.assign_broadcast is not None
+    kept = D.semantic_dedup(emb, num_cells=8, threshold=0.9)
+    assert kept.assign_broadcast is not None
+    assert kept.count() > 0
+    kept.assign_broadcast.unpersist()
+    capped.assign_broadcast.unpersist()
