@@ -837,3 +837,25 @@ def test_semantic_dedup_incremental_probes_only_batch_cells(spark, tmp_path):
     adm = {r.vec_id for r in D.semantic_dedup_incremental(
         batch, idx, threshold=0.9, update_index=False).collect()}
     assert adm == {21}                        # pruned scan never read cell 6
+
+
+def test_semantic_dedup_incremental_empty_and_alldup_batches(spark, tmp_path):
+    """Ingest edges: an EMPTY batch and an all-duplicates batch both
+    admit nothing, leave the index byte-intact (the empty append writes
+    no poison), and later batches keep working against it."""
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert D.semantic_dedup_incremental(empty, idx, threshold=0.9).count() == 0
+    alldup = spark.createDataFrame(
+        [(20, _unit(0, scale=3.0)), (21, _unit(1, scale=2.0))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert D.semantic_dedup_incremental(alldup, idx, threshold=0.9).count() == 0
+    assert spark.read.parquet(f"{idx}/kept").count() == 8  # intact
+    nxt = spark.createDataFrame(
+        [(30, _unit(2, scale=5.0)), (31, _mix(2, 5))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert {r.vec_id for r in
+            D.semantic_dedup_incremental(nxt, idx, threshold=0.9).collect()} == {31}
