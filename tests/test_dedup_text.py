@@ -859,3 +859,36 @@ def test_semantic_dedup_incremental_empty_and_alldup_batches(spark, tmp_path):
         "vec_id LONG, embedding ARRAY<DOUBLE>")
     assert {r.vec_id for r in
             D.semantic_dedup_incremental(nxt, idx, threshold=0.9).collect()} == {31}
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_semantic_dedup_incremental_random_pattern_corpora(spark, tmp_path, seed):
+    """Randomized stress of the batches==one-shot pin: 40 vectors drawn
+    from 36 base patterns (8 axes + 28 two-axis mixes - pairwise cosine
+    across patterns <= 0.7071 < threshold 0.9, within-pattern exactly
+    1.0 even after SQ8, since scaled copies quantize to parallel
+    codes), random scales, split at random id cuts into three batches.
+    For such corpora kept-only probing provably equals all-lower-id
+    probing, so the final advanced index must equal one-shot
+    semantic_dedup(transport='int8') on the union - for ANY draw."""
+    import random
+
+    rnd = random.Random(seed)
+    patterns = [[1.0 if d == i else 0.0 for d in range(8)] for i in range(8)]
+    patterns += [[1.0 if d in (i, j) else 0.0 for d in range(8)]
+                 for i in range(8) for j in range(i + 1, 8)]
+    rows = [(i, patterns[i]) for i in range(8)]  # trainer: the 8 axes
+    rows += [(i, [x * rnd.choice([0.5, 1.5, 2.0, 3.0]) for x in rnd.choice(patterns)])
+             for i in range(8, 40)]
+    cut1, cut2 = sorted(rnd.sample(range(9, 39), 2))
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id LONG, embedding ARRAY<DOUBLE>")  # noqa: E731
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(mk(rows[:cut1]), idx, num_cells=8, threshold=0.9)
+    a2 = D.semantic_dedup_incremental(mk(rows[cut1:cut2]), idx, threshold=0.9)
+    a3 = D.semantic_dedup_incremental(mk(rows[cut2:]), idx, threshold=0.9)
+    assert a2.count() >= 0 and a3.count() >= 0  # materialize in order
+    incr = {(r.vec_id, int(r.cell_id)) for r in
+            spark.read.parquet(f"{idx}/kept").select("vec_id", "cell_id").collect()}
+    oneshot = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
+        mk(rows), num_cells=8, threshold=0.9, transport="int8").collect()}
+    assert incr == oneshot and 8 <= len(incr) < 40
