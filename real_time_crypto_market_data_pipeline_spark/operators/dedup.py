@@ -608,14 +608,17 @@ def semantic_dedup_incremental(
     batch: DataFrame, index_dir: str, threshold: float = 0.40,
     id_col: str = "vec_id", vec_col: str = "embedding",
     update_index: bool = True, checkpoint_dir: str | None = None,
+    codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
     """Batch-over-time SemDeDup: admit only batch vectors NOT within
     ``threshold`` of a kept (index) vector or an earlier (lower-id)
     vector of the same batch - the seen-set is FIXED (a survivor is
     never re-dropped, even by a lower-id arrival). Per-batch cost is
     O(batch x cell-residents), never O(corpus^2), never a corpus
-    rescan: (a) encode the batch to SQ8 codes, (b) assign via the
-    saved centroid codes (one narrow mapInPandas), (c) probe ONLY the
+    rescan: (a) encode the batch to SQ8 codes (or take them straight
+    off disk via ``codes_col`` - the ingest layout, float never read),
+    (b) assign via the saved centroid codes (one narrow mapInPandas),
+    (c) probe ONLY the
     cells the batch routed to - ``kept/`` is partitioned by cell_id,
     so the isin filter partition-prunes (test-pinned), (d) the kernel
     sorts seen rows first and reuses the lower-triangle gram; admitted
@@ -629,7 +632,9 @@ def semantic_dedup_incremental(
     spark = batch.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
     num_cells = cents.count()
-    codes = sq8_encode(batch, id_col, vec_col)
+    codes = (batch.select(id_col, F.col(codes_col).alias("__q8"),
+                          F.col(amax_col).alias("__amax"))
+             if codes_col is not None else sq8_encode(batch, id_col, vec_col))
     assigned = assign_cells(codes, cents, num_cells, id_col=id_col,
                             keep_vec=True, codes_col="__q8")
     if checkpoint_dir is not None:  # reliable multi-use materialization

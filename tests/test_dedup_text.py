@@ -892,3 +892,30 @@ def test_semantic_dedup_incremental_random_pattern_corpora(spark, tmp_path, seed
     oneshot = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
         mk(rows), num_cells=8, threshold=0.9, transport="int8").collect()}
     assert incr == oneshot and 8 <= len(incr) < 40
+
+
+def test_semantic_dedup_incremental_codes_batch_matches_float(spark, tmp_path):
+    """r12: the batch side rides the ingest layout too - feeding
+    sq8_encode codes from parquet via codes_col= must admit the exact
+    (id, cell_id) set the float batch path admits (both quantize to
+    the same wire), with no float column in the batch input at all."""
+    from real_time_crypto_market_data_pipeline_spark.operators import similarity as S
+
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)] + [(8, _mix(1, 4))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    batch = spark.createDataFrame(
+        [(20, _mix(1, 4, scale=2.0)), (21, _mix(5, 6)), (22, _unit(3, scale=0.5))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    i1, i2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    for idx in (i1, i2):
+        D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    flt = {(r.vec_id, r.cell_id) for r in
+           D.semantic_dedup_incremental(batch, i1, threshold=0.9).collect()}
+    S.sq8_encode(batch).write.parquet(str(tmp_path / "bcodes"))
+    bcodes = spark.read.parquet(str(tmp_path / "bcodes"))
+    cod = {(r.vec_id, r.cell_id) for r in D.semantic_dedup_incremental(
+        bcodes, i2, threshold=0.9, codes_col="__q8").collect()}
+    assert cod == flt
+    # 20 dups seen survivor 8; 22 dups seed axis 3; only 21 is new
+    assert {v for v, _ in cod} == {21}
