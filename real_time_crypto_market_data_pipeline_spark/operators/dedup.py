@@ -581,9 +581,11 @@ def semantic_dedup(
 def semantic_index_build(
     embeddings: DataFrame, index_dir: str, num_cells: int | None = None,
     threshold: float = 0.40, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> int:
     """Build + persist the incremental-SemDeDup index: one-shot
-    ``semantic_dedup`` over the seed corpus on the SQ8 codes wire, then
+    ``semantic_dedup`` over the seed corpus on the SQ8 codes wire
+    (``max_cell`` forwards: the fused ring cap, needed at 10M+), then
     write ``{index_dir}/centroids`` (routing codes) and ``{index_dir}/
     kept`` (survivors' codes, partitioned by cell_id - the probe's
     pruning key). Seed ids dense-from-0 (the deterministic trainer's
@@ -595,7 +597,7 @@ def semantic_index_build(
         n = codes.count()
         num_cells = max(1, min(max(8, n // 250), n))
     kept = semantic_dedup(codes, num_cells, threshold, id_col=id_col,
-                          codes_col="__q8")
+                          codes_col="__q8", max_cell=max_cell)
     codes.where(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), "__q8", "__amax"
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")

@@ -117,16 +117,25 @@ def _routing_tree(C, Cn, sizes):
         parents = _route(C, Cn, kids, sizes, C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
         # A childless parent is harmless iff an EARLIER bit-identical
-        # twin exists: every cosine ties bit-for-bit, so first-max / the
-        # oracle's ORDER-BY-id rule never selects it in either engine.
-        # Anything else is unroutable geometry - fail at build. Twin
-        # lookup hashes row bytes once (O(C*d), not the O(C^2*d) scan);
-        # +0.0 collapses -0.0/+0.0 (cosine-identical, byte-distinct).
-        # Byte-identical NaN rows do count as twins - a NaN centroid is
-        # degenerate either way and never routes first-max.
+        # twin exists - but it still needs a children entry: BLAS grams
+        # do NOT guarantee bit-equal scores for identical columns at
+        # different panel positions (last-ulp drift selected a childless
+        # twin at C=88k, r12), so ALIAS it to the first twin's children
+        # - same candidate set, same final cell, oracle-consistent (the
+        # oracle's ORDER-BY-id picks the first twin; both score the
+        # identical child list). Anything else is unroutable geometry -
+        # fail at build. Twin lookup hashes row bytes once (O(C*d));
+        # +0.0 collapses -0.0/+0.0 (cosine-identical, byte-distinct);
+        # byte-identical NaN rows count as twins (degenerate either way).
         first = {(C[p] + 0.0).tobytes(): p for p in reversed(range(sizes[j]))}
-        bad = [p for p in range(sizes[j]) if p not in kids[-1]
-               and first[(C[p] + 0.0).tobytes()] == p]
+        bad = []
+        for p in range(sizes[j]):
+            if p not in kids[-1]:
+                t = first[(C[p] + 0.0).tobytes()]
+                if t != p and t in kids[-1]:
+                    kids[-1][p] = kids[-1][t]
+                else:
+                    bad.append(p)
         if bad:
             raise ValueError(f"degenerate centroid geometry: level-{j} "
                              f"{bad[:5]} captured no children")
@@ -593,11 +602,8 @@ def cosine_topk_arrow(
 
 
 def hyperplane_lsh_buckets(
-    embeddings: DataFrame,
-    num_bits: int = 16,
-    dims: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    embeddings: DataFrame, num_bits: int = 16, dims: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """X3 alternative scale path: random-hyperplane LSH for vectors.
     bucket = sign-bit signature against ``num_bits`` deterministic
@@ -612,26 +618,17 @@ def hyperplane_lsh_buckets(
         h = hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()
         return int(h[:8], 16) / 2**31 - 1.0
 
-    planes = [
-        F.array(*[F.lit(coeff(b, d)) for d in range(dims)])
-        for b in range(num_bits)
-    ]
-    bits = [
-        F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
-        for plane in planes
-    ]
+    planes = [F.array(*[F.lit(coeff(b, d)) for d in range(dims)])
+              for b in range(num_bits)]
+    bits = [F.when(dot(F.col(vec_col), plane) > 0, F.lit(1)).otherwise(F.lit(0))
+            for plane in planes]
     bucket = F.aggregate(
-        F.array(*bits),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc * 2 + b,
-    )
+        F.array(*bits), F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b)
     return embeddings.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def scalar_quantize_int8(
-    embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """X3: per-vector symmetric int8 scalar quantization + error audit.
 
@@ -647,10 +644,8 @@ def scalar_quantize_int8(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes, amax = sq8_wire(vec_col)
     recon_err = F.zip_with(
-        v,
-        codes,
-        lambda x, c: F.pow(x - c.cast("double") * amax / 127.0, F.lit(2.0)),
-    )
+        v, codes,
+        lambda x, c: F.pow(x - c.cast("double") * amax / 127.0, F.lit(2.0)))
     mse = F.when(
         amax > 0,
         F.aggregate(recon_err, F.lit(0.0), lambda acc, e: acc + e)
@@ -660,8 +655,6 @@ def scalar_quantize_int8(
         F.col(id_col),
         F.size(F.col(vec_col)).cast("long").alias("dims"),
         amax.alias("amax"),
-        F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias(
-            "code_sum"
-        ),
-        mse.alias("mse"),
-    )
+        F.aggregate(codes, F.lit(0).cast("bigint"),
+                    lambda acc, c: acc + c).alias("code_sum"),
+        mse.alias("mse"))

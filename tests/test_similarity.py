@@ -702,3 +702,31 @@ def test_assign_broadcast_handle_survives_wrappers(emb, monkeypatch):
     assert kept.count() > 0
     kept.assign_broadcast.unpersist()
     capped.assign_broadcast.unpersist()
+
+
+def test_routing_tree_aliases_childless_twins():
+    """r12 crash fix: a duplicated centroid row never captures children
+    (routing always picks the FIRST twin on exact ties), but worker
+    BLAS grams can drift a last ulp between identical columns at
+    different panel positions and select the later twin anyway
+    (observed at C=88k). The tree must therefore carry an ALIAS entry -
+    the first twin's children - for every accepted childless twin, so
+    either selection routes to the same candidate set (and the same
+    final cell, matching the oracle's lowest-id rule)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    C = rng.normal(size=(40, 8))
+    C[7] = C[2]            # duplicate mid: 7 routes to 2, stays childless
+    C[33] = C[11]          # duplicate cell row (harmless at leaf level)
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+    g1 = S._cbrt_ceil(40)
+    sizes = sorted({g1, min(40, g1 * g1), 40})
+    kids = S._routing_tree(C, Cn, sizes)
+    mid_level = len(sizes) - 2
+    assert 7 in kids[mid_level]                      # the alias exists
+    assert kids[mid_level][7] is kids[mid_level][2]  # ...and IS 2's list
+    # a query equal to the twin routes fine even if level hops land on 7
+    v = C[7:8].copy()
+    cell = S._route(C, Cn, kids, sizes, v, Cn[7:8], len(sizes))
+    assert cell[0] in (2, 7)
