@@ -29,6 +29,7 @@ from .text import spread_for_fanout, tokens_col, word_shingles
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_ROWS = 2  # bands = num_hashes / band_rows
+IDX_BUCKETS = 1024  # kept-index dir fan-out cap (C dirs listed ~20s at C=80k)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -587,9 +588,10 @@ def semantic_index_build(
     ``semantic_dedup`` over the seed corpus on the SQ8 codes wire
     (``max_cell`` forwards: the fused ring cap, needed at 10M+), then
     write ``{index_dir}/centroids`` (routing codes) and ``{index_dir}/
-    kept`` (survivors' codes, partitioned by cell_id - the probe's
-    pruning key). Seed ids dense-from-0 (the deterministic trainer's
-    contract; production swaps in k-means). Returns num_cells."""
+    kept`` (survivors' codes, partitioned by bkt = cell_id % 1024 -
+    dir-pruned probes without a dir-per-cell listing wall, cell_id
+    pushing down as a parquet row filter). Seed ids dense-from-0 (the
+    deterministic trainer's contract). Returns num_cells."""
     from .similarity import sq8_encode
 
     codes = sq8_encode(embeddings, id_col, vec_col).localCheckpoint()
@@ -601,8 +603,11 @@ def semantic_index_build(
     codes.where(F.col(id_col) < num_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), "__q8", "__amax"
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    codes.join(kept, id_col).select(id_col, "cell_id", "__q8", "__amax") \
-        .write.mode("overwrite").partitionBy("cell_id").parquet(f"{index_dir}/kept")
+    codes.join(kept, id_col).select(
+        id_col, "cell_id", "__q8", "__amax",
+        (F.col("cell_id") % IDX_BUCKETS).alias("bkt"),
+    ).repartition("bkt").write.mode(  # one file per bucket dir, not tasks x dirs
+        "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
     return num_cells
 
 
@@ -620,13 +625,12 @@ def semantic_dedup_incremental(
     rescan: (a) encode the batch to SQ8 codes (or take them straight
     off disk via ``codes_col`` - the ingest layout, float never read),
     (b) assign via the saved centroid codes (one narrow mapInPandas),
-    (c) probe ONLY the
-    cells the batch routed to - ``kept/`` is partitioned by cell_id,
-    so the isin filter partition-prunes (test-pinned), (d) the kernel
+    (c) probe ONLY the cells the batch routed to - ``kept/`` is
+    partitioned by bkt = cell_id % 1024, so the bucket isin dir-prunes
+    and the cell isin rides row-group stats (test-pinned), (d) the kernel
     sorts seen rows first and reuses the lower-triangle gram; admitted
     survivors' codes append to the index. Ids globally unique across
-    batches (monotone ingest ids = the one-shot min-id rule;
-    batches-equal-one-shot is pytest-pinned)."""
+    batches (monotone ingest = the one-shot min-id rule, equality pinned)."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
@@ -646,8 +650,9 @@ def semantic_dedup_incremental(
         assigned = assigned.localCheckpoint()
     # probed cells: bounded by min(C, |batch|) - an index-scale collect
     cells = sorted(r[0] for r in assigned.select("cell_id").distinct().collect())
-    kept = (spark.read.parquet(f"{index_dir}/kept")
-            .where(F.col("cell_id").isin(cells)))  # partition-pruned probe
+    kept = (spark.read.parquet(f"{index_dir}/kept")  # dir- + row-pruned probe
+            .where(F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells}))
+                   & F.col("cell_id").isin(cells)))
     both = kept.select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
                        "__q8", "__amax", F.lit(1).alias("__seen")).unionByName(
         assigned.select(id_col, "cell_id", "__q8", "__amax",
@@ -666,6 +671,8 @@ def semantic_dedup_incremental(
         keep_new_in_cell, schema=f"{id_col} long, cell_id int").localCheckpoint()
     if update_index:  # advance the seen-set: append survivors' codes
         assigned.join(admitted, id_col, "left_semi").select(
-            id_col, "cell_id", "__q8", "__amax"
-        ).write.mode("append").partitionBy("cell_id").parquet(f"{index_dir}/kept")
+            id_col, "cell_id", "__q8", "__amax",
+            (F.col("cell_id") % IDX_BUCKETS).alias("bkt"),
+        ).repartition("bkt").write.mode(
+            "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
     return admitted

@@ -815,10 +815,11 @@ def test_semantic_dedup_incremental_seen_survivor_never_redropped(spark, tmp_pat
 
 
 def test_semantic_dedup_incremental_probes_only_batch_cells(spark, tmp_path):
-    """Pin (iii): the kept-set scan is partition-pruned to the cells the
-    batch routed to - behaviorally: corrupting the parquet of an
-    UN-probed cell partition leaves the incremental run unaffected
-    (a whole-index scan would die on it)."""
+    """Pin (iii): the kept-set scan is partition-pruned to the buckets
+    of the cells the batch routed to (bkt = cell_id % 1024; at C <=
+    1024 that is per-cell pruning) - behaviorally: corrupting the
+    parquet of an UN-probed bucket leaves the incremental run
+    unaffected (a whole-index scan would die on it)."""
     import glob
 
     idx = str(tmp_path / "idx")
@@ -826,7 +827,8 @@ def test_semantic_dedup_incremental_probes_only_batch_cells(spark, tmp_path):
         [(i, _unit(i)) for i in range(8)] + [(8, _mix(4, 5))],
         "vec_id LONG, embedding ARRAY<DOUBLE>")
     D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
-    for f in glob.glob(f"{idx}/kept/cell_id=6/*.parquet"):
+    assert glob.glob(f"{idx}/kept/bkt=6/*.parquet")  # bucketed layout
+    for f in glob.glob(f"{idx}/kept/bkt=6/*.parquet"):
         with open(f, "wb") as fh:
             fh.write(b"not parquet at all")   # poison an un-probed cell
     with pytest.raises(Exception):            # poison is real
