@@ -921,3 +921,23 @@ def test_semantic_dedup_incremental_codes_batch_matches_float(spark, tmp_path):
     assert cod == flt
     # 20 dups seen survivor 8; 22 dups seed axis 3; only 21 is new
     assert {v for v, _ in cod} == {21}
+
+
+def test_semantic_index_build_forwards_ring_cap(spark, tmp_path):
+    """max_cell forwards to the one-shot pass: an index built with the
+    fused ring cap holds exactly the capped one-shot's kept-set (the
+    10M+ build path), and incremental admits still work against it."""
+    rows = [(i, _unit(i)) for i in range(8)]
+    rows += [(i, [x * (1 + 0.01 * i) for x in _unit(0)]) for i in range(8, 40)]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(e, idx, num_cells=8, threshold=0.95, max_cell=8)
+    got = {(r.vec_id, int(r.cell_id)) for r in
+           spark.read.parquet(f"{idx}/kept").select("vec_id", "cell_id").collect()}
+    want = {(r.vec_id, r.cell_id) for r in D.semantic_dedup(
+        e, num_cells=8, threshold=0.95, transport="int8", max_cell=8).collect()}
+    assert got == want and len(got) < 40
+    adm = D.semantic_dedup_incremental(
+        spark.createDataFrame([(50, _mix(3, 6))], "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        idx, threshold=0.95)
+    assert {r.vec_id for r in adm.collect()} == {50}
