@@ -48,8 +48,7 @@ def cosine_sim(a: Column, b: Column) -> Column:
 def _query_row(embeddings: DataFrame, query_vec_id: int, id_col: str, vec_col: str):
     """One-row (_qvec, _qn) query side: query norm computed once."""
     return embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn")
-    )
+        F.col(vec_col).alias("_qvec"), l2_norm(F.col(vec_col)).alias("_qn"))
 
 
 def _broadcast_query_topk(
@@ -450,8 +449,9 @@ def ivf_topk(
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
-    At scale the assignment table is written partitioned by cell_id:
-    the probe is a partition-pruned scan of ~1/C of the corpus + a
+    At scale the assignment table partitions on cell_id (bucketed
+    % k past ~1e3 cells - the dir-per-cell listing wall, SCALING.md
+    r12): the probe prunes to ~1/C of the corpus + a
     local top-k; ``keep_vec`` keeps the corpus at ONE scan. With
     ``max_cell`` the probed unit is the query's RING (the cap bounds
     what a probe reads, at the usual recall trade; ``checkpoint_dir``
@@ -507,7 +507,7 @@ def ivf_kmeans_index(
     bare ``limit`` is not); zero norms guarded by greatest(norm, eps).
     Assignment does NOT use model.transform (an n x C euclidean pass):
     the trained centroids feed ``assign_cells``. Returns ``(model,
-    assigned)``; ``assigned`` is partitioned by cell_id at scale.
+    assigned)``; ``assigned`` partitions on cell_id at scale (bucketed past ~1e3).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
