@@ -24,32 +24,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-12 allocation: (1) the 26 r9-evidence queries (oldest, age 2);
-# (2) re-checks for CODE CHANGED in round 12: the kept-direct SemDeDup
-# tail + incremental semantic dedup (q_semdedup, q_semdedup_incremental)
-# and the assign_cells/ivf_topk codes-path touches (q_ann_ivf,
-# q_ann_ivf_kmeans); (3) r10-evidence fill in registry order to 50 -
-# the remaining 26 r10-evidence queries rotate into round 13's prefix.
+# Round-13 allocation: (1) the 26 r10-evidence queries (oldest, age 2);
+# (2) re-checks for CODE CHANGED in round 13: the NEW incremental LSH
+# near-dup dedup (q_dedup_near_incremental) plus the semantic/IVF
+# queries touched by the index-meta + routing-tree + probe-adaptivity
+# changes (q_semdedup, q_semdedup_incremental, q_ann_ivf,
+# q_ann_ivf_kmeans); (3) r11-evidence fill in registry order to 50 -
+# the remaining 28 r11-evidence queries rotate into round 14's prefix.
 _PRIORITY = [
-    # --- 1: r9-evidence cohort (26; oldest driver evidence) ---
-    "q_ann_lsh_buckets", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
-    "q_dedup_clusters", "q_dedup_embed", "q_part_brand_stats",
-    "q_profile_columns", "q_quality_score", "q_scrub_text",
-    "q_sketch_distinct", "q_stale_stats", "q_supplier_region",
-    "q_tfidf", "q_token_stats", "q_topk_per_group",
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_unpivot_percentiles",
-    # --- 2: code changed in round 12 (re-verify post-change) ---
+    # --- 1: r10-evidence cohort (26; oldest driver evidence) ---
+    "q_boilerplate", "q_corpus_prep", "q_csv_snapshot", "q_decontaminate",
+    "q_decontaminate_bloom", "q_dedup_exact", "q_dedup_incremental",
+    "q_dedup_lsh_jaccard", "q_dedup_near_pairs", "q_dedup_retention",
+    "q_dedup_simhash_pairs", "q_filter_funnel", "q_having_gate",
+    "q_join_enrich", "q_order_revenue_topk",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_window_variety",
+    # --- 2: code new/changed in round 13 (re-verify post-change) ---
+    "q_dedup_near_incremental",
     "q_semdedup", "q_semdedup_incremental", "q_ann_ivf", "q_ann_ivf_kmeans",
-    # --- 3: r10-evidence fill, registry order (20; rest lead round 13) ---
-    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
-    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
-    "q_invariant_check", "q_filter_isin", "q_channel_split",
-    "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
-    "q_latency_cols", "q_count_by_key", "q_grouped_stats", "q_lag_diff",
-    "q_window_range",
-    # --- 4: the remaining r10-evidence cohort follows in registry order
+    # --- 3: r11-evidence fill, registry order (19; rest lead round 14) ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
+    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
+    "q_drawdown", "q_interval_join", "q_correlation", "q_null_guard",
+    "q_try_cast", "q_struct_project", "q_spread", "q_date_partition",
+    "q_to_json", "q_format_string",
+    # --- 4: the remaining r11-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]
 
