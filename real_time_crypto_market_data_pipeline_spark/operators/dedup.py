@@ -579,6 +579,42 @@ def semantic_dedup(
     return carry_broadcast(kept, assign)
 
 
+def _write_meta(spark, index_dir: str, **params) -> None:
+    """Persist index build parameters as a one-row parquet under
+    ``{index_dir}/meta`` (filesystem-agnostic - no driver-local open),
+    so probe time can default/validate instead of silently probing an
+    index with parameters it wasn't built with."""
+    spark.createDataFrame([tuple(params.values())], list(params)).coalesce(
+        1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def _read_meta(spark, index_dir: str):
+    """Meta row or None (pre-r13 indexes carry no meta/ - callers fall
+    back to their explicit parameters)."""
+    try:
+        return spark.read.parquet(f"{index_dir}/meta").first()
+    except Exception:
+        return None
+
+
+def _resolve_meta(meta, explicit: dict, defaults: dict) -> dict:
+    """Merge probe-time parameters against the persisted build meta:
+    None -> the meta value (or the default when no meta); an explicit
+    value that CONTRADICTS the meta raises instead of silently probing
+    with a mismatched parameter."""
+    out = {}
+    for k, dflt in defaults.items():
+        v = explicit.get(k)
+        if meta is not None:
+            m = meta[k]
+            if v is not None and v != m:
+                raise ValueError(f"index built with {k}={m!r}, probed with {v!r}")
+            out[k] = m
+        else:
+            out[k] = dflt if v is None else v
+    return out
+
+
 def semantic_index_build(
     embeddings: DataFrame, index_dir: str, num_cells: int | None = None,
     threshold: float = 0.40, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -587,20 +623,27 @@ def semantic_index_build(
     """Build + persist the incremental-SemDeDup index: one-shot
     ``semantic_dedup`` over the seed corpus on the SQ8 codes wire
     (``max_cell`` forwards: the fused ring cap, needed at 10M+), then
-    write ``{index_dir}/centroids`` (routing codes) and ``{index_dir}/
+    write ``{index_dir}/centroids`` (routing codes), ``{index_dir}/
     kept`` (survivors' codes, partitioned by bkt = cell_id % 1024 -
     dir-pruned probes without a dir-per-cell listing wall, cell_id
-    pushing down as a parquet row filter). Seed ids dense-from-0 (the
-    deterministic trainer's contract). Returns num_cells."""
+    pushing down as a parquet row filter), and ``{index_dir}/meta``
+    (build parameters, validated at probe time). Seed ids dense-from-0
+    (the deterministic trainer's contract) - VALIDATED here so a bad
+    seed fails the build, not the first probe. Returns num_cells."""
     from .similarity import sq8_encode
 
     codes = sq8_encode(embeddings, id_col, vec_col).localCheckpoint()
     if num_cells is None:
         n = codes.count()
         num_cells = max(1, min(max(8, n // 250), n))
+    cents = codes.where(F.col(id_col) < num_cells)
+    if cents.select(id_col).distinct().count() != num_cells:
+        raise ValueError(
+            f"seed ids must be dense from 0: need {num_cells} distinct "
+            f"centroid rows with {id_col} < {num_cells}")
     kept = semantic_dedup(codes, num_cells, threshold, id_col=id_col,
                           codes_col="__q8", max_cell=max_cell)
-    codes.where(F.col(id_col) < num_cells).select(
+    cents.select(
         F.col(id_col).cast("long").alias("cell_id"), "__q8", "__amax"
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codes.join(kept, id_col).select(
@@ -608,11 +651,16 @@ def semantic_index_build(
         (F.col("cell_id") % IDX_BUCKETS).alias("bkt"),
     ).repartition("bkt").write.mode(  # one file per bucket dir, not tasks x dirs
         "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
+    bv = getattr(kept, "assign_broadcast", None)
+    if bv is not None:  # the index is written; drop the executor copies
+        bv.unpersist()
+    _write_meta(embeddings.sparkSession, index_dir, threshold=threshold,
+                num_cells=num_cells, id_col=id_col)
     return num_cells
 
 
 def semantic_dedup_incremental(
-    batch: DataFrame, index_dir: str, threshold: float = 0.40,
+    batch: DataFrame, index_dir: str, threshold: float | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     update_index: bool = True, checkpoint_dir: str | None = None,
     codes_col: str | None = None, amax_col: str = "__amax",
@@ -630,14 +678,22 @@ def semantic_dedup_incremental(
     and the cell isin rides row-group stats (test-pinned), (d) the kernel
     sorts seen rows first and reuses the lower-triangle gram; admitted
     survivors' codes append to the index. Ids globally unique across
-    batches (monotone ingest = the one-shot min-id rule, equality pinned)."""
+    batches (monotone ingest = the one-shot min-id rule, equality
+    pinned). ``threshold``/``id_col`` default from the index's build
+    meta; an explicit value contradicting the meta raises (r13)."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
 
     spark = batch.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    num_cells = cents.count()
+    meta = _read_meta(spark, index_dir)  # threshold/id_col default from
+    # the build meta; an explicit contradiction raises (r13)
+    p = _resolve_meta(meta, {"threshold": threshold,
+                             "id_col": None if id_col == "vec_id" else id_col},
+                      {"threshold": 0.40, "id_col": "vec_id"})
+    threshold, id_col = p["threshold"], p["id_col"]
+    num_cells = meta["num_cells"] if meta is not None else cents.count()
     codes = (batch.select(id_col, F.col(codes_col).alias("__q8"),
                           F.col(amax_col).alias("__amax"))
              if codes_col is not None else sq8_encode(batch, id_col, vec_col))

@@ -115,23 +115,26 @@ def _routing_tree(C, Cn, sizes):
     for j, size in enumerate(sizes[1:]):
         parents = _route(C, Cn, kids, sizes, C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
-        # A childless parent is harmless iff an EARLIER bit-identical
-        # twin exists - but it still needs a children entry: BLAS grams
-        # do NOT guarantee bit-equal scores for identical columns at
-        # different panel positions (last-ulp drift selected a childless
-        # twin at C=88k, r12), so ALIAS it to the first twin's children
-        # - same candidate set, same final cell, oracle-consistent (the
-        # oracle's ORDER-BY-id picks the first twin; both score the
-        # identical child list). Anything else is unroutable geometry -
-        # fail at build. Twin lookup hashes row bytes once (O(C*d));
-        # +0.0 collapses -0.0/+0.0 (cosine-identical, byte-distinct);
-        # byte-identical NaN rows count as twins (degenerate either way).
-        first = {(C[p] + 0.0).tobytes(): p for p in reversed(range(sizes[j]))}
+        # A childless parent is harmless iff a bit-identical twin
+        # captured children - but it still needs a children entry: BLAS
+        # grams do NOT guarantee bit-equal scores for identical columns
+        # at different panel positions (last-ulp drift selected a
+        # childless twin at C=88k, r12), so ALIAS it to a PARENTED
+        # twin's children - same candidate set, same final cell,
+        # oracle-consistent (both score the identical child list). The
+        # alias is symmetric (r13): drift can route all children to a
+        # LATER twin, leaving the FIRST one childless. Anything else is
+        # unroutable geometry - fail at build. Twin lookup hashes row
+        # bytes once (O(C*d)); +0.0 collapses -0.0/+0.0
+        # (cosine-identical, byte-distinct); byte-identical NaN rows
+        # count as twins (degenerate either way).
+        parented = {(C[p] + 0.0).tobytes(): p
+                    for p in range(sizes[j]) if p in kids[-1]}
         bad = []
         for p in range(sizes[j]):
             if p not in kids[-1]:
-                t = first[(C[p] + 0.0).tobytes()]
-                if t != p and t in kids[-1]:
+                t = parented.get((C[p] + 0.0).tobytes())
+                if t is not None:
                     kids[-1][p] = kids[-1][t]
                 else:
                     bad.append(p)
@@ -468,7 +471,13 @@ def ivf_topk(
         import numpy as np
         import pandas as pd
 
+        # materialize the assignment ONCE: the query lookup and the
+        # probe scan would otherwise each run the full assign pass
+        e = e.localCheckpoint()
         r = e.where(F.col(id_col) == query_vec_id).first()
+        if r is None:  # absent query id: empty result, like the float path
+            return e.sparkSession.createDataFrame(
+                [], f"{id_col} long, cell_id int, cosine double")
         q = np.frombuffer(r["__q8"], np.int8).astype(np.float64) * r["__amax"] / 127.0
         qn = max(np.linalg.norm(q), 1e-12)
 

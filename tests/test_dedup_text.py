@@ -941,3 +941,40 @@ def test_semantic_index_build_forwards_ring_cap(spark, tmp_path):
         spark.createDataFrame([(50, _mix(3, 6))], "vec_id LONG, embedding ARRAY<DOUBLE>"),
         idx, threshold=0.95)
     assert {r.vec_id for r in adm.collect()} == {50}
+
+
+def test_semantic_index_meta_defaults_and_contradiction(spark, tmp_path):
+    """r13 (ADVICE): the build persists its parameters under
+    {index_dir}/meta; a probe with NO threshold defaults to the BUILD
+    threshold (not 0.40), an explicit contradicting threshold raises,
+    and a pre-r13 index (meta/ deleted) still probes with explicit
+    parameters."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    batch = spark.createDataFrame(
+        [(20, _mix(0, 1))],  # cos vs axis 0 = 0.7071: dup at 0.4, new at 0.9
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vec_id for r in D.semantic_dedup_incremental(
+        batch, idx, update_index=False).collect()}
+    assert adm == {20}  # defaulted to the BUILD threshold 0.9, not 0.40
+    with pytest.raises(ValueError, match="threshold=0.9"):
+        D.semantic_dedup_incremental(batch, idx, threshold=0.40)
+    shutil.rmtree(f"{idx}/meta")  # pre-r13 index: explicit params still work
+    assert {r.vec_id for r in D.semantic_dedup_incremental(
+        batch, idx, threshold=0.9, update_index=False).collect()} == {20}
+
+
+def test_semantic_index_build_rejects_sparse_seed_ids(spark, tmp_path):
+    """r13 (ADVICE): seed ids that are not dense-from-0 fail AT BUILD
+    with a clear message instead of persisting an unusable index that
+    only dies at the first incremental probe."""
+    seed = spark.createDataFrame(
+        [(i * 2 + 1, _unit(i)) for i in range(8)],  # odd ids: not dense
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="dense from 0"):
+        D.semantic_index_build(seed, str(tmp_path / "idx"), num_cells=8,
+                               threshold=0.9)

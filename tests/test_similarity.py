@@ -730,3 +730,45 @@ def test_routing_tree_aliases_childless_twins():
     v = C[7:8].copy()
     cell = S._route(C, Cn, kids, sizes, v, Cn[7:8], len(sizes))
     assert cell[0] in (2, 7)
+
+
+def test_routing_tree_symmetric_alias_first_twin_childless(monkeypatch):
+    """r13 (ADVICE): the mirror image of the C=88k drift - BLAS ulp
+    drift routes ALL children to the LATER twin, leaving the FIRST twin
+    childless. The alias must be symmetric: the first twin gets the
+    later twin's children instead of the build failing on routable
+    geometry. Drift is simulated by redirecting mid-level routes from
+    twin 2 to twin 7 (byte-identical rows, so any real selection between
+    them is score-equal)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    C = rng.normal(size=(40, 8))
+    C[7] = C[2]  # byte-identical mid-level twins
+    Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
+    g1 = S._cbrt_ceil(40)
+    sizes = sorted({g1, min(40, g1 * g1), 40})
+    real_route = S._route
+
+    def drifted(C_, Cn_, kids_, sizes_, V, Vn, depth):
+        cur = real_route(C_, Cn_, kids_, sizes_, V, Vn, depth)
+        if depth == 2:  # mid-level child routing: drift 2's children to 7
+            cur = np.where(cur == 2, 7, cur)
+        return cur
+
+    monkeypatch.setattr(S, "_route", drifted)
+    kids = S._routing_tree(C, Cn, sizes)  # old code: ValueError here
+    mid = len(sizes) - 2
+    assert 2 in kids[mid] and kids[mid][2] is kids[mid][7]
+
+
+def test_ivf_topk_codes_path_missing_query_id_returns_empty(spark):
+    """r13 (ADVICE): an absent query id on the codes wire returns an
+    EMPTY frame with the probe schema - matching the float path -
+    instead of raising a bare TypeError off the None row."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = S.sq8_encode(e)
+    out = S.ivf_topk(codes, query_vec_id=10**9, k=3, num_cells=8,
+                     codes_col="__q8")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cell_id", "cosine"]
