@@ -25,12 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
 # Round-13 allocation: (1) the 26 r10-evidence queries (oldest, age 2);
-# (2) re-checks for CODE CHANGED in round 13: the NEW incremental LSH
-# near-dup dedup (q_dedup_near_incremental) plus the semantic/IVF
-# queries touched by the index-meta + routing-tree + probe-adaptivity
-# changes (q_semdedup, q_semdedup_incremental, q_ann_ivf,
-# q_ann_ivf_kmeans); (3) r11-evidence fill in registry order to 50 -
-# the remaining 28 r11-evidence queries rotate into round 14's prefix.
+# (2) re-checks for CODE CHANGED in round 13: the NEW q_dedup_near_incremental
+# plus the semantic/IVF queries touched by the index-meta + routing-tree
+# + probe-adaptivity changes; (3) r11-evidence fill in registry order to
+# 50 - the remaining 28 r11-evidence queries lead round 14's prefix.
 _PRIORITY = [
     # --- 1: r10-evidence cohort (26; oldest driver evidence) ---
     "q_boilerplate", "q_corpus_prep", "q_csv_snapshot", "q_decontaminate",

@@ -305,21 +305,19 @@ def lsh_jaccard_dedup(
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates -> exact Jaccard verify -> dup pairs.
 
-    The production near-dup pipeline: pairwise work only on LSH
-    candidates (sum of bucket^2), with the exact trigram Jaccard as
-    the verifier. Returns pairs at or above ``min_jaccard`` - at scale
-    the survivors feed a connected-components pass to pick cluster
-    representatives.
+    The production near-dup pipeline: pairwise work only on LSH candidates
+    (sum of bucket^2), with the exact trigram Jaccard as the verifier. Returns
+    pairs at or above ``min_jaccard`` - at scale the survivors feed a
+    connected-components pass to pick cluster representatives.
 
-    The verify join is size-gated: the candidate list is persisted and
-    counted once, and only if it holds at most
-    ``broadcast_max_candidates`` pairs does the broadcast plan run
-    (each broadcast row carries a full shingle set, ~KBs, so 200k rows
-    is already a few hundred MB of build side). Above the gate - a
-    near-dup-heavy corpus where Σbucket² explodes - the verify joins
-    fall back to hash-shuffles on doc_a/doc_b, which scale unboundedly
-    at the cost of two exchanges. The count() is one extra tiny job
-    over the persisted pair list, not a recompute of the minhash agg.
+    The verify join is size-gated: the candidate list is persisted and counted
+    once, and only if it holds at most ``broadcast_max_candidates`` pairs does
+    the broadcast plan run (each broadcast row carries a full shingle set,
+    ~KBs, so 200k rows is already a few hundred MB of build side). Above the
+    gate - a near-dup-heavy corpus where Σbucket² explodes - the verify joins
+    fall back to hash-shuffles on doc_a/doc_b, which scale unboundedly at the
+    cost of two exchanges. The count() is one extra tiny job over the
+    persisted pair list, not a recompute of the minhash agg.
     """
     cands = lsh_candidate_pairs(
         lsh_bucket_table(docs, text_col, shingle_n=shingle_n)).persist()
@@ -335,25 +333,131 @@ def lsh_jaccard_dedup(
     # the |docs|x|shingles| distinct shuffle AND the (doc, shingle) join
     # shuffle - the only wide exchange left in the whole pipeline is
     # minhash's own signature aggregation.
-    sh_sets = spread_for_fanout(docs).select(
-        "doc_id",
-        F.coalesce(
-            F.array_distinct(word_shingles(tokens_col(F.col(text_col)), shingle_n)),
-            F.array().cast("array<string>"),
-        ).alias("sh"),
-    )
+    sh_sets = _shingle_sets(docs, text_col, shingle_n)
     a = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     if n_cands <= broadcast_max_candidates:
         paired = b.join(F.broadcast(a.join(F.broadcast(cands), "doc_a")), "doc_b")
     else:
         paired = b.join(a.join(cands, "doc_a"), "doc_b")
-    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    denom = (F.size("sh_a") + F.size("sh_b") - n_common).cast("double")
     return (
         paired.select("doc_a", "doc_b",
-                      (n_common.cast("double") / denom).alias("jaccard"))
+                      _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= min_jaccard))
+
+
+def _shingle_sets(docs: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
+    """(doc_id, sh): the doc's DISTINCT shingle set as ONE array row -
+    the exact-verify payload (empty array when the doc is too short)."""
+    return spread_for_fanout(docs).select(
+        "doc_id",
+        F.coalesce(
+            F.array_distinct(word_shingles(tokens_col(F.col(text_col)), shingle_n)),
+            F.array().cast("array<string>")).alias("sh"))
+
+
+def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard of two distinct-shingle array sets (one
+    array_intersect per pair; |A u B| = |A| + |B| - |A n B|)."""
+    n_common = F.size(F.array_intersect(sh_a, sh_b))
+    return n_common.cast("double") / (
+        F.size(sh_a) + F.size(sh_b) - n_common).cast("double")
+
+
+def lsh_index_build(
+    docs: DataFrame, index_dir: str, text_col: str = "text",
+    min_jaccard: float = 0.5, shingle_n: int = 3,
+    num_buckets: int = IDX_BUCKETS,
+) -> None:
+    """Build + persist the incremental NEAR-DUP (text) index: one-shot
+    ``lsh_jaccard_dedup`` over the seed picks survivors (dropped iff a
+    LOWER-id doc shares a band bucket and verifies at Jaccard >=
+    ``min_jaccard`` - the min-id rule); ``{index_dir}/kept`` persists
+    each survivor's band-bucket rows WITH its distinct-shingle set
+    inline (one pruned scan serves candidate generation AND verify;
+    the x num_bands sh duplication is parquet-dict-compressed - at
+    100 TB split sh into a doc_id-co-bucketed side table). Partitioned
+    by bkt = crc32(bucket) % ``num_buckets`` + ``repartition("bkt")``
+    (the r12 lesson: a dir per raw bucket VALUE is a listing wall; one
+    file per dir) - 1024 suits 100 TB, small corpora want fewer (the
+    write wall is one task+file per dir: 8.8 s for 976 rows at 614
+    dirs). ``{index_dir}/meta`` records the build parameters."""
+    pairs = lsh_jaccard_dedup(docs, text_col, min_jaccard, shingle_n)
+    # persist: _lsh_rows consumes kept on TWO join branches, each of
+    # which would otherwise re-run the whole one-shot dedup lineage
+    kept = docs.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                     "doc_id", "left_anti").persist()
+    try:
+        _lsh_rows(kept, text_col, shingle_n, num_buckets).repartition(
+            "bkt").write.mode(
+            "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
+    finally:
+        kept.unpersist()
+    _write_meta(docs.sparkSession, index_dir, min_jaccard=float(min_jaccard),
+                shingle_n=shingle_n, num_buckets=num_buckets)
+
+
+def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
+              num_buckets: int = IDX_BUCKETS) -> DataFrame:
+    """Index-layout rows: (doc_id, band, bucket, sh, bkt) - band
+    buckets joined with the doc's shingle set, bucket-dir key attached."""
+    return lsh_bucket_table(docs, text_col, shingle_n=shingle_n).join(
+        _shingle_sets(docs, text_col, shingle_n), "doc_id").withColumn(
+        "doc_id", F.col("doc_id").cast("long")).withColumn(
+        "bkt", (F.crc32("bucket") % num_buckets).cast("int"))
+
+
+def lsh_dedup_incremental(
+    batch: DataFrame, index_dir: str, text_col: str = "text",
+    min_jaccard: float | None = None, update_index: bool = True,
+) -> DataFrame:
+    """Batch-over-time near-dup text dedup (the r13 mirror of
+    ``semantic_dedup_incremental``): admit only batch docs that verify as
+    near-dups of NO kept (index) survivor and NO lower-id doc of the same
+    batch. The seen-set is FIXED - a survivor is never re-dropped, even by a
+    lower-id arrival (the documented divergence from one-shot min-id; under
+    id-order arrival the two coincide, pytest-pinned). Per-batch cost is
+    O(batch x bucket-residents), never a corpus rescan: (a) ONE materialized
+    batch pass computes band buckets + shingle sets, (b) the probe dir-prunes
+    to the batch's bkt values - UNLESS they cover over half the bucket
+    universe, where scan-whole beats a giant isin (probe-breadth adaptivity),
+    (c) candidates = band-bucket equi-join, verified by exact Jaccard on the
+    inline shingle sets (never all-pairs), (d) admitted survivors' rows
+    append. ``min_jaccard``/``shingle_n`` default from the build meta; a
+    contradiction raises."""
+    spark = batch.sparkSession
+    meta = _read_meta(spark, index_dir)
+    min_jaccard = _resolve_meta(meta, {"min_jaccard": min_jaccard},
+                                {"min_jaccard": 0.5})["min_jaccard"]
+    shingle_n = int(meta["shingle_n"]) if meta is not None else 3
+    nb = int(meta["num_buckets"]) if meta is not None else IDX_BUCKETS
+    bt = _lsh_rows(batch, text_col, shingle_n, nb).localCheckpoint()
+    # probed dirs: bounded by min(num_buckets, |batch| x bands)
+    bkts = sorted(r[0] for r in bt.select("bkt").distinct().collect())
+    seen = spark.read.schema(  # fixed layout: no footer read at planning
+        "doc_id long, band int, bucket string, sh array<string>, bkt int"
+    ).parquet(f"{index_dir}/kept")
+    if len(bkts) * 2 <= nb:  # sparse batch: dir-pruned probe
+        seen = seen.where(F.col("bkt").isin(bkts))
+    hit_seen = (  # seen survivors drop batch docs regardless of id order
+        seen.select("band", "bucket", F.col("sh").alias("sh_s"))
+        .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])
+        .where(_jaccard(F.col("sh_s"), F.col("sh")) >= min_jaccard)
+        .select("doc_id"))
+    hit_batch = (  # min-id rule within the batch (dropped docs still drop)
+        bt.select(F.col("doc_id").alias("doc_a"), "band", "bucket",
+                  F.col("sh").alias("sh_a"))
+        .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])
+        .where((F.col("doc_a") < F.col("doc_id"))
+               & (_jaccard(F.col("sh_a"), F.col("sh")) >= min_jaccard))
+        .select("doc_id"))
+    admitted = batch.select("doc_id").join(  # shingle-less docs admit too
+        hit_seen.unionByName(hit_batch).distinct(),
+        "doc_id", "left_anti").localCheckpoint()
+    if update_index:  # advance the seen-set: append survivors' rows
+        bt.join(admitted, "doc_id", "left_semi").repartition("bkt").write.mode(
+            "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
+    return admitted
 
 
 def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
@@ -433,13 +537,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """X2 (SimHash family): near-dup pairs by fingerprint Hamming ball.
 
-    Pigeonhole blocking: split the fingerprint into ``max_hamming + 1``
-    equal bit-bands - any pair within Hamming distance ``max_hamming``
-    must agree EXACTLY on at least one band, so the band-value
-    equi-join finds every qualifying pair (no recall loss, unlike
-    MinHash banding) and the verify step is one xor+popcount per
-    candidate. Same shuffle discipline as the MinHash path: banding is
-    a projection, pair generation is bucket-local.
+    Pigeonhole blocking: split the fingerprint into ``max_hamming + 1`` equal
+    bit-bands - any pair within Hamming distance ``max_hamming`` must agree
+    EXACTLY on at least one band, so the band-value equi-join finds every
+    qualifying pair (no recall loss, unlike MinHash banding) and the verify
+    step is one xor+popcount per candidate. Same shuffle discipline as the
+    MinHash path: banding is a projection, pair generation is bucket-local.
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
@@ -535,18 +638,16 @@ def semantic_dedup(
     cosine mass moves (2.6x fewer survivors on the synthetic x1000
     probe); use where dup cosines sit far above threshold (embedded
     text ~0.95+). ``codes_col`` (r11): the input IS ``sq8_encode``
-    output (codes on disk) - the float column is never scanned, so the
-    INPUT leg rides the small wire too; kept-set bit-identical to
-    ``transport="int8"`` (pytest-pinned).
+    output - float never scanned, the INPUT leg rides the small wire
+    too; kept-set bit-identical to ``transport="int8"`` (pinned).
 
     Scale: pairwise work only inside a cell - sum(cell^2), never n^2;
-    the pairwise stage is ``applyInPandas`` over cell groups (ONE
-    cell_id shuffle), row-blocked lower-triangle BLAS gram per cell
-    (~50x faster per dot than the r7 fold self-join). The kernel emits
-    KEPT rows directly (r12; -1.3 s + one stage at 20M vs the old
-    dropped-ids + anti-join tail, bit-equal, pytest-pinned), so the
-    assignment has ONE consumer and streams straight into the cell
-    shuffle - no eager copy; pass ``checkpoint_dir`` on a cluster for
+    ONE cell_id shuffle into ``applyInPandas``, row-blocked
+    lower-triangle BLAS gram per cell (~50x faster per dot than the r7
+    fold self-join). The kernel emits KEPT rows directly (r12; -1.3 s
+    + one stage at 20M vs the dropped-ids + anti-join tail, bit-equal,
+    pinned), so the assignment has ONE consumer and streams straight
+    into the cell shuffle; pass ``checkpoint_dir`` on a cluster for
     reliable materialization. Threshold is corpus-calibrated: random
     vectors top out ~0.49 within-cell, text ~0.95+.
     """
@@ -581,16 +682,14 @@ def semantic_dedup(
 
 def _write_meta(spark, index_dir: str, **params) -> None:
     """Persist index build parameters as a one-row parquet under
-    ``{index_dir}/meta`` (filesystem-agnostic - no driver-local open),
-    so probe time can default/validate instead of silently probing an
-    index with parameters it wasn't built with."""
+    ``{index_dir}/meta`` (filesystem-agnostic - no driver-local open)
+    so probe time can default/validate against them."""
     spark.createDataFrame([tuple(params.values())], list(params)).coalesce(
         1).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
 def _read_meta(spark, index_dir: str):
-    """Meta row or None (pre-r13 indexes carry no meta/ - callers fall
-    back to their explicit parameters)."""
+    """Meta row, or None for a pre-r13 index (explicit params apply)."""
     try:
         return spark.read.parquet(f"{index_dir}/meta").first()
     except Exception:
@@ -598,10 +697,8 @@ def _read_meta(spark, index_dir: str):
 
 
 def _resolve_meta(meta, explicit: dict, defaults: dict) -> dict:
-    """Merge probe-time parameters against the persisted build meta:
-    None -> the meta value (or the default when no meta); an explicit
-    value that CONTRADICTS the meta raises instead of silently probing
-    with a mismatched parameter."""
+    """Probe params vs build meta: None -> meta value (or the default
+    when no meta); an explicit value CONTRADICTING the meta raises."""
     out = {}
     for k, dflt in defaults.items():
         v = explicit.get(k)
@@ -647,7 +744,7 @@ def semantic_index_build(
         F.col(id_col).cast("long").alias("cell_id"), "__q8", "__amax"
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     codes.join(kept, id_col).select(
-        id_col, "cell_id", "__q8", "__amax",
+        F.col(id_col).cast("long").alias(id_col), "cell_id", "__q8", "__amax",
         (F.col("cell_id") % IDX_BUCKETS).alias("bkt"),
     ).repartition("bkt").write.mode(  # one file per bucket dir, not tasks x dirs
         "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
@@ -666,21 +763,20 @@ def semantic_dedup_incremental(
     codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
     """Batch-over-time SemDeDup: admit only batch vectors NOT within
-    ``threshold`` of a kept (index) vector or an earlier (lower-id)
-    vector of the same batch - the seen-set is FIXED (a survivor is
-    never re-dropped, even by a lower-id arrival). Per-batch cost is
-    O(batch x cell-residents), never O(corpus^2), never a corpus
-    rescan: (a) encode the batch to SQ8 codes (or take them straight
-    off disk via ``codes_col`` - the ingest layout, float never read),
-    (b) assign via the saved centroid codes (one narrow mapInPandas),
-    (c) probe ONLY the cells the batch routed to - ``kept/`` is
-    partitioned by bkt = cell_id % 1024, so the bucket isin dir-prunes
-    and the cell isin rides row-group stats (test-pinned), (d) the kernel
-    sorts seen rows first and reuses the lower-triangle gram; admitted
-    survivors' codes append to the index. Ids globally unique across
-    batches (monotone ingest = the one-shot min-id rule, equality
-    pinned). ``threshold``/``id_col`` default from the index's build
-    meta; an explicit value contradicting the meta raises (r13)."""
+    ``threshold`` of a kept (index) vector or an earlier (lower-id) vector of
+    the same batch - the seen-set is FIXED (a survivor is never re-dropped,
+    even by a lower-id arrival). Per-batch cost is O(batch x cell-residents),
+    never O(corpus^2), never a corpus rescan: (a) encode the batch to SQ8
+    codes (or take them straight off disk via ``codes_col`` - the ingest
+    layout, float never read), (b) assign via the saved centroid codes (one
+    narrow mapInPandas), (c) probe ONLY the cells the batch routed to -
+    ``kept/`` is partitioned by bkt = cell_id % 1024, so the bucket isin
+    dir-prunes and the cell isin rides row-group stats (test-pinned), (d) the
+    kernel sorts seen rows first and reuses the lower-triangle gram; admitted
+    survivors' codes append to the index. Ids globally unique across batches
+    (monotone ingest = the one-shot min-id rule, equality pinned).
+    ``threshold``/``id_col`` default from the index's build meta; an explicit
+    value contradicting the meta raises (r13)."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
@@ -706,9 +802,14 @@ def semantic_dedup_incremental(
         assigned = assigned.localCheckpoint()
     # probed cells: bounded by min(C, |batch|) - an index-scale collect
     cells = sorted(r[0] for r in assigned.select("cell_id").distinct().collect())
-    kept = (spark.read.parquet(f"{index_dir}/kept")  # dir- + row-pruned probe
-            .where(F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells}))
-                   & F.col("cell_id").isin(cells)))
+    kept = spark.read.schema(  # fixed layout: no footer read at planning
+        f"{id_col} long, cell_id int, __q8 binary, __amax double, bkt int"
+    ).parquet(f"{index_dir}/kept")
+    if len(cells) * 2 <= num_cells:  # sparse batch: dir- + row-pruned probe
+        kept = kept.where(F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells}))
+                          & F.col("cell_id").isin(cells))
+    # else probe-breadth adaptivity (r13): the batch routed to most of
+    # C - scan the index whole instead of dragging a C-sized isin
     both = kept.select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
                        "__q8", "__amax", F.lit(1).alias("__seen")).unionByName(
         assigned.select(id_col, "cell_id", "__q8", "__amax",

@@ -1,14 +1,14 @@
 """Rolling-metrics operators (SURVEY.md section 2.3, A1-A10).
 
 Re-expression of the reference's deque-based rolling statistics
-(``metrics/rolling.py`` in yluoc/real-time-crypto-market-data-pipeline)
-as declarative Spark aggregations:
+(``metrics/rolling.py`` in yluoc/real-time-crypto-market-data-pipeline) as
+declarative Spark aggregations:
 
-- A2 percentiles: the reference uses the *nearest-rank-lower* rule
-  ``idx = int(p * (n - 1))`` over the sorted window
-  (reference ``metrics/rolling.py:99-111``). Spark's ``percentile``
-  interpolates, so we implement the exact index rule with a
-  row_number/count window pair - one shuffle per key, no collect.
+- A2 percentiles: the reference uses the *nearest-rank-lower* rule ``idx =
+  int(p * (n - 1))`` over the sorted window (reference
+  ``metrics/rolling.py:99-111``). Spark's ``percentile`` interpolates, so we
+  implement the exact index rule with a row_number/count window pair - one
+  shuffle per key, no collect.
 - A5/A7 grouped stats: count / mean / SAMPLE std (n-1, reference
   ``rolling.py:180``) / min / max, empty -> 0.0 fallback
   (``rolling.py:183-184``).
@@ -17,17 +17,16 @@ as declarative Spark aggregations:
   (``rolling.py:87``). Negative diffs pass through unclamped
   (``rolling.py:88``).
 - A8 min-sample gate: ``HAVING count >= n`` (``rolling.py:125``).
-- K5 snapshot: full-outer join of latency and staleness stat frames,
-  sorted by key (``rolling.py:147-212``).
+- K5 snapshot: full-outer join of latency and staleness stat frames, sorted by
+  key (``rolling.py:147-212``).
 
-Scale notes (100 TB): every operator here is a single hash-shuffle on
-its grouping key followed by map-side-combinable aggregates; the
-percentile operator adds one sort within key partitions (Spark sorts
-window partitions, it does not globally sort). Metric keys
-(symbol x channel) are low-cardinality, so the shuffled state is tiny
-regardless of input volume; skew on a hot symbol is handled by AQE
-skew-join/partition splitting which stays enabled in the session
-factory.
+Scale notes (100 TB): every operator here is a single hash-shuffle on its
+grouping key followed by map-side-combinable aggregates; the percentile
+operator adds one sort within key partitions (Spark sorts window partitions,
+it does not globally sort). Metric keys (symbol x channel) are
+low-cardinality, so the shuffled state is tiny regardless of input volume;
+skew on a hot symbol is handled by AQE skew-join/partition splitting which
+stays enabled in the session factory.
 """
 
 from __future__ import annotations
@@ -152,15 +151,14 @@ def percentiles_lower(
 ) -> DataFrame:
     """A2: exact nearest-rank-lower percentiles per key.
 
-    Reference rule (``rolling.py:99-111``): sort the window, take the
-    element at ``int(p * (n - 1))``. Implemented with a row_number +
-    count(*) window pair, then a conditional-max rollup. Both window
-    specs share the key partitioning, so the whole operator is ONE
-    scan + ONE exchange + ONE sort (the count frame needs no order) -
-    measured 37% faster at sf0.1 than the previous two-scan
-    aggregate-then-broadcast-join form, and at 100 TB the saved second
-    scan dominates. Same arithmetic in ANSI SQL, so the DuckDB oracle
-    matches bit-wise (no interpolation anywhere).
+    Reference rule (``rolling.py:99-111``): sort the window, take the element
+    at ``int(p * (n - 1))``. Implemented with a row_number + count(*) window
+    pair, then a conditional-max rollup. Both window specs share the key
+    partitioning, so the whole operator is ONE scan + ONE exchange + ONE sort
+    (the count frame needs no order) - measured 37% faster at sf0.1 than the
+    previous two-scan aggregate-then-broadcast-join form, and at 100 TB the
+    saved second scan dominates. Same arithmetic in ANSI SQL, so the DuckDB
+    oracle matches bit-wise (no interpolation anywhere).
     """
     v = F.col(value_col)
     base = df.where(v.isNotNull())
@@ -456,10 +454,9 @@ def merge_ohlc(
 ) -> DataFrame:
     """Merge fine-grain OHLC partials to a coarser candle grain.
 
-    min/max of the argmin/argmax structs pick the earliest/latest tick
-    across the merged buckets - bit-identical to computing the coarse
-    candles from raw rows (oracle-checked in q_ohlc_rollup), at
-    O(buckets) cost.
+    min/max of the argmin/argmax structs pick the earliest/latest tick across
+    the merged buckets - bit-identical to computing the coarse candles from
+    raw rows (oracle-checked in q_ohlc_rollup), at O(buckets) cost.
     """
     merged = partials.groupBy(
         *keys, F.expr(f"bucket DIV {coarse_factor}").alias("bucket")

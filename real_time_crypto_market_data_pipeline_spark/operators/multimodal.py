@@ -86,9 +86,8 @@ def decode_stub(payload: bytes, kind: str) -> bytes:
 
 
 def _fake_features(payload: bytes, dims: int = 8) -> list[float]:
-    """Deterministic stand-in for an embedding model: unit-normalized
-    doubles derived from the payload digest (stable across runs and
-    partitionings)."""
+    """Deterministic stand-in for an embedding model: unit-normalized doubles
+    derived from the payload digest (stable across runs and partitionings)."""
     h = hashlib.sha256(payload).digest()
     vals = [struct.unpack("<I", h[4 * i : 4 * i + 4])[0] / 2**32 for i in range(dims)]
     norm = sum(v * v for v in vals) ** 0.5 or 1.0

@@ -160,10 +160,8 @@ def normalize_books(frames: DataFrame, top_n: int = 5) -> DataFrame:
         F.lit("books5").alias("channel"),
         F.lit("book_topn").alias("event_type"),
         F.col("_ts_ms").alias("ts_exchange_ms"),
-        F.col("ts_recv_epoch_ms"),
-        F.col("ts_recv_mono_ns"),
-        F.col("ts_decoded_mono_ns"),
-        F.col("ts_proc_mono_ns"),
+        F.col("ts_recv_epoch_ms"), F.col("ts_recv_mono_ns"),
+        F.col("ts_decoded_mono_ns"), F.col("ts_proc_mono_ns"),
         F.struct(
             F.lit(top_n).cast("int").alias("n"),
             # F8 best bid/ask with 0.0 default (normalizer.py:124-125)
@@ -212,10 +210,8 @@ def normalize_trades(frames: DataFrame) -> DataFrame:
         F.lit("trades").alias("channel"),
         F.lit("trade").alias("event_type"),
         F.col("_ts_ms").alias("ts_exchange_ms"),
-        F.col("ts_recv_epoch_ms"),
-        F.col("ts_recv_mono_ns"),
-        F.col("ts_decoded_mono_ns"),
-        F.col("ts_proc_mono_ns"),
+        F.col("ts_recv_epoch_ms"), F.col("ts_recv_mono_ns"),
+        F.col("ts_decoded_mono_ns"), F.col("ts_proc_mono_ns"),
         F.lit(None).cast(BOOK_STRUCT_DDL).alias("book"),
         F.struct(
             F.col("_px").alias("price"),
@@ -243,9 +239,8 @@ def normalize_frames(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
 def derived_columns(events: DataFrame) -> DataFrame:
     """F10+F11: spread + per-stage latency derivations (stdout.py:16-21).
 
-    lat_ex_recv_ms  = ts_recv_epoch_ms - ts_exchange_ms
-    lat_recv_decode_ns / lat_decode_proc_ns, with us display forms /1000
-    (rolling.py:52-54).
+    lat_ex_recv_ms  = ts_recv_epoch_ms - ts_exchange_ms lat_recv_decode_ns /
+    lat_decode_proc_ns, with us display forms /1000 (rolling.py:52-54).
     """
     return events.withColumns(
         {
@@ -326,11 +321,9 @@ def jsonl_encode(events: DataFrame) -> DataFrame:
         F.lit("}"),
     )
     return events.select(
-        F.col("exchange"),
-        F.col("channel"),
+        F.col("exchange"), F.col("channel"),
         date_partition_col().alias("dt"),
-        F.col("symbol"),
-        line.alias("jsonl"),
+        F.col("symbol"), line.alias("jsonl"),
     )
 
 
@@ -344,21 +337,14 @@ def render_stdout_line(events: DataFrame) -> DataFrame:
     d = derived_columns(events)
     book_line = F.format_string(
         "%s | bid=%.2f ask=%.2f spread=%.2f | Ex→Recv=%dms Recv→Decode=%.3fus Decode→Proc=%.3fus",
-        F.col("symbol"),
-        F.col("book.best_bid"),
-        F.col("book.best_ask"),
-        F.col("spread"),
-        F.col("lat_ex_recv_ms"),
-        F.col("lat_recv_decode_us"),
-        F.col("lat_decode_proc_us"),
+        F.col("symbol"), F.col("book.best_bid"), F.col("book.best_ask"),
+        F.col("spread"), F.col("lat_ex_recv_ms"),
+        F.col("lat_recv_decode_us"), F.col("lat_decode_proc_us"),
     )
     trade_line = F.format_string(
         "%s | TRADE %s px=%.2f sz=%.6f | Ex→Recv=%dms",
-        F.col("symbol"),
-        F.col("trade.side"),
-        F.col("trade.price"),
-        F.col("trade.size"),
-        F.col("lat_ex_recv_ms"),
+        F.col("symbol"), F.col("trade.side"), F.col("trade.price"),
+        F.col("trade.size"), F.col("lat_ex_recv_ms"),
     )
     return d.select(
         "symbol",

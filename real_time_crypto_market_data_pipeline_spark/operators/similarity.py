@@ -116,18 +116,15 @@ def _routing_tree(C, Cn, sizes):
         parents = _route(C, Cn, kids, sizes, C[:size], Cn[:size], j + 1)
         kids.append({p: np.where(parents == p)[0] for p in np.unique(parents)})
         # A childless parent is harmless iff a bit-identical twin
-        # captured children - but it still needs a children entry: BLAS
-        # grams do NOT guarantee bit-equal scores for identical columns
-        # at different panel positions (last-ulp drift selected a
-        # childless twin at C=88k, r12), so ALIAS it to a PARENTED
-        # twin's children - same candidate set, same final cell,
-        # oracle-consistent (both score the identical child list). The
-        # alias is symmetric (r13): drift can route all children to a
-        # LATER twin, leaving the FIRST one childless. Anything else is
-        # unroutable geometry - fail at build. Twin lookup hashes row
-        # bytes once (O(C*d)); +0.0 collapses -0.0/+0.0
-        # (cosine-identical, byte-distinct); byte-identical NaN rows
-        # count as twins (degenerate either way).
+        # captured children - but it still needs an entry: BLAS grams
+        # are not bit-equal for identical columns at different panel
+        # positions (last-ulp drift selected a childless twin at C=88k,
+        # r12), so ALIAS it to a PARENTED twin's children - same
+        # candidate set, same final cell, oracle-consistent. Symmetric
+        # (r13): drift can leave the FIRST twin childless too. Anything
+        # else is unroutable geometry - fail at build. Twin lookup
+        # hashes row bytes once (O(C*d)); +0.0 collapses -0.0/+0.0;
+        # byte-identical NaN rows count as twins (degenerate anyway).
         parented = {(C[p] + 0.0).tobytes(): p
                     for p in range(sizes[j]) if p in kids[-1]}
         bad = []
@@ -246,26 +243,23 @@ def assign_cells(
 
     Plan shape: ONE narrow ``mapInPandas`` corpus pass - no shuffle, no
     join; the index-scale centroid relation (C = n/250 rows) collects
-    once driver-side and ships in the task closure, or - past
+    once driver-side and ships in the task closure, or past
     ``broadcast_threshold_bytes`` (128 MB, SCALING.md's C~2.5e5
-    closure-reserialization crossover) - as ONE torrent-shipped
-    ``SparkContext.broadcast`` per executor, exposed on the returned
-    DataFrame as ``.assign_broadcast``: the caller's handle to
-    ``unpersist()`` AFTER materialization (a lazy plan forbids earlier).
+    closure-reserialization crossover) as ONE torrent-shipped
+    ``SparkContext.broadcast`` per executor, exposed on the result as
+    ``.assign_broadcast`` - the caller's ``unpersist()`` handle, valid
+    only AFTER materialization.
 
-    ``transport="int8"``: vectors SQ8-quantize IN THE WORKER
-    (vectorized numpy; the JVM-HOF form of ``sq8_wire`` measured 17x
-    slower at 2M, SCALING.md r10), the descent routes on the
-    DEQUANTIZED values (centroids round-tripped identically) so a
-    dequantizing oracle replays bit-for-bit, and ``keep_vec`` emits
-    ``__q8``/``__amax`` - every leg after this pass carries ~4x fewer
-    bytes; cell id remains the disk partition key. ``codes_col``
-    (r11): the input ALREADY carries that wire (``sq8_encode`` output,
-    materialized at ingest) - the float column is never read, the
-    worker quantize is skipped (dequant = one frombuffer+reshape per
-    batch), ``cents`` carries the same two columns, and nothing is
-    ever re-quantized: assignments + downstream wire bit-identical to
-    ``transport="int8"`` (pytest-pinned).
+    ``transport="int8"``: vectors SQ8-quantize IN THE WORKER (numpy;
+    the JVM-HOF ``sq8_wire`` form measured 17x slower at 2M, SCALING.md
+    r10), the descent routes on the DEQUANTIZED values (centroids
+    round-tripped identically) so a dequantizing oracle replays
+    bit-for-bit, and ``keep_vec`` emits ``__q8``/``__amax`` - every
+    later leg carries ~4x fewer bytes. ``codes_col`` (r11): the input
+    ALREADY carries that wire (``sq8_encode`` output) - float never
+    read, worker quantize skipped (dequant = one frombuffer+reshape
+    per batch), ``cents`` carries the same two columns, nothing
+    re-quantizes: bit-identical to ``transport="int8"`` (pinned).
     """
     import numpy as np
     import pandas as pd
@@ -331,15 +325,14 @@ def assign_cells(
 
 
 def ring_tiles(ids, V, Vn, k: int):
-    """Tile one id-sorted cell group into ``k`` cosine rings: rank by
-    cosine to the MIN-ID member (row 0 - the centroid's own row in the
-    deterministic path, well-defined under trained centroids too),
-    ties -> lower id, then NTILE-style exact integer tiling matching
-    the oracle's SQL CASE. Shared by split + fused-dedup paths.
-    Boundary-tie caveat (the ~1e-15 threshold caveat's rank twin): BLAS
-    vs fold cosines a last ulp apart STRADDLING a quantile boundary can
-    swap rings cross-engine; never observed on testdata - a corpus
-    hitting it should quantize cosines identically before ranking."""
+    """Tile one id-sorted cell group into ``k`` cosine rings: rank by cosine
+    to the MIN-ID member (row 0 - the centroid's own row in the deterministic
+    path, well-defined under trained centroids too), ties -> lower id, then
+    NTILE-style exact integer tiling matching the oracle's SQL CASE. Shared by
+    split + fused-dedup paths. Boundary-tie caveat (the ~1e-15 threshold
+    caveat's rank twin): BLAS vs fold cosines a last ulp apart STRADDLING a
+    quantile boundary can swap rings cross-engine; never observed on testdata
+    - a corpus hitting it should quantize cosines identically before ranking."""
     import numpy as np
 
     cos = (V @ V[0]) / (Vn * Vn[0])
@@ -413,11 +406,10 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF stage 1: assign every vector to its nearest centroid cell.
 
-    Deterministic 'training': centroids are the ``num_cells``
-    smallest-id vectors (reproducible; real pipelines run
-    ``ivf_kmeans_index``). ``num_cells=None`` derives C as
-    max(8, n // 250) - cells stay ~250 rows at any scale vs the
-    32x-for-10x fixed-C wall (SCALING.md); n comes from
+    Deterministic 'training': centroids are the ``num_cells`` smallest-id
+    vectors (reproducible; real pipelines run ``ivf_kmeans_index``).
+    ``num_cells=None`` derives C as max(8, n // 250) - cells stay ~250 rows at
+    any scale vs the 32x-for-10x fixed-C wall (SCALING.md); n comes from
     ``corpus_count`` when given, else ONE eager ``count()`` runs here.
     ``max_cell`` ring-splits oversized cells (``split_hot_cells``).
     ``codes_col``: the input is ``sq8_encode`` output (codes on disk)
@@ -452,17 +444,16 @@ def ivf_topk(
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
-    At scale the assignment table partitions on cell_id (bucketed
-    % k past ~1e3 cells - the dir-per-cell listing wall, SCALING.md
-    r12): the probe prunes to ~1/C of the corpus + a
-    local top-k; ``keep_vec`` keeps the corpus at ONE scan. With
-    ``max_cell`` the probed unit is the query's RING (the cap bounds
-    what a probe reads, at the usual recall trade; ``checkpoint_dir``
-    makes the split's checkpoint reliable). ``codes_col`` (r12): the
-    input is ``sq8_encode`` output and the probe rides the codes wire
-    end-to-end - routing AND scoring on the dequantized values (one
-    Arrow-batched matmul; the float column never exists), so a
-    codes-resident corpus (the 100 TB layout) needs no float copy.
+    At scale the assignment table partitions on cell_id (bucketed % k past
+    ~1e3 cells - the dir-per-cell listing wall, SCALING.md r12): the probe
+    prunes to ~1/C of the corpus + a local top-k; ``keep_vec`` keeps the
+    corpus at ONE scan. With ``max_cell`` the probed unit is the query's RING
+    (the cap bounds what a probe reads, at the usual recall trade;
+    ``checkpoint_dir`` makes the split's checkpoint reliable). ``codes_col``
+    (r12): the input is ``sq8_encode`` output and the probe rides the codes
+    wire end-to-end - routing AND scoring on the dequantized values (one
+    Arrow-batched matmul; the float column never exists), so a codes-resident
+    corpus (the 100 TB layout) needs no float copy.
     """
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True,
                    max_cell=max_cell, checkpoint_dir=checkpoint_dir,
@@ -614,12 +605,11 @@ def hyperplane_lsh_buckets(
     embeddings: DataFrame, num_bits: int = 16, dims: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """X3 alternative scale path: random-hyperplane LSH for vectors.
-    bucket = sign-bit signature against ``num_bits`` deterministic
-    pseudo-random hyperplanes (md5(bit, dim) coefficients - no RNG
-    state to ship); cosine-similar vectors share buckets. Pure
-    projection, no shuffle, no training; at scale the bucket is the
-    storage partition key."""
+    """X3 alternative scale path: random-hyperplane LSH for vectors. bucket =
+    sign-bit signature against ``num_bits`` deterministic pseudo-random
+    hyperplanes (md5(bit, dim) coefficients - no RNG state to ship);
+    cosine-similar vectors share buckets. Pure projection, no shuffle, no
+    training; at scale the bucket is the storage partition key."""
     import hashlib
 
     # driver-side hyperplanes in [-1, 1), shipped as literal arrays

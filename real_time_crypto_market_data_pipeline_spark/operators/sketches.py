@@ -1,26 +1,25 @@
 """Mergeable-sketch operators (SURVEY 2.7 'novel sketch' family).
 
-Exact distinct-counting at 100 TB means a full shuffle of every key;
-sketches replace it with fixed-size mergeable state:
+Exact distinct-counting at 100 TB means a full shuffle of every key; sketches
+replace it with fixed-size mergeable state:
 
-- **HLL** (``hll_sketch_agg`` / ``hll_union_agg``, Datasketches-backed
-  in Spark 3.5+): a per-partition-and-group sketch of a few KB,
-  merged associatively - daily sketches roll up to weekly/monthly
-  totals WITHOUT rescanning history. That re-aggregability is the
-  whole point: store the sketch column, answer any coarser rollup
-  later.
-- **KLL-style quantiles** via ``percentile_approx`` (t-digest-like
-  internal): bounded-size quantile state for streaming/huge groups.
-- **Bloom membership** (:func:`bloom_bitmap` / :func:`bloom_contains`):
-  a hand-built distributed bloom filter in pure DataFrame ops, for
-  semi-join pruning when the build side is too big to broadcast as an
-  exact set but its BITMAP is not. Spark's own runtime bloom-filter
-  join pruning (tests/test_scale_patterns.py) does this implicitly
-  for equi-joins; the explicit form lets a pipeline store/reuse the
-  bitmap and apply it in non-join contexts.
+- **HLL** (``hll_sketch_agg`` / ``hll_union_agg``, Datasketches-backed in
+  Spark 3.5+): a per-partition-and-group sketch of a few KB, merged
+  associatively - daily sketches roll up to weekly/monthly totals WITHOUT
+  rescanning history. That re-aggregability is the whole point: store the
+  sketch column, answer any coarser rollup later.
+- **KLL-style quantiles** via ``percentile_approx`` (t-digest-like internal):
+  bounded-size quantile state for streaming/huge groups.
+- **Bloom membership** (:func:`bloom_bitmap` / :func:`bloom_contains`): a
+  hand-built distributed bloom filter in pure DataFrame ops, for semi-join
+  pruning when the build side is too big to broadcast as an exact set but its
+  BITMAP is not. Spark's own runtime bloom-filter join pruning
+  (tests/test_scale_patterns.py) does this implicitly for equi-joins; the
+  explicit form lets a pipeline store/reuse the bitmap and apply it in
+  non-join contexts.
 
-Accuracy contracts are tested (tests/test_sketches.py): estimates
-within the configured relative error of exact, and the merge identity
+Accuracy contracts are tested (tests/test_sketches.py): estimates within the
+configured relative error of exact, and the merge identity
 union(sketch(day_i)) == sketch(all days) up to estimate precision.
 """
 
@@ -90,16 +89,15 @@ def bloom_bitmap(
 ) -> DataFrame:
     """Build a bloom-filter bitmap over ``key_col`` as a 1-row DataFrame.
 
-    Distributed build: each key fans out to ``num_hashes`` bit
-    positions (``xxhash64(key, seed) mod num_bits``), positions reduce
-    to 64-bit words via ``groupBy(word_index).agg(bit_or)`` - a
-    map-side-combined shuffle whose output is at most
-    ``num_bits / 64`` rows regardless of corpus size - and the sparse
-    words assemble into one dense ``array<long>`` row (column
+    Distributed build: each key fans out to ``num_hashes`` bit positions
+    (``xxhash64(key, seed) mod num_bits``), positions reduce to 64-bit words
+    via ``groupBy(word_index).agg(bit_or)`` - a map-side-combined shuffle
+    whose output is at most ``num_bits / 64`` rows regardless of corpus size -
+    and the sparse words assemble into one dense ``array<long>`` row (column
     ``bloom``, ``num_bits / 8`` bytes; the default 1M bits = 128 KB,
-    broadcastable anywhere). False-positive rate follows the standard
-    ``(1 - e^{-kn/m})^k``; size ``num_bits`` ~10x the expected
-    distinct-key count for <1% at the default ``num_hashes``.
+    broadcastable anywhere). False-positive rate follows the standard ``(1 -
+    e^{-kn/m})^k``; size ``num_bits`` ~10x the expected distinct-key count for
+    <1% at the default ``num_hashes``.
     """
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
@@ -150,13 +148,12 @@ def bloom_contains(
 ):
     """Boolean Column: is ``key`` possibly in the bloom ``bitmap``?
 
-    Pure codegen expression - ``num_hashes`` O(1) array index + bit
-    test probes per row, no Python, no shuffle. ``num_bits`` /
-    ``num_hashes`` MUST match the :func:`bloom_bitmap` build. No
-    false negatives; false positives at the standard bloom rate, so
-    callers needing exactness verify survivors with a real join
-    (which then only sees the bloom-surviving sliver of the probe
-    side).
+    Pure codegen expression - ``num_hashes`` O(1) array index + bit test
+    probes per row, no Python, no shuffle. ``num_bits`` / ``num_hashes`` MUST
+    match the :func:`bloom_bitmap` build. No false negatives; false positives
+    at the standard bloom rate, so callers needing exactness verify survivors
+    with a real join (which then only sees the bloom-surviving sliver of the
+    probe side).
     """
     one = F.lit(1).cast("long")
     cond = None

@@ -179,22 +179,20 @@ def quality_score(
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/C4-style repetition filters: duplicate n-gram fractions.
 
-    The standard pretraining-quality signals the simple length/ratio
-    features miss: boilerplate and spam repeat themselves. Per doc:
+    The standard pretraining-quality signals the simple length/ratio features
+    miss: boilerplate and spam repeat themselves. Per doc:
 
-    - ``dup_unigram_frac`` / ``dup_bigram_frac`` / ``dup_trigram_frac``:
-      1 - distinct/total n-grams (fraction of n-gram slots occupied by
-      repeats);
+    - ``dup_unigram_frac`` / ``dup_bigram_frac`` / ``dup_trigram_frac``: 1 -
+      distinct/total n-grams (fraction of n-gram slots occupied by repeats);
     - ``top_unigram_frac``: share of the single most frequent token;
     - ``repetitive``: the composite gate (Gopher-style thresholds).
 
-    Shape for 100 TB: ONE scan explodes all three n-gram orders tagged
-    with ``n`` (array concat before explode, so no re-scan per order),
-    then two keyed aggregations - (doc, n, gram) counts and (doc, n)
-    rollup - both map-side combined, followed by a conditional-agg
-    pivot. Never the per-doc O(tokens^2) array self-scan a
-    ``transform(filter(...))`` formulation would cost on a 100k-token
-    document.
+    Shape for 100 TB: ONE scan explodes all three n-gram orders tagged with
+    ``n`` (array concat before explode, so no re-scan per order), then two
+    keyed aggregations - (doc, n, gram) counts and (doc, n) rollup - both
+    map-side combined, followed by a conditional-agg pivot. Never the per-doc
+    O(tokens^2) array self-scan a ``transform(filter(...))`` formulation would
+    cost on a 100k-token document.
     """
     toks = tokens_col(F.col(text_col))
 
@@ -344,20 +342,19 @@ def pack_sequences(
 ) -> DataFrame:
     """Pack chunks into fixed-token-budget training sequences (bins).
 
-    The batching step between chunking and training: concatenate chunks
-    until a sequence budget fills, start the next bin. True first-fit
-    is inherently sequential, so the distributed form hashes chunks
-    into ``num_buckets`` independent packing streams (packing
-    parallelizes; a single global running sum would serialize the
-    corpus) and streams each bucket in deterministic (doc_id, chunk_id)
-    order: ``bin = cum_tokens_before DIV budget``. A bin can overflow
-    by at most one boundary-crossing chunk - the standard streaming
-    approximation. The bucket hash is md5-derived (engine-portable,
+    The batching step between chunking and training: concatenate chunks until
+    a sequence budget fills, start the next bin. True first-fit is inherently
+    sequential, so the distributed form hashes chunks into ``num_buckets``
+    independent packing streams (packing parallelizes; a single global running
+    sum would serialize the corpus) and streams each bucket in deterministic
+    (doc_id, chunk_id) order: ``bin = cum_tokens_before DIV budget``. A bin
+    can overflow by at most one boundary-crossing chunk - the standard
+    streaming approximation. The bucket hash is md5-derived (engine-portable,
     like corpus_split), so the assignment is reproducible everywhere.
 
     One exchange on ``bucket`` serves the only window; at 100 TB pick
-    num_buckets ~ cluster parallelism and each stream stays in one
-    task's sort buffer.
+    num_buckets ~ cluster parallelism and each stream stays in one task's sort
+    buffer.
     """
     from pyspark.sql import Window
 

@@ -1,10 +1,9 @@
 """Capability queries beyond the reference surface (SURVEY 2.6).
 
-Operators every production event-analytics engine needs that the
-reference lacks entirely: as-of joins (trade -> prevailing quote),
-sessionization, pivot, rollup, and set operations. Each is
-oracle-checked; the as-of oracle uses DuckDB's native ASOF JOIN
-against our union+window implementation.
+Operators every production event-analytics engine needs that the reference
+lacks entirely: as-of joins (trade -> prevailing quote), sessionization,
+pivot, rollup, and set operations. Each is oracle-checked; the as-of oracle
+uses DuckDB's native ASOF JOIN against our union+window implementation.
 """
 
 from __future__ import annotations
@@ -94,9 +93,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap marking + running sum (24 h inactivity gap).
 
-    The batch form of session_window - one keyed sort serves both
-    window passes. Explicit ROWS frame so tie handling matches the
-    oracle exactly.
+    The batch form of session_window - one keyed sort serves both window
+    passes. Explicit ROWS frame so tie handling matches the oracle exactly.
     """
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -334,19 +332,18 @@ def q_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average price per key (TWAP).
 
-    Each observation holds until the next one, so its weight is the
-    interval to the successor (lead over event time, event_id
-    tiebreak); the open last interval is dropped. The market-data
-    twin of the reference's rolling stats (rolling.py:67-95): where
-    those weight every sample equally, TWAP weights by holding time -
-    the difference matters exactly when sampling is irregular, which
-    the reference's own staleness metric measures.
+    Each observation holds until the next one, so its weight is the interval
+    to the successor (lead over event time, event_id tiebreak); the open last
+    interval is dropped. The market-data twin of the reference's rolling stats
+    (rolling.py:67-95): where those weight every sample equally, TWAP weights
+    by holding time - the difference matters exactly when sampling is
+    irregular, which the reference's own staleness metric measures.
 
-    Exactness: value has 2 decimals, so price*weight is computed in
-    integer cents x integer ms - the BIGINT partial sums are exact
-    under any partitioning/merge order, and the single final division
-    is the only float op (same lesson as q_salted_stats). One shuffle
-    for the window, reused by the aggregation (both key on user_id).
+    Exactness: value has 2 decimals, so price*weight is computed in integer
+    cents x integer ms - the BIGINT partial sums are exact under any
+    partitioning/merge order, and the single final division is the only float
+    op (same lesson as q_salted_stats). One shuffle for the window, reused by
+    the aggregation (both key on user_id).
     """
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     t = (
@@ -403,17 +400,16 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: hour partials -> day stats.
 
-    ``metrics.rollup_partials`` stores exact-integer-sum partial
-    aggregates per (event_type, hour); ``metrics.merge_rollup``
-    answers the day grain by merging 24 hour-buckets per day - WITHOUT
-    rescanning raw rows. The oracle computes the day stats directly
-    from raw events, so a driver match proves the rollup is lossless:
-    stored fine-grain partials can serve any coarser report. At 100 TB
-    this is the materialized-rollup pattern (TimescaleDB continuous
-    aggregates / Druid rollup): the daily query costs O(hour-buckets)
-    instead of O(corpus), and the integer accumulators make the merge
-    exact under any order - the same re-aggregability contract the HLL
-    sketch rollup (q_sketch_distinct) provides for distinct counts.
+    ``metrics.rollup_partials`` stores exact-integer-sum partial aggregates
+    per (event_type, hour); ``metrics.merge_rollup`` answers the day grain by
+    merging 24 hour-buckets per day - WITHOUT rescanning raw rows. The oracle
+    computes the day stats directly from raw events, so a driver match proves
+    the rollup is lossless: stored fine-grain partials can serve any coarser
+    report. At 100 TB this is the materialized-rollup pattern (TimescaleDB
+    continuous aggregates / Druid rollup): the daily query costs
+    O(hour-buckets) instead of O(corpus), and the integer accumulators make
+    the merge exact under any order - the same re-aggregability contract the
+    HLL sketch rollup (q_sketch_distinct) provides for distinct counts.
     """
     from ..operators import metrics as M
 
@@ -453,20 +449,18 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realized volatility per key: sum of squared log returns.
 
-    The standard market-microstructure estimator (Andersen/Bollerslev
-    realized variance): successive observations per key (event-time
-    order, event_id tiebreak) give log returns ln(p_t/p_{t-1}); their
-    squared sum over the sample is realized variance, its square root
-    realized volatility. Extends the reference's rolling latency stats
-    (rolling.py:67-95) with the estimator an exchange-data consumer
-    actually runs on the price stream.
+    The standard market-microstructure estimator (Andersen/Bollerslev realized
+    variance): successive observations per key (event-time order, event_id
+    tiebreak) give log returns ln(p_t/p_{t-1}); their squared sum over the
+    sample is realized variance, its square root realized volatility. Extends
+    the reference's rolling latency stats (rolling.py:67-95) with the
+    estimator an exchange-data consumer actually runs on the price stream.
 
     Plan: one shuffle on user_id serves both the lag window and the
-    aggregation (same key); the squared-log-return map stays in
-    whole-stage codegen. Float sums commute to well under the driver's
-    6-significant-digit rounding; positivity guards on both sides keep
-    LN total. Scale: window + agg on the same key is exchange-reusing,
-    no second shuffle at 100 TB.
+    aggregation (same key); the squared-log-return map stays in whole-stage
+    codegen. Float sums commute to well under the driver's 6-significant-digit
+    rounding; positivity guards on both sides keep LN total. Scale: window +
+    agg on the same key is exchange-reusing, no second shuffle at 100 TB.
     """
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     d = (
@@ -504,14 +498,13 @@ def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown per key via a running-maximum window.
 
-    Drawdown at each observation is the fractional drop from the
-    running peak ((peak - p) / peak); the max over the series is the
-    risk metric every trading-data consumer derives from the price
-    stream the reference ships. Running max is a rows-frame window --
-    no self-join, no O(n^2) -- and the groupBy reuses the window's
-    user_id exchange. Every per-row value is deterministic (max and
-    division, no order-dependent float sums), so the oracle hash
-    matches bit-for-bit modulo the driver's rounding.
+    Drawdown at each observation is the fractional drop from the running peak
+    ((peak - p) / peak); the max over the series is the risk metric every
+    trading-data consumer derives from the price stream the reference ships.
+    Running max is a rows-frame window -- no self-join, no O(n^2) -- and the
+    groupBy reuses the window's user_id exchange. Every per-row value is
+    deterministic (max and division, no order-dependent float sums), so the
+    oracle hash matches bit-for-bit modulo the driver's rounding.
     """
     w = (
         Window.partitionBy("user_id")
@@ -558,19 +551,18 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via bin rewrite: views landing in each purchase window.
 
-    Each purchase opens a 30-minute window; count/sum the same user's
-    views inside it. The oracle is the naive inequality join; the
-    Spark plan is operators/rangejoin.interval_join_binned - an
-    equi-join on (user_id, time-bin) with an exact BETWEEN recheck,
-    so no BroadcastNestedLoopJoin appears anywhere in the plan (the
-    O(n x m) trap a literal translation would hit at 100 TB). The bin
-    width equals the window length, so each interval explodes to at
-    most 2 bins. Sums ride in integer cents (exact under any merge
-    order); purchases with zero views survive through the operator's
-    LEFT mode (null point rows that the count/sum skip), so each
-    source is scanned exactly once - an inner join + restore-join
-    would re-scan the purchase side (lineage duplication, observed as
-    a third FileScan in that form's plan).
+    Each purchase opens a 30-minute window; count/sum the same user's views
+    inside it. The oracle is the naive inequality join; the Spark plan is
+    operators/rangejoin.interval_join_binned - an equi-join on (user_id,
+    time-bin) with an exact BETWEEN recheck, so no BroadcastNestedLoopJoin
+    appears anywhere in the plan (the O(n x m) trap a literal translation
+    would hit at 100 TB). The bin width equals the window length, so each
+    interval explodes to at most 2 bins. Sums ride in integer cents (exact
+    under any merge order); purchases with zero views survive through the
+    operator's LEFT mode (null point rows that the count/sum skip), so each
+    source is scanned exactly once - an inner join + restore-join would
+    re-scan the purchase side (lineage duplication, observed as a third
+    FileScan in that form's plan).
     """
     from ..operators.rangejoin import interval_join_binned
 

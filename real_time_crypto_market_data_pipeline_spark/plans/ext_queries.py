@@ -1,10 +1,9 @@
 """SURVEY section 2.7 extension operators: LLM-training-data pipeline queries.
 
-Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
-cosine), similarity search (brute-force + IVF), and text analysis over
-the driver's ``documents`` / ``embeddings`` tables - each with an
-exact DuckDB oracle. See operators/{dedup,similarity,text}.py for the
-scale design notes.
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+similarity search (brute-force + IVF), and text analysis over the driver's
+``documents`` / ``embeddings`` tables - each with an exact DuckDB oracle. See
+operators/{dedup,similarity,text}.py for the scale design notes.
 """
 
 from __future__ import annotations
@@ -253,13 +252,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4+ composed corpus prep: quality gate -> exact dedup -> split.
 
-    The whole pretraining-data funnel as ONE declarative plan over ONE
-    scan and ONE shuffle: score and gate fuse into the scan stage
-    (quality_score passes source/text through, no join-back), the
-    dedup is a window over md5(text) keeping the min doc_id (the
-    plan's single exchange), and the hash split is a projection.
-    Asserted in tests/test_plans.py - composing operators as
-    DataFrames means the optimizer sees the whole funnel and no
+    The whole pretraining-data funnel as ONE declarative plan over ONE scan
+    and ONE shuffle: score and gate fuse into the scan stage (quality_score
+    passes source/text through, no join-back), the dedup is a window over
+    md5(text) keeping the min doc_id (the plan's single exchange), and the
+    hash split is a projection. Asserted in tests/test_plans.py - composing
+    operators as DataFrames means the optimizer sees the whole funnel and no
     intermediate corpus materializes.
     """
     from pyspark.sql import Window
@@ -331,18 +329,16 @@ def _decontam_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2+ decontamination: flag training docs that overlap the eval set.
 
-    The benchmark-leakage scan every training-data pipeline needs:
-    source 'src0' plays the held-out eval set; any other document
-    sharing >= 2 distinct shingles with it is flagged with its overlap
-    count. The eval shingle set broadcasts (eval corpora are small by
-    construction); the train side streams through the semi-join
-    map-side, so the scan of a 100 TB training corpus shuffles only
-    the flagged doc ids. At extreme eval sizes, drop the broadcast
-    hint: the join becomes shuffle-based and Spark's runtime
-    bloom-filter join pruning injects a bloom probe into the train
+    The benchmark-leakage scan every training-data pipeline needs: source
+    'src0' plays the held-out eval set; any other document sharing >= 2
+    distinct shingles with it is flagged with its overlap count. The eval
+    shingle set broadcasts (eval corpora are small by construction); the train
+    side streams through the semi-join map-side, so the scan of a 100 TB
+    training corpus shuffles only the flagged doc ids. At extreme eval sizes,
+    drop the broadcast hint: the join becomes shuffle-based and Spark's
+    runtime bloom-filter join pruning injects a bloom probe into the train
     scan automatically (the mechanism test_scale_patterns pins on the
-    fact-join case); :func:`q_decontaminate_bloom` is that plan made
-    explicit.
+    fact-join case); :func:`q_decontaminate_bloom` is that plan made explicit.
     """
     sh = _decontam_shingles(spark, sf_dir)
     ev = (
@@ -361,20 +357,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2+ decontamination, bloom-prefiltered: the 100 TB eval-set plan.
 
-    Same answer as :func:`q_decontaminate`, different physical
-    strategy for the regime where the eval shingle SET is too big to
-    broadcast exactly but its BITMAP is not: the eval shingles reduce
-    to a 128 KB bloom bitmap (distributed build,
-    ``sketches.bloom_bitmap``), the bitmap broadcasts onto the train
-    scan, and each train shingle is probed with five O(1) bit tests
-    in whole-stage codegen - so the wide exact verify join only ever
-    sees the bloom-surviving sliver of the corpus. Survivors are then
-    verified with a plain shuffle equi-join (deliberately NOT
-    broadcast: on a 100 TB corpus the survivors, not the full train
-    side, are what shuffles), which removes bloom false positives and
-    restores exactness - the result hash-matches the exact oracle.
-    tests/test_sketches.py asserts both variants agree and pins the
-    false-positive margin of the bloom pass itself.
+    Same answer as :func:`q_decontaminate`, different physical strategy for
+    the regime where the eval shingle SET is too big to broadcast exactly but
+    its BITMAP is not: the eval shingles reduce to a 128 KB bloom bitmap
+    (distributed build, ``sketches.bloom_bitmap``), the bitmap broadcasts onto
+    the train scan, and each train shingle is probed with five O(1) bit tests
+    in whole-stage codegen - so the wide exact verify join only ever sees the
+    bloom-surviving sliver of the corpus. Survivors are then verified with a
+    plain shuffle equi-join (deliberately NOT broadcast: on a 100 TB corpus
+    the survivors, not the full train side, are what shuffles), which removes
+    bloom false positives and restores exactness - the result hash-matches the
+    exact oracle. tests/test_sketches.py asserts both variants agree and pins
+    the false-positive margin of the bloom pass itself.
     """
     from ..operators import sketches as SK
 
@@ -1157,20 +1151,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 retention policy: pick ONE survivor per near-dup cluster.
 
-    The step dedup exists for: near-dup clusters (LSH candidates ->
-    connected components) each keep their longest member (ties -> min
-    doc_id); docs outside any cluster are their own component and
-    survive. Emits (component, kept_doc_id, n_members) - the kept set
-    IS the deduplicated corpus, the rest is the drop list. Scale
-    shape: CC over candidate pairs only (bounded by LSH bucket
-    co-membership), one left join of the corpus against the label
-    table on doc_id, one groupBy(component) with an argmax carried as
-    a struct-min - no window, no global sort, no driver-side state
-    (composite-ordering argmax compiles to a SortAggregate: partial
-    agg with per-partition sorts before the single exchange, the
-    standard Spark plan for this shape). The tie-break is total
-    (n_chars DESC then doc_id ASC), so the kept set is deterministic
-    under any partitioning/merge order.
+    The step dedup exists for: near-dup clusters (LSH candidates -> connected
+    components) each keep their longest member (ties -> min doc_id); docs
+    outside any cluster are their own component and survive. Emits (component,
+    kept_doc_id, n_members) - the kept set IS the deduplicated corpus, the
+    rest is the drop list. Scale shape: CC over candidate pairs only (bounded
+    by LSH bucket co-membership), one left join of the corpus against the
+    label table on doc_id, one groupBy(component) with an argmax carried as a
+    struct-min - no window, no global sort, no driver-side state
+    (composite-ordering argmax compiles to a SortAggregate: partial agg with
+    per-partition sorts before the single exchange, the standard Spark plan
+    for this shape). The tie-break is total (n_chars DESC then doc_id ASC), so
+    the kept set is deterministic under any partitioning/merge order.
     """
     docs = load(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(D.lsh_bucket_table(docs))
@@ -1447,21 +1439,83 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: incremental ingest dedup - even doc_ids play the existing
-    corpus, every third doc the incoming re-crawl batch (the overlap
-    at doc_id % 6 == 0 simulates re-crawled pages, so ~a third of the
-    batch is genuinely rejected); admitted = intra-batch min-id
-    representatives whose hash is unseen in the corpus.
+    """X1: incremental ingest dedup - even doc_ids play the existing corpus,
+    every third doc the incoming re-crawl batch (the overlap at doc_id % 6 ==
+    0 simulates re-crawled pages, so ~a third of the batch is genuinely
+    rejected); admitted = intra-batch min-id representatives whose hash is
+    unseen in the corpus.
 
-    Both stages shuffle 32-byte md5 keys only; see
-    dedup.incremental_dedup for the materialized-hash-set /
-    bloom-prefilter scale notes.
+    Both stages shuffle 32-byte md5 keys only; see dedup.incremental_dedup for
+    the materialized-hash-set / bloom-prefilter scale notes.
     """
     docs = load(spark, sf_dir, "documents")
     return D.incremental_dedup(
         docs.where(F.col("doc_id") % 3 == 0),
         docs.where(F.col("doc_id") % 2 == 0),
     ).select("doc_id", "text_hash")
+
+
+# --------------------------------------------- X2 (near-dup, ingest form)
+@query(
+    "q_dedup_near_incremental",
+    oracle=_MINHASH
+    + """,
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM buck a JOIN buck b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    dsh AS (SELECT DISTINCT doc_id, shingle
+            FROM sh, UNNEST(shingles) AS u(shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common FROM cand c
+      JOIN dsh a ON a.doc_id = c.doc_a
+      JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    dup AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(sa.sz + sb.sz - i.n_common AS DOUBLE) >= 0.5),
+    sdrop AS (SELECT DISTINCT doc_b AS doc_id FROM dup
+              WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+    skept AS (SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM sdrop)),
+    bdrop AS (
+      SELECT d.doc_b AS doc_id FROM dup d
+      JOIN skept s ON s.doc_id = d.doc_a WHERE d.doc_b % 2 = 1
+      UNION SELECT d.doc_a FROM dup d
+      JOIN skept s ON s.doc_id = d.doc_b WHERE d.doc_a % 2 = 1
+      UNION SELECT d.doc_b FROM dup d WHERE d.doc_a % 2 = 1 AND d.doc_b % 2 = 1)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM bdrop)
+    """,
+)
+def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (ingest form): incremental LSH near-dup text dedup - the r13 mirror
+    of q_semdedup_incremental for the MinHash/LSH family. Even doc_ids are
+    yesterday's corpus, distilled into the persisted band-bucket index
+    (``lsh_index_build``: min-id survivors with shingle sets inline,
+    bkt-partitioned); odd doc_ids are today's batch, admitted only where NO
+    kept survivor (either id order - the FIXED seen-set) and NO lower-id batch
+    doc shares a band bucket AND verifies at Jaccard >= 0.5. The oracle
+    replays the seed min-id dedup and all three drop legs over one
+    bucket/shingle CTE chain. The admitted result is eagerly materialized
+    inside the operator, so immediate index cleanup is safe."""
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="q_lsh_incr_")
+    try:
+        # 64 bucket dirs: sized to the sf corpus (1024 is the 100 TB
+        # default; the write wall is one task+file per dir)
+        D.lsh_index_build(docs.where(F.col("doc_id") % 2 == 0), idx,
+                          num_buckets=64)
+        return D.lsh_dedup_incremental(
+            docs.where(F.col("doc_id") % 2 == 1), idx, update_index=False)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 # ------------------------------------------------- X2/X3 (SemDeDup, ingest form)
@@ -1496,15 +1550,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/X3 (ingest form): incremental SemDeDup. The first half of the
-    corpus (by vec_id) is yesterday's ingest, distilled into a persisted
-    SQ8-codes index (``semantic_index_build``); the second half is
-    today's batch, admitted only where NO kept seen vector and NO
-    earlier (lower-id) batch vector sits within cosine 0.40. The oracle
-    replays index build, batch assignment, and both drop legs over the
-    SQ8-dequantized wire in one CTE chain. The index lives in a per-run
-    temp dir; the admitted result is eagerly materialized inside the
-    operator, so immediate cleanup is safe."""
+    """X2/X3 (ingest form): incremental SemDeDup. The first half of the corpus
+    (by vec_id) is yesterday's ingest, distilled into a persisted SQ8-codes
+    index (``semantic_index_build``); the second half is today's batch,
+    admitted only where NO kept seen vector and NO earlier (lower-id) batch
+    vector sits within cosine 0.40. The oracle replays index build, batch
+    assignment, and both drop legs over the SQ8-dequantized wire in one CTE
+    chain. The index lives in a per-run temp dir; the admitted result is
+    eagerly materialized inside the operator, so immediate cleanup is safe."""
     import shutil
     import tempfile
 

@@ -1,15 +1,14 @@
 """Query registry: every SURVEY.md section-2 operator as a named query.
 
-Each entry pairs a PySpark builder ``(spark, sf_dir) -> DataFrame``
-with the ANSI-SQL oracle string DuckDB runs on the same parquet
-tables. The driver compares row-count + schema + order-insensitive
-value-hash, so:
+Each entry pairs a PySpark builder ``(spark, sf_dir) -> DataFrame`` with the
+ANSI-SQL oracle string DuckDB runs on the same parquet tables. The driver
+compares row-count + schema + order-insensitive value-hash, so:
 
 - every computed column is aliased identically on both sides;
 - orderings always carry a total tiebreak;
 - hashing uses md5 (engine-portable), never engine-private hashes;
-- percentiles use the reference's exact nearest-rank-lower rule on
-  both sides (no interpolation -> no float drift).
+- percentiles use the reference's exact nearest-rank-lower rule on both sides
+  (no interpolation -> no float drift).
 """
 
 from __future__ import annotations
@@ -33,12 +32,11 @@ def prepare(spark: SparkSession) -> SparkSession:
 
     - ``nanosAsLong``: if the driver's ``events.ts`` ships as parquet
       TIMESTAMP(NANOS) (as it did in rounds 1-2), Spark 4 refuses it by
-      default; reading it as a raw LONG of nanoseconds matches the
-      engine's clock-domain contract (integer ns stays integer -
-      reference ``time_helpers.py:12-23``). Current testdata is
-      ``timestamp[us]`` where this conf is a no-op; either storage works
-      because all ms derivation goes through the type-adaptive
-      ``tables.events_ms_col``.
+      default; reading it as a raw LONG of nanoseconds matches the engine's
+      clock-domain contract (integer ns stays integer - reference
+      ``time_helpers.py:12-23``). Current testdata is ``timestamp[us]`` where
+      this conf is a no-op; either storage works because all ms derivation
+      goes through the type-adaptive ``tables.events_ms_col``.
     - UTC session timezone: DuckDB treats naive timestamps as UTC; all
       date/hour rendering (and the NTZ->LTZ instant mapping in
       ``events_ms_col``) must agree.

@@ -257,13 +257,12 @@ def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table local-supplier-volume join.
 
-    Only the genuinely bounded sides carry broadcast hints (supplier,
-    nation, region). lineitem-orders and orders-customer are
-    fact-to-fact edges: both shuffle on their equi-keys and AQE picks
-    the physical strategy from runtime sizes - at sf0.1 it may still
-    choose broadcast, at 100 TB it degrades gracefully to SMJ instead
-    of OOMing on a forced hint. The region filter prunes through the
-    nation->supplier chain before touching the fact.
+    Only the genuinely bounded sides carry broadcast hints (supplier, nation,
+    region). lineitem-orders and orders-customer are fact-to-fact edges: both
+    shuffle on their equi-keys and AQE picks the physical strategy from
+    runtime sizes - at sf0.1 it may still choose broadcast, at 100 TB it
+    degrades gracefully to SMJ instead of OOMing on a forced hint. The region
+    filter prunes through the nation->supplier chain before touching the fact.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").where(
@@ -527,11 +526,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/qty bands.
 
-    Catalyst extracts the common sub-predicates of the OR for pushdown:
-    the part scan receives an IN(brand) + size range filter and the
-    lineitem scan a quantity range, so neither side reads rows no
-    branch could accept; the residual OR evaluates post-join in
-    whole-stage codegen.
+    Catalyst extracts the common sub-predicates of the OR for pushdown: the
+    part scan receives an IN(brand) + size range filter and the lineitem scan
+    a quantity range, so neither side reads rows no branch could accept; the
+    residual OR evaluates post-join in whole-stage codegen.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
@@ -885,14 +883,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: revenue of orders placed but not yet shipped.
 
-    The customer market-segment column doesn't exist here, so the
-    selective dim filter is region membership instead. nation/region
-    broadcast into the customer scan; the filtered customer key set and
-    the lineitem-orders edge are O(fact), so both stay hint-free
-    (shuffled semi/equi joins, AQE-sized). The date predicates push to
-    both parquet scans. The TPC ORDER BY + LIMIT 10 is dropped
-    (float-ordered top-k is not cross-engine deterministic); top-k over
-    this result is q_order_revenue_topk's job.
+    The customer market-segment column doesn't exist here, so the selective
+    dim filter is region membership instead. nation/region broadcast into the
+    customer scan; the filtered customer key set and the lineitem-orders edge
+    are O(fact), so both stay hint-free (shuffled semi/equi joins, AQE-sized).
+    The date predicates push to both parquet scans. The TPC ORDER BY + LIMIT
+    10 is dropped (float-ordered top-k is not cross-engine deterministic);
+    top-k over this result is q_order_revenue_topk's job.
     """
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp_ntz")
@@ -1081,12 +1078,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: supplier diversity per part attribute bucket.
 
-    The NOT IN complainer-supplier subquery (comment-LIKE in TPC,
-    negative balance here) becomes a broadcast anti join - the right
-    way to run NOT IN at scale when the exclusion list is small and
-    provably non-null. COUNT(DISTINCT) expands to a two-phase
-    aggregate: partial distinct on (brand,type,size,suppkey), then the
-    count - both map-side combined.
+    The NOT IN complainer-supplier subquery (comment-LIKE in TPC, negative
+    balance here) becomes a broadcast anti join - the right way to run NOT IN
+    at scale when the exclusion list is small and provably non-null.
+    COUNT(DISTINCT) expands to a two-phase aggregate: partial distinct on
+    (brand,type,size,suppkey), then the count - both map-side combined.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(
@@ -1247,13 +1243,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family: ntile / percent_rank / cume_dist.
 
-    The window ORDER BY carries event_id as tiebreak so the total
-    order - and therefore every rank-derived value - is identical
-    cross-engine. One exchange+sort per event_type serves all three
-    window functions; the quartile rollup reuses the same clustering.
-    Rollup aggregates are MIN/MAX/COUNT (order-independent) - a SUM of
-    ~5k doubles per group drifts past 6-significant-digit
-    canonicalization between engines at sf0.1.
+    The window ORDER BY carries event_id as tiebreak so the total order - and
+    therefore every rank-derived value - is identical cross-engine. One
+    exchange+sort per event_type serves all three window functions; the
+    quartile rollup reuses the same clustering. Rollup aggregates are
+    MIN/MAX/COUNT (order-independent) - a SUM of ~5k doubles per group drifts
+    past 6-significant-digit canonicalization between engines at sf0.1.
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
@@ -1295,10 +1290,9 @@ def q_window_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional window family: first_value / last_value / nth_value.
 
-    The frame is pinned to the full partition (the default
-    last_value frame ends at CURRENT ROW - a classic cross-engine
-    trap) and the order carries event_id as tiebreak, so all three
-    positional picks are deterministic.
+    The frame is pinned to the full partition (the default last_value frame
+    ends at CURRENT ROW - a classic cross-engine trap) and the order carries
+    event_id as tiebreak, so all three positional picks are deterministic.
     """
     ev = load(spark, sf_dir, "events")
     w = (
@@ -1384,13 +1378,12 @@ def q_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bar resampling: hourly OHLC candles per series.
 
-    The canonical market-data downsample (the reference never
-    aggregates over event time at all - SURVEY 2.6). Open/close are
-    positional picks over a (ts, event_id) total order - the
-    full-partition window frame from q_first_last_value - and the bar
-    rollup reuses the window's (type, bucket) clustering, so the whole
-    candle build is one exchange+sort. In streaming form the same
-    bars fall out of groupBy(window(event_time, '1 hour')) with
+    The canonical market-data downsample (the reference never aggregates over
+    event time at all - SURVEY 2.6). Open/close are positional picks over a
+    (ts, event_id) total order - the full-partition window frame from
+    q_first_last_value - and the bar rollup reuses the window's (type, bucket)
+    clustering, so the whole candle build is one exchange+sort. In streaming
+    form the same bars fall out of groupBy(window(event_time, '1 hour')) with
     min_by/max_by; batch keeps the window form for exact cross-engine
     open/close semantics.
     """
@@ -1451,15 +1444,14 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain candles from mergeable partials: hour -> day.
 
-    q_ohlc_bars computes candles with a full-partition window; this
-    query computes HOURLY candle partials instead (open/close stored
-    as argmin/argmax tick structs - metrics.ohlc_partials) and merges
-    24 of them per day (metrics.merge_ohlc). The oracle computes the
-    day candles directly from raw ticks, so a match proves order
-    statistics roll up losslessly - the continuous-aggregate contract
-    (q_rollup_merge) extended from sums to positional open/close. At
-    100 TB the stored hourly candles serve every coarser chart without
-    touching tick data again.
+    q_ohlc_bars computes candles with a full-partition window; this query
+    computes HOURLY candle partials instead (open/close stored as
+    argmin/argmax tick structs - metrics.ohlc_partials) and merges 24 of them
+    per day (metrics.merge_ohlc). The oracle computes the day candles directly
+    from raw ticks, so a match proves order statistics roll up losslessly -
+    the continuous-aggregate contract (q_rollup_merge) extended from sums to
+    positional open/close. At 100 TB the stored hourly candles serve every
+    coarser chart without touching tick data again.
     """
     from ..operators import metrics as M
 
@@ -1493,17 +1485,16 @@ def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe grouped stats: two-stage salted shuffle, same answer.
 
-    Stage 1 aggregates on (keys, salt) so a hot key spreads over 16
-    reducers; stage 2 merges 16 partial rows per key - salting changes
-    the execution, not the result. The stats run over integer cents
-    (round(value*100)): integer partial sums are EXACT under any
-    grouping/order, so the two-stage merge is bit-identical to the
-    oracle's single pass. (Double sums are not: a mean of 16
-    two-decimal values lands exactly on 6-significant-digit rounding
-    boundaries often enough that summation-order ulps flip the
-    canonicalized value - measured 10/750 groups at sf0.01.) The
-    double path's stddev/mean equality to the plain single-shuffle agg
-    is pinned at rel_tol 1e-6 in tests/test_scale_patterns.py.
+    Stage 1 aggregates on (keys, salt) so a hot key spreads over 16 reducers;
+    stage 2 merges 16 partial rows per key - salting changes the execution,
+    not the result. The stats run over integer cents (round(value*100)):
+    integer partial sums are EXACT under any grouping/order, so the two-stage
+    merge is bit-identical to the oracle's single pass. (Double sums are not:
+    a mean of 16 two-decimal values lands exactly on 6-significant-digit
+    rounding boundaries often enough that summation-order ulps flip the
+    canonicalized value - measured 10/750 groups at sf0.01.) The double path's
+    stddev/mean equality to the plain single-shuffle agg is pinned at rel_tol
+    1e-6 in tests/test_scale_patterns.py.
     """
     from ..operators.skew import salted_grouped_stats
 
@@ -1541,16 +1532,15 @@ def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation: upsert a change batch into a dimension.
 
-    The CDC shape without a table format: matched rows update
-    (acctbal += the year's spend), unmatched source rows insert,
-    unmatched target rows pass through - expressed as
-    update-via-join UNION insert-via-anti-join. On a lakehouse table
-    (Delta/Iceberg) this is literally MERGE INTO and rewrites only
-    touched files. Both the change batch and the target key set are
-    O(customer) - fact scale - so neither side carries a broadcast
-    hint: the left join and the anti join shuffle on c_custkey (one
-    co-partitioned exchange each; AQE may still pick broadcast when
-    the year's change batch is genuinely small at runtime).
+    The CDC shape without a table format: matched rows update (acctbal += the
+    year's spend), unmatched source rows insert, unmatched target rows pass
+    through - expressed as update-via-join UNION insert-via-anti-join. On a
+    lakehouse table (Delta/Iceberg) this is literally MERGE INTO and rewrites
+    only touched files. Both the change batch and the target key set are
+    O(customer) - fact scale - so neither side carries a broadcast hint: the
+    left join and the anti join shuffle on c_custkey (one co-partitioned
+    exchange each; AQE may still pick broadcast when the year's change batch
+    is genuinely small at runtime).
     """
     cust = load(spark, sf_dir, "customer")
     src = (
@@ -1609,15 +1599,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension history build from a change stream.
 
-    Each order is a new version of its customer's lifetime-spend
-    attribute: valid_from = the change timestamp, valid_to = the next
-    change (NULL = current row), a monotone version number, and the
-    running attribute value. This is the other half of the CDC story
-    next to q_merge_upsert: MERGE keeps only the latest row, SCD2
-    keeps every row with an effective-dated range, so point-in-time
-    joins (AS OF semantics) become a simple BETWEEN valid_from AND
-    valid_to. One shuffle on the natural key serves all four window
-    functions (same partitioning, same ordering); the running sum is
+    Each order is a new version of its customer's lifetime-spend attribute:
+    valid_from = the change timestamp, valid_to = the next change (NULL =
+    current row), a monotone version number, and the running attribute value.
+    This is the other half of the CDC story next to q_merge_upsert: MERGE
+    keeps only the latest row, SCD2 keeps every row with an effective-dated
+    range, so point-in-time joins (AS OF semantics) become a simple BETWEEN
+    valid_from AND valid_to. One shuffle on the natural key serves all four
+    window functions (same partitioning, same ordering); the running sum is
     integer cents so partial sums are exact under any merge order.
     """
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1697,43 +1686,18 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - F.count("event_type")).alias("null_event_type"),
         F.countDistinct("event_type").cast("long").alias("nd_event_type"),
     )
+    def prof(c, numeric=True):  # one audit struct per profiled column
+        null_d = F.lit(None).cast("double")
+        return F.struct(
+            F.lit(c).alias("column_name"), F.col("n_rows"),
+            F.col(f"null_{c}").alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"min_{c}") if numeric else null_d).alias("min_num"),
+            (F.col(f"max_{c}") if numeric else null_d).alias("max_num"))
+
     return wide.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("event_id").alias("column_name"),
-                    F.col("n_rows"),
-                    F.col("null_event_id").alias("n_null"),
-                    F.col("nd_event_id").alias("n_distinct"),
-                    F.col("min_event_id").alias("min_num"),
-                    F.col("max_event_id").alias("max_num"),
-                ),
-                F.struct(
-                    F.lit("user_id").alias("column_name"),
-                    F.col("n_rows"),
-                    F.col("null_user_id").alias("n_null"),
-                    F.col("nd_user_id").alias("n_distinct"),
-                    F.col("min_user_id").alias("min_num"),
-                    F.col("max_user_id").alias("max_num"),
-                ),
-                F.struct(
-                    F.lit("value").alias("column_name"),
-                    F.col("n_rows"),
-                    F.col("null_value").alias("n_null"),
-                    F.col("nd_value").alias("n_distinct"),
-                    F.col("min_value").alias("min_num"),
-                    F.col("max_value").alias("max_num"),
-                ),
-                F.struct(
-                    F.lit("event_type").alias("column_name"),
-                    F.col("n_rows"),
-                    F.col("null_event_type").alias("n_null"),
-                    F.col("nd_event_type").alias("n_distinct"),
-                    F.lit(None).cast("double").alias("min_num"),
-                    F.lit(None).cast("double").alias("max_num"),
-                ),
-            )
-        ).alias("p")
+        F.explode(F.array(prof("event_id"), prof("user_id"), prof("value"),
+                          prof("event_type", numeric=False))).alias("p")
     ).select("p.*")
 
 

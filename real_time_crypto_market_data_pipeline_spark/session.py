@@ -1,19 +1,18 @@
 """SparkSession factory tuned for the local[32] test rig.
 
-The production target is a multi-executor cluster over ~100 TB; every
-knob here has a scale rationale:
+The production target is a multi-executor cluster over ~100 TB; every knob
+here has a scale rationale:
 
 - AQE on: runtime coalescing + skew-join splitting replace hand-tuned
   partition counts when data volume varies by 1000x between runs.
-- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
-  cluster AQE's coalescing makes the static number a ceiling, not a
-  constant.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE's coalescing makes the static number a ceiling, not a constant.
 - UTC session timezone: the engine's clock-domain contract (reference
   ``time_helpers.py:12-23``) keeps epoch-ms integers unambiguous; all
   timestamp rendering is pinned to UTC so results are
   cluster-placement-independent.
-- Arrow enabled: every Pandas-UDF path (multimodal decode, stateful
-  lag) rides vectorized Arrow batches instead of per-row pickling.
+- Arrow enabled: every Pandas-UDF path (multimodal decode, stateful lag) rides
+  vectorized Arrow batches instead of per-row pickling.
 """
 
 from __future__ import annotations

@@ -1,8 +1,7 @@
 """Custom streaming DataSource for OKX market-data frames (SURVEY 2.1 S1-S4).
 
-Spark 4 Python DataSource API re-expression of the reference's
-WebSocket client (``src/okx_ws.py`` in
-yluoc/real-time-crypto-market-data-pipeline):
+Spark 4 Python DataSource API re-expression of the reference's WebSocket
+client (``src/okx_ws.py`` in yluoc/real-time-crypto-market-data-pipeline):
 
 - S1 subscribe to the symbols x channels cross product (okx_ws.py:43-63)
 - S2 reconnect with exponential backoff + jitter (okx_ws.py:96-103)
@@ -11,25 +10,24 @@ yluoc/real-time-crypto-market-data-pipeline):
 
 Two modes via the ``mode`` option:
 
-- ``replay`` (default): deterministic file replay for tests/dev - one
-  raw frame per line; offsets are line numbers, so restarts and
-  ``readBetweenOffsets`` re-deliver exactly the same rows (the
-  exactly-once story the reference lacks, SURVEY 2.6).
-- ``live``: real WebSocket ingest. Needs the ``websockets`` package,
-  which is not in this container - the reader raises a clear error at
-  first use. The connect/subscribe/stamp/reconnect logic IS executed
-  and asserted against a fake in-process transport
-  (tests/test_live_source.py); only the physical socket is untested
-  here.
+- ``replay`` (default): deterministic file replay for tests/dev - one raw
+  frame per line; offsets are line numbers, so restarts and
+  ``readBetweenOffsets`` re-deliver exactly the same rows (the exactly-once
+  story the reference lacks, SURVEY 2.6).
+- ``live``: real WebSocket ingest. Needs the ``websockets`` package, which is
+  not in this container - the reader raises a clear error at first use. The
+  connect/subscribe/stamp/reconnect logic IS executed and asserted against a
+  fake in-process transport (tests/test_live_source.py); only the physical
+  socket is untested here.
 
-Offset model: the feed itself is offset-less; we model offsets as a
-monotonic frame counter per (single) partition. At scale, one source
-partition per (symbol, channel) pair shards the subscription across
-executors - the cross product is embarrassingly partitionable because
-OKX subscriptions are independent.
+Offset model: the feed itself is offset-less; we model offsets as a monotonic
+frame counter per (single) partition. At scale, one source partition per
+(symbol, channel) pair shards the subscription across executors - the cross
+product is embarrassingly partitionable because OKX subscriptions are
+independent.
 
-JSON decode (S5) deliberately does NOT happen here: the source emits
-raw text + stamps, and decode/normalize run as Catalyst expressions
+JSON decode (S5) deliberately does NOT happen here: the source emits raw text
++ stamps, and decode/normalize run as Catalyst expressions
 (operators/normalize.py), keeping the Python boundary thin.
 """
 

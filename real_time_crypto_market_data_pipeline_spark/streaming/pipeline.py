@@ -160,17 +160,16 @@ def streaming_near_dedup(
     """X2 (streaming): ingest-time near-dup suppression, bounded state.
 
     Keys the watermark dedup on the row-local MinHash signature
-    (``dedup.minhash_signature_col`` - computed per row with HOFs, no
-    shuffle, so the only stateful operator is the dedup itself):
-    signature-identical documents - same shingle SET, i.e. whitespace
-    variants, re-serializations, Jaccard ~= 1 rewraps - are dropped
-    inline, with per-signature state held only until the watermark
-    passes. Partial-overlap near-dups (banded-LSH recall) remain the
-    offline batch pass (``dedup.lsh_candidate_pairs``): the standard
-    production split between cheap inline suppression at ingest and
-    thorough offline dedup. State key is one 256-char string per
-    unique signature in the watermark horizon - at 100 TB/day the
-    horizon, not the corpus, bounds memory.
+    (``dedup.minhash_signature_col`` - computed per row with HOFs, no shuffle,
+    so the only stateful operator is the dedup itself): signature-identical
+    documents - same shingle SET, i.e. whitespace variants, re-serializations,
+    Jaccard ~= 1 rewraps - are dropped inline, with per-signature state held
+    only until the watermark passes. Partial-overlap near-dups (banded-LSH
+    recall) remain the offline batch pass (``dedup.lsh_candidate_pairs``): the
+    standard production split between cheap inline suppression at ingest and
+    thorough offline dedup. State key is one 256-char string per unique
+    signature in the watermark horizon - at 100 TB/day the horizon, not the
+    corpus, bounds memory.
     """
     from ..operators.dedup import minhash_signature_col
 
@@ -187,17 +186,16 @@ def stream_stream_enrich(
 ) -> DataFrame:
     """Stream-stream interval join: trades enriched with a recent book.
 
-    Splits the normalized stream into its two typed sub-streams and
-    joins trade events to book snapshots of the same symbol whose
-    event time lies within [trade - max_quote_age, trade]. Watermarks
-    on BOTH sides bound the join state: each side only buffers rows
-    until the other side's watermark passes the interval - the
-    mechanism that makes stream-stream joins feasible on unbounded
-    input (state is O(rate x window), not O(stream)).
+    Splits the normalized stream into its two typed sub-streams and joins
+    trade events to book snapshots of the same symbol whose event time lies
+    within [trade - max_quote_age, trade]. Watermarks on BOTH sides bound the
+    join state: each side only buffers rows until the other side's watermark
+    passes the interval - the mechanism that makes stream-stream joins
+    feasible on unbounded input (state is O(rate x window), not O(stream)).
 
-    This is the streaming sibling of the batch as-of join
-    (operators/asof.py); an interval join can yield multiple quotes
-    per trade (all within the age bound) where as-of picks the latest.
+    This is the streaming sibling of the batch as-of join (operators/asof.py);
+    an interval join can yield multiple quotes per trade (all within the age
+    bound) where as-of picks the latest.
     """
     books = (
         events.where(F.col("event_type") == "book_topn")
@@ -252,12 +250,11 @@ def windowed_ohlc(
 ) -> DataFrame:
     """Streaming OHLC candles per symbol from normalized trade events.
 
-    The streaming twin of q_ohlc_bars: open/close are min_by/max_by on
-    the event timestamp inside a tumbling event-time window (incremental
-    - the state store keeps one candle-in-progress per (symbol, open
-    window)), volume-weighted price included since trades carry size.
-    The watermark closes bars and bounds state exactly like the other
-    windowed aggregates.
+    The streaming twin of q_ohlc_bars: open/close are min_by/max_by on the
+    event timestamp inside a tumbling event-time window (incremental
+    - the state store keeps one candle-in-progress per (symbol, open window)),
+      volume-weighted price included since trades carry size. The watermark
+      closes bars and bounds state exactly like the other windowed aggregates.
     """
     trades = events.where(F.col("trade").isNotNull()).select(
         "symbol",
@@ -347,16 +344,14 @@ def streaming_temperature_mix(
     """X4 (streaming): apply temperature mixing at ingest.
 
     The census (``text.mix_thresholds``) is computed in batch over the
-    existing corpus - a global source distribution is not computable
-    inside an unbounded stream - and broadcast into a STATELESS
-    stream-static join; the keep/drop decision is then a row-local
-    md5-bucket comparison, so the stream side stays shuffle-free and
-    state-free. Because the static side is re-evaluated every
-    microbatch, refreshing the materialized census in place retunes
-    the mix on the next trigger without restarting the stream. Exact
-    same kept-set semantics as the batch operator
-    (``text.temperature_mix``) by construction: both halves share the
-    same code.
+    existing corpus - a global source distribution is not computable inside an
+    unbounded stream - and broadcast into a STATELESS stream-static join; the
+    keep/drop decision is then a row-local md5-bucket comparison, so the
+    stream side stays shuffle-free and state-free. Because the static side is
+    re-evaluated every microbatch, refreshing the materialized census in place
+    retunes the mix on the next trigger without restarting the stream. Exact
+    same kept-set semantics as the batch operator (``text.temperature_mix``)
+    by construction: both halves share the same code.
     """
     from ..operators.text import apply_mix
 

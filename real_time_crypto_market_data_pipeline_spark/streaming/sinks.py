@@ -26,18 +26,9 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.normalize import jsonl_encode, render_stdout_line
 
 CSV_COLUMNS = [
-    "generated_at_utc",
-    "symbol",
-    "channel",
-    "lat_count",
-    "lat_mean_ms",
-    "lat_std_ms",
-    "lat_min_ms",
-    "lat_max_ms",
-    "stale_count",
-    "stale_mean_ms",
-    "stale_std_ms",
-    "stale_min_ms",
+    "generated_at_utc", "symbol", "channel",
+    "lat_count", "lat_mean_ms", "lat_std_ms", "lat_min_ms", "lat_max_ms",
+    "stale_count", "stale_mean_ms", "stale_std_ms", "stale_min_ms",
     "stale_max_ms",
 ]
 
@@ -65,18 +56,17 @@ def start_jsonl_sink(
     trigger_seconds: float = 1.0,
     max_events_per_file: int | None = 100,
 ) -> StreamingQuery:
-    """K3/K4: append compact-JSON lines partitioned by
-    (exchange, channel, dt, symbol).
+    """K3/K4: append compact-JSON lines partitioned by (exchange, channel, dt,
+    symbol).
 
-    The text writer emits exactly the encoded line per row; partition
-    pruning on dt/symbol makes downstream replay reads cheap. The
-    reference flushes its per-file buffer at 100 buffered events OR
-    1 s (jsonl.py:114-125); here the trigger interval is the time
-    bound and ``maxRecordsPerFile`` is the count bound - the writer
-    rolls to a new part file after ``max_events_per_file`` records, so
-    no flushed file holds more events than a reference flush would.
-    Unlike a foreachBatch splitter this keeps the parallel,
-    exactly-once file sink, and the bound is enforced inside
+    The text writer emits exactly the encoded line per row; partition pruning
+    on dt/symbol makes downstream replay reads cheap. The reference flushes
+    its per-file buffer at 100 buffered events OR 1 s (jsonl.py:114-125); here
+    the trigger interval is the time bound and ``maxRecordsPerFile`` is the
+    count bound - the writer rolls to a new part file after
+    ``max_events_per_file`` records, so no flushed file holds more events than
+    a reference flush would. Unlike a foreachBatch splitter this keeps the
+    parallel, exactly-once file sink, and the bound is enforced inside
     FileFormatWriter with zero extra shuffle or sort.
     """
     lines = jsonl_encode(events).withColumnRenamed("jsonl", "value")
@@ -96,21 +86,15 @@ def start_jsonl_sink(
 def snapshot_to_csv_rows(snapshot: DataFrame, generated_at_utc: str) -> DataFrame:
     """K5: 13-column CSV schema with %.3f float rendering at the edge
     (rolling.py:156-170,203-211), rows sorted by (symbol, channel)."""
-    fmt = lambda c: F.format_string("%.3f", F.col(c))  # noqa: E731
+    fmt = lambda c, a: F.format_string("%.3f", F.col(c)).alias(a)  # noqa: E731
     return snapshot.select(
         F.lit(generated_at_utc).alias("generated_at_utc"),
-        F.col("symbol"),
-        F.col("channel"),
-        F.col("lat_count"),
-        fmt("lat_mean").alias("lat_mean_ms"),
-        fmt("lat_std").alias("lat_std_ms"),
-        fmt("lat_min").alias("lat_min_ms"),
-        fmt("lat_max").alias("lat_max_ms"),
+        F.col("symbol"), F.col("channel"), F.col("lat_count"),
+        fmt("lat_mean", "lat_mean_ms"), fmt("lat_std", "lat_std_ms"),
+        fmt("lat_min", "lat_min_ms"), fmt("lat_max", "lat_max_ms"),
         F.col("stale_count"),
-        fmt("stale_mean").alias("stale_mean_ms"),
-        fmt("stale_std").alias("stale_std_ms"),
-        fmt("stale_min").alias("stale_min_ms"),
-        fmt("stale_max").alias("stale_max_ms"),
+        fmt("stale_mean", "stale_mean_ms"), fmt("stale_std", "stale_std_ms"),
+        fmt("stale_min", "stale_min_ms"), fmt("stale_max", "stale_max_ms"),
     ).orderBy("symbol", "channel")
 
 
@@ -197,16 +181,10 @@ def metrics_line(stats: DataFrame, min_samples: int = 20) -> DataFrame:
         F.format_string(
             "%s %s | n=%d | Ex→Recv p50=%.1fms p95=%.1fms p99=%.1fms | "
             "mean=%.1f std=%.1f min=%.1f max=%.1f",
-            F.col("symbol"),
-            F.col("channel"),
-            F.col("lat_count"),
-            F.col("p50"),
-            F.col("p95"),
-            F.col("p99"),
-            F.col("lat_mean"),
-            F.col("lat_std"),
-            F.col("lat_min"),
-            F.col("lat_max"),
+            F.col("symbol"), F.col("channel"), F.col("lat_count"),
+            F.col("p50"), F.col("p95"), F.col("p99"),
+            F.col("lat_mean"), F.col("lat_std"),
+            F.col("lat_min"), F.col("lat_max"),
         ).alias("line")
     )
 
@@ -243,22 +221,28 @@ def compact_partitions(
 
     compacted = 0
     for root, _dirs, files in os.walk(data_dir):
-        txts = [f for f in files if f.endswith(".txt")]
-        if not txts:
+        # r13: also compacts the parquet dedup indexes ({index}/kept
+        # bkt= dirs grow one file per incremental append)
+        data = [f for f in files if f.endswith(".txt")]
+        fmt = "text"
+        if not data:
+            data = [f for f in files if f.endswith(".parquet")]
+            fmt = "parquet"
+        if not data:
             continue
         rel = os.path.relpath(root, data_dir)
         dest = os.path.join(out_dir, rel)
-        if len(txts) > target_files_per_partition:
+        if len(data) > target_files_per_partition:
             (
-                spark.read.text(root)
+                spark.read.format(fmt).load(root)
                 .coalesce(target_files_per_partition)
-                .write.mode("overwrite")
-                .text(dest)
+                .write.mode("overwrite").format(fmt)
+                .save(dest)
             )
             compacted += 1
         else:
             os.makedirs(dest, exist_ok=True)
-            for name in txts:
+            for name in data:
                 shutil.copy2(os.path.join(root, name), os.path.join(dest, name))
     return compacted
 
@@ -416,12 +400,11 @@ def start_merge_upsert_sink(
 ) -> StreamingQuery:
     """Streaming CDC apply: foreachBatch MERGE into a bucketed target.
 
-    The streaming half of the CDC story (q_merge_upsert is the batch
-    plan shape): each microbatch of change rows upserts into the
-    parquet target via :func:`merge_upsert_batch`, rewriting only the
-    key-buckets the batch touches. On Delta/Iceberg this body becomes
-    a literal MERGE INTO; the bucket-pruned rewrite is what that MERGE
-    executes underneath.
+    The streaming half of the CDC story (q_merge_upsert is the batch plan
+    shape): each microbatch of change rows upserts into the parquet target via
+    :func:`merge_upsert_batch`, rewriting only the key-buckets the batch
+    touches. On Delta/Iceberg this body becomes a literal MERGE INTO; the
+    bucket-pruned rewrite is what that MERGE executes underneath.
     """
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -473,14 +456,13 @@ def rollup_merge_batch(
     partials table, rewriting only the touched time-bucket partitions.
 
     The incremental half of the continuous-aggregate story
-    (operators/metrics.rollup_partials / ohlc_partials): the target
-    lives as parquet partitioned by the time ``bucket`` - the
-    hypertable chunk layout - and a streaming microbatch merges with
-    ``merge_exprs`` (integer partials add / argmin-argmax structs
-    fold), so the stored state stays exactly equal to a from-scratch
-    rollup of everything ingested. A stream arrives roughly
-    time-ordered, so each batch touches one or two hour partitions;
-    work per batch is O(touched buckets), never O(history).
+    (operators/metrics.rollup_partials / ohlc_partials): the target lives as
+    parquet partitioned by the time ``bucket`` - the hypertable chunk layout -
+    and a streaming microbatch merges with ``merge_exprs`` (integer partials
+    add / argmin-argmax structs fold), so the stored state stays exactly equal
+    to a from-scratch rollup of everything ingested. A stream arrives roughly
+    time-ordered, so each batch touches one or two hour partitions; work per
+    batch is O(touched buckets), never O(history).
     """
     import os
 
@@ -532,24 +514,22 @@ def _start_partials_sink(
 ) -> StreamingQuery:
     """Shared foreachBatch body for the continuous-aggregate sinks.
 
-    Additive merge is not naturally idempotent, so replayed epochs are
-    skipped via a ``_last_epoch`` marker renamed into place only after
-    the merge landed (same recovery discipline as the exact-layout
-    JSONL sink; on Delta/Iceberg the marker becomes the transaction
-    log). Epoch ids restart at 0 under a fresh checkpoint, so the
-    marker stores its checkpoint path and is ignored on mismatch -
-    relocating the checkpoint must not silently drop every new batch.
+    Additive merge is not naturally idempotent, so replayed epochs are skipped
+    via a ``_last_epoch`` marker renamed into place only after the merge
+    landed (same recovery discipline as the exact-layout JSONL sink; on
+    Delta/Iceberg the marker becomes the transaction log). Epoch ids restart
+    at 0 under a fresh checkpoint, so the marker stores its checkpoint path
+    and is ignored on mismatch - relocating the checkpoint must not silently
+    drop every new batch.
 
-    OPERATIONAL CONTRACT: a checkpoint reset makes the fresh stream
-    replay its source from the beginning, and this sink will merge
-    everything it replays into whatever partials already exist -
-    resetting ONLY the checkpoint double-counts history into the
-    stored aggregates. Pair every checkpoint reset with clearing (or
-    re-deriving) the partials dir. Markers written by the pre-binding
-    format (a bare epoch number with no checkpoint line) are treated
-    as belonging to the current checkpoint, preserving their replay
-    protection across the format upgrade instead of silently
-    discarding it.
+    OPERATIONAL CONTRACT: a checkpoint reset makes the fresh stream replay its
+    source from the beginning, and this sink will merge everything it replays
+    into whatever partials already exist - resetting ONLY the checkpoint
+    double-counts history into the stored aggregates. Pair every checkpoint
+    reset with clearing (or re-deriving) the partials dir. Markers written by
+    the pre-binding format (a bare epoch number with no checkpoint line) are
+    treated as belonging to the current checkpoint, preserving their replay
+    protection across the format upgrade instead of silently discarding it.
     """
     import os
 
@@ -602,11 +582,10 @@ def start_rollup_sink(
 ) -> StreamingQuery:
     """Streaming continuous aggregate: foreachBatch additive rollup merge.
 
-    Each microbatch is reduced to (keys, bucket) integer partials and
-    merged into the stored partials table; coarse reports read the
-    partials via ``read_rollup`` without ever rescanning raw events.
-    Epoch-replay and checkpoint-reset protection in
-    :func:`_start_partials_sink`.
+    Each microbatch is reduced to (keys, bucket) integer partials and merged
+    into the stored partials table; coarse reports read the partials via
+    ``read_rollup`` without ever rescanning raw events. Epoch-replay and
+    checkpoint-reset protection in :func:`_start_partials_sink`.
     """
     from ..operators.metrics import rollup_partials
 
@@ -637,13 +616,12 @@ def start_ohlc_sink(
     """Streaming OHLC candles: the continuous-aggregate sink for order
     statistics.
 
-    Each microbatch becomes (keys, bucket) candle partials with
-    open/close stored as argmin/argmax tick structs
-    (operators/metrics.ohlc_partials); struct min/max merges
-    associatively, so the stored hourly candles stay exactly equal to
-    candles computed from every raw tick ever ingested, and
-    ``read_ohlc_rollup`` serves any coarser chart grain without
-    touching tick data - the streaming half of q_ohlc_rollup.
+    Each microbatch becomes (keys, bucket) candle partials with open/close
+    stored as argmin/argmax tick structs (operators/metrics.ohlc_partials);
+    struct min/max merges associatively, so the stored hourly candles stay
+    exactly equal to candles computed from every raw tick ever ingested, and
+    ``read_ohlc_rollup`` serves any coarser chart grain without touching tick
+    data - the streaming half of q_ohlc_rollup.
     """
     from ..operators.metrics import ohlc_partials
 

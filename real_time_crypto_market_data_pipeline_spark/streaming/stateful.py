@@ -310,21 +310,20 @@ def _rvol_fn(
 def streaming_realized_vol(events: DataFrame) -> DataFrame:
     """Streaming twin of q_realized_vol: cumulative realized variance.
 
-    Per-key state is (last_price, n, sum of squared log returns) - 24
-    bytes regardless of stream length, the O(1)-state property that
-    makes the estimator streamable at all (contrast a rolling
-    percentile, which needs the window's values). Each microbatch
-    emits the key's updated cumulative (n_returns, realized_var).
+    Per-key state is (last_price, n, sum of squared log returns) - 24 bytes
+    regardless of stream length, the O(1)-state property that makes the
+    estimator streamable at all (contrast a rolling percentile, which needs
+    the window's values). Each microbatch emits the key's updated cumulative
+    (n_returns, realized_var).
 
-    Ordering caveat: the lag accumulator is ORDER-SENSITIVE. Rows are
-    sorted by (ms, event_id) only WITHIN a microbatch, so batch parity
-    (latest emission == q_realized_vol over everything ingested) holds
-    for event-time-ordered arrival ACROSS microbatches - what the
-    parity test replays. A late event is folded in as if newest and
-    silently diverges from the batch window; with late-capable sources
-    pre-sort the stream or treat emissions as approximate. Same
-    shuffle as the batch window (one hash exchange on the key) plus
-    checkpointed state for restarts.
+    Ordering caveat: the lag accumulator is ORDER-SENSITIVE. Rows are sorted
+    by (ms, event_id) only WITHIN a microbatch, so batch parity (latest
+    emission == q_realized_vol over everything ingested) holds for
+    event-time-ordered arrival ACROSS microbatches - what the parity test
+    replays. A late event is folded in as if newest and silently diverges from
+    the batch window; with late-capable sources pre-sort the stream or treat
+    emissions as approximate. Same shuffle as the batch window (one hash
+    exchange on the key) plus checkpointed state for restarts.
     """
     cols = ["user_id", "ms", "event_id", "value"]
     return _with_state(
@@ -428,14 +427,13 @@ def _funnel_fn(
 def streaming_funnel(events: DataFrame) -> DataFrame:
     """Streaming twin of q_funnel: strict-order view->click->purchase.
 
-    Per-user state is the three stage-entry timestamps - 24 bytes per
-    user, O(users) total, vs the batch plan's full per-user sort. Each
-    microbatch emits the user's updated funnel row (update mode; the
-    latest emission per user == q_funnel over everything ingested -
-    stage timestamps only fill in, never move, under ordered arrival).
-    `streaming_realized_vol`'s ordering caveat applies: parity needs
-    event-time-ordered arrival across microbatches (the in-batch sort
-    repairs the rest).
+    Per-user state is the three stage-entry timestamps - 24 bytes per user,
+    O(users) total, vs the batch plan's full per-user sort. Each microbatch
+    emits the user's updated funnel row (update mode; the latest emission per
+    user == q_funnel over everything ingested - stage timestamps only fill in,
+    never move, under ordered arrival). `streaming_realized_vol`'s ordering
+    caveat applies: parity needs event-time-ordered arrival across
+    microbatches (the in-batch sort repairs the rest).
     """
     cols = ["user_id", "ms", "event_id", "event_type"]
     return _with_state(

@@ -158,8 +158,7 @@ def streaming_quote_ewma(
     """EWMA mid/spread tracker over normalized book events.
 
     Input needs (symbol, ts_exchange_ms, best_bid, best_ask) - i.e.
-    ``normalized_stream(...)`` book rows with the struct fields
-    projected out.
+    ``normalized_stream(...)`` book rows with the struct fields projected out.
     """
     from pyspark.sql import functions as F
 

@@ -90,17 +90,16 @@ def bucketize(
 ) -> dict[str, str]:
     """Write fact tables bucketed + sorted on their spine join key.
 
-    This is the storage-level answer to the fact-fact shuffle: two
-    tables bucketed into the same bucket count on their join keys
-    sort-merge join with ZERO exchanges (asserted in
-    test_scale_patterns.py), deleting the per-query shuffle the
-    hint-free spine otherwise pays. At 100 TB you pay one bucketed
-    write per table per layout and amortize it over every downstream
-    join on that key - the same trade Hive/Iceberg bucketing and
+    This is the storage-level answer to the fact-fact shuffle: two tables
+    bucketed into the same bucket count on their join keys sort-merge join
+    with ZERO exchanges (asserted in test_scale_patterns.py), deleting the
+    per-query shuffle the hint-free spine otherwise pays. At 100 TB you pay
+    one bucketed write per table per layout and amortize it over every
+    downstream join on that key - the same trade Hive/Iceberg bucketing and
     Delta's Z-order make. Returns {source_name: bucketed_table_name}.
 
-    The in-memory catalog's DROP TABLE leaves managed files behind, so
-    stale locations are cleared before each overwrite.
+    The in-memory catalog's DROP TABLE leaves managed files behind, so stale
+    locations are cleared before each overwrite.
     """
     import shutil
     from urllib.parse import urlparse

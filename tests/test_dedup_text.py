@@ -978,3 +978,232 @@ def test_semantic_index_build_rejects_sparse_seed_ids(spark, tmp_path):
     with pytest.raises(ValueError, match="dense from 0"):
         D.semantic_index_build(seed, str(tmp_path / "idx"), num_cells=8,
                                threshold=0.9)
+
+
+# ---------------------------------------------------------------- r13:
+# incremental NEAR-DUP (text) dedup over the persisted band-bucket index
+
+
+def _ctext(c, n=12, swap=None):
+    """Deterministic cluster text: 12 tokens from cluster-c vocabulary;
+    ``swap`` replaces the last token (a near-dup, Jaccard ~0.67)."""
+    toks = [f"w{c}x{k}" for k in range(n)]
+    if swap is not None:
+        toks[-1] = f"swap{swap}"
+    return " ".join(toks)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_lsh_dedup_incremental_batches_match_one_shot(spark, tmp_path):
+    """Pin (i): seed-index build + two incremental batches == ONE-SHOT
+    survivors (ids with no lower-id lsh_jaccard_dedup pair) over the
+    union, under id-order arrival - exact-dup clusters guarantee every
+    later member collides with the cluster's (indexed) survivor. Also
+    pins composability: batch3's dup of a BATCH2 survivor drops because
+    the index advanced between calls."""
+    idx = str(tmp_path / "idx")
+    seed = _docs(spark, [
+        (0, _ctext(0)), (3, _ctext(0)), (7, _ctext(0)),   # cluster A
+        (1, _ctext(1)), (5, _ctext(1)),                   # cluster B
+        (2, _ctext(2)), (4, _ctext(3)), (6, _ctext(4)),   # singletons
+        (10, _ctext(0, swap=1)),                          # NEAR dup of A
+    ])
+    b2 = _docs(spark, [
+        (20, _ctext(0)),            # dup of indexed survivor 0
+        (21, _ctext(7)),            # new cluster C
+        (22, _ctext(7)),            # intra-batch dup of 21
+        (23, _ctext(8)),            # new cluster D
+        (24, _ctext(1)),            # dup of indexed survivor 1
+    ])
+    b3 = _docs(spark, [
+        (40, _ctext(7)),            # dup of BATCH2 survivor 21
+        (41, _ctext(9)),            # genuinely new
+        (42, _ctext(8)),            # dup of batch2 survivor 23
+    ])
+    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    adm2 = {r.doc_id for r in D.lsh_dedup_incremental(b2, idx).collect()}
+    adm3 = {r.doc_id for r in D.lsh_dedup_incremental(b3, idx).collect()}
+    assert adm2 == {21, 23}
+    assert adm3 == {41}
+    union = seed.unionByName(b2).unionByName(b3)
+    dropped = {r.doc_b for r in
+               D.lsh_jaccard_dedup(union, min_jaccard=0.5).collect()}
+    oneshot = {r.doc_id for r in union.collect()} - dropped
+    incr = {r.doc_id for r in
+            spark.read.parquet(f"{idx}/kept").select("doc_id").distinct().collect()}
+    assert incr == oneshot  # the advanced index IS the one-shot kept-set
+
+
+def test_lsh_dedup_incremental_seen_survivor_never_redropped(spark, tmp_path):
+    """Pin (ii): the seen-set is FIXED. A batch doc duplicating a kept
+    index doc is dropped even at a LOWER id (one-shot would keep the
+    lower id instead), and the index row survives untouched."""
+    idx = str(tmp_path / "idx")
+    seed = _docs(spark, [(100, _ctext(0)), (101, _ctext(1))])
+    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    batch = _docs(spark, [(50, _ctext(0)),   # lower-id dup of survivor 100
+                          (51, _ctext(2))])  # genuinely new
+    adm = {r.doc_id for r in D.lsh_dedup_incremental(batch, idx).collect()}
+    assert adm == {51}
+    kept = {r.doc_id for r in spark.read.parquet(f"{idx}/kept").collect()}
+    assert 100 in kept and 51 in kept and 50 not in kept
+
+
+def test_lsh_dedup_incremental_probes_only_batch_buckets(spark, tmp_path):
+    """Pin (iii): the index scan dir-prunes to the batch's bkt values -
+    behaviorally: poisoning the parquet of every bucket dir the batch
+    does NOT route to leaves the run unaffected (a whole-index scan
+    would die on it)."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    seed = _docs(spark, [(0, _ctext(0)), (1, _ctext(1))])
+    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    batch = _docs(spark, [(10, _ctext(0)), (11, _ctext(0))])  # routes like doc 0
+    probed = {r.bkt for r in D._lsh_rows(batch, "text", 3).select("bkt").collect()}
+    poisoned = 0
+    for d in glob.glob(f"{idx}/kept/bkt=*"):
+        if int(d.rsplit("=", 1)[1]) not in probed:
+            for f in glob.glob(f"{d}/*.parquet"):
+                with open(f, "wb") as fh:
+                    fh.write(b"not parquet at all")
+                poisoned += 1
+    assert poisoned  # doc 1's exclusive buckets exist and are poisoned
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{idx}/kept").collect()  # poison is real
+    assert D.lsh_dedup_incremental(batch, idx, update_index=False).count() == 0
+
+
+def test_lsh_dedup_incremental_empty_alldup_and_meta(spark, tmp_path):
+    """Ingest edges + meta validation: an EMPTY batch and an
+    all-duplicates batch admit nothing and leave the index intact;
+    shingle-less docs admit (no bucket rows, like one-shot); an
+    explicit min_jaccard contradicting the build meta raises."""
+    idx = str(tmp_path / "idx")
+    seed = _docs(spark, [(0, _ctext(0)), (1, _ctext(1))])
+    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    empty = _docs(spark, [])
+    assert D.lsh_dedup_incremental(empty, idx).count() == 0
+    alldup = _docs(spark, [(20, _ctext(0)), (21, _ctext(1))])
+    assert D.lsh_dedup_incremental(alldup, idx).count() == 0
+    kept = spark.read.parquet(f"{idx}/kept")
+    assert {r.doc_id for r in kept.collect()} == {0, 1}
+    tiny = _docs(spark, [(30, "too short")])  # < shingle_n tokens
+    assert {r.doc_id for r in
+            D.lsh_dedup_incremental(tiny, idx).collect()} == {30}
+    with pytest.raises(ValueError, match="min_jaccard=0.5"):
+        D.lsh_dedup_incremental(alldup, idx, min_jaccard=0.9)
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_lsh_dedup_incremental_random_cluster_corpora(spark, tmp_path, seed):
+    """Randomized stress of the batches==one-shot pin: 30 docs drawn
+    from 12 exact-dup cluster texts (within-cluster collision certain,
+    cross-cluster vocabularies disjoint), split at random id cuts into
+    seed + two batches - the advanced index must equal the one-shot
+    survivor set for ANY draw."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, _ctext(i)) for i in range(6)]  # seed: six distinct clusters
+    rows += [(i, _ctext(rnd.randrange(12))) for i in range(6, 30)]
+    cut1, cut2 = sorted(rnd.sample(range(7, 29), 2))
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, rows[:cut1]), idx, min_jaccard=0.5)
+    D.lsh_dedup_incremental(_docs(spark, rows[cut1:cut2]), idx).count()
+    D.lsh_dedup_incremental(_docs(spark, rows[cut2:]), idx).count()
+    union = _docs(spark, rows)
+    dropped = {r.doc_b for r in
+               D.lsh_jaccard_dedup(union, min_jaccard=0.5).collect()}
+    oneshot = {i for i, _ in rows} - dropped
+    incr = {r.doc_id for r in
+            spark.read.parquet(f"{idx}/kept").select("doc_id").distinct().collect()}
+    assert incr == oneshot and 6 <= len(incr) <= 30
+
+
+def test_semantic_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_path):
+    """Pin (r13 adaptivity): a batch routing to MORE than half of C
+    drops the cells/bkt isin filters and scans the index whole -
+    behaviorally: with ANY bucket poisoned, the dense-batch run fails
+    on the poison (a pruned probe would have skipped it; the sparse
+    case is pinned by test_semantic_dedup_incremental_probes_only_batch_cells)."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    for f in glob.glob(f"{idx}/kept/bkt=7/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet at all")
+    dense = spark.createDataFrame(  # routes to cells 0..5: 6 of 8 > half
+        [(20 + i, _unit(i, scale=2.0)) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(Exception):
+        D.semantic_dedup_incremental(dense, idx, update_index=False).count()
+
+
+def test_lsh_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_path):
+    """Pin (r13 adaptivity, LSH side): a batch whose bands cover more
+    than half the bkt universe scans the index whole - poison of a dir
+    OUTSIDE the batch's own bkt set still kills the run."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    seed = _docs(spark, [(0, _ctext(0)), (1, _ctext(1))])
+    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    dense = _docs(spark, [(100 + i, _ctext(1000 + i)) for i in range(300)])
+    probed = {r.bkt for r in D._lsh_rows(dense, "text", 3)
+              .select("bkt").distinct().collect()}
+    assert len(probed) * 2 > D.IDX_BUCKETS  # premise: genuinely dense
+    poisoned = 0
+    for d in glob.glob(f"{idx}/kept/bkt=*"):
+        if int(d.rsplit("=", 1)[1]) not in probed:
+            for f in glob.glob(f"{d}/*.parquet"):
+                with open(f, "wb") as fh:
+                    fh.write(b"not parquet at all")
+                poisoned += 1
+    assert poisoned  # an un-probed dir exists and is poisoned
+    with pytest.raises(Exception):
+        D.lsh_dedup_incremental(dense, idx, update_index=False).count()
+
+
+def test_index_compaction_composes_with_incremental_appends(spark, tmp_path):
+    """Pin (r13, SCALING caveat 2): per-batch appends grow one file per
+    touched bucket; sinks.compact_partitions over {index_dir}/kept
+    restores one-file-per-bucket with the kept-set EQUAL row for row,
+    and the compacted index admits exactly what the fragmented one
+    does."""
+    import glob
+    import shutil
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    for k in (1, 2, 3):  # each admits into cell 0: bkt=0 grows a file
+        b = spark.createDataFrame([(20 + k, _mix(0, k))],
+                                  "vec_id LONG, embedding ARRAY<DOUBLE>")
+        assert D.semantic_dedup_incremental(b, idx, threshold=0.9).count() == 1
+    assert len(glob.glob(f"{idx}/kept/bkt=0/*.parquet")) == 4  # fragmented
+    cidx = str(tmp_path / "cidx")
+    K.compact_partitions(spark, f"{idx}/kept", f"{cidx}/kept")
+    for d in glob.glob(f"{cidx}/kept/bkt=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1  # one file per bucket
+    rows = lambda p: sorted(  # noqa: E731
+        (r.vec_id, r.cell_id, bytes(r["__q8"]), r["__amax"], r.bkt)
+        for r in spark.read.parquet(f"{p}/kept").collect())
+    assert rows(cidx) == rows(idx)  # kept-set equal row for row
+    for aux in ("centroids", "meta"):  # complete the compacted index root
+        shutil.copytree(f"{idx}/{aux}", f"{cidx}/{aux}")
+    probe = spark.createDataFrame(
+        [(50, _mix(0, 1, scale=3.0)), (51, _mix(6, 7))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = lambda p: {r.vec_id for r in D.semantic_dedup_incremental(  # noqa: E731
+        probe, p, update_index=False).collect()}
+    assert adm(cidx) == adm(idx) == {51}  # 50 dups the appended survivor 21
