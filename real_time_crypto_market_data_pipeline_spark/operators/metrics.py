@@ -105,14 +105,8 @@ def grouped_stats_exact(
         )
         .withColumns({f"{prefix}mean": mean, f"{prefix}std": std})
         .drop("_s", "_ss")
-        .select(
-            *keys,
-            f"{prefix}count",
-            f"{prefix}mean",
-            f"{prefix}std",
-            f"{prefix}min",
-            f"{prefix}max",
-        )
+        .select(*keys, f"{prefix}count", f"{prefix}mean", f"{prefix}std",
+                f"{prefix}min", f"{prefix}max")
     )
 
 
@@ -221,14 +215,12 @@ def sliding_range_stats(
     )
     v = F.col(value_col)
     return df.select(
-        *keys,
-        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        *keys, *([F.col(tiebreak_col)] if tiebreak_col else []),
         F.col(ts_ms_col),
         F.count(v).over(w).cast("long").alias("w_count"),
         F.avg(v).over(w).alias("w_mean"),
         F.min(v).over(w).cast("double").alias("w_min"),
-        F.max(v).over(w).cast("double").alias("w_max"),
-    )
+        F.max(v).over(w).cast("double").alias("w_max"))
 
 
 def snapshot(
@@ -403,14 +395,10 @@ def merge_rollup(
         / inv_scale,
     ).otherwise(F.lit(0.0))
     return merged.select(
-        *keys,
-        "bucket",
-        n.alias("val_count"),
-        mean.alias("val_mean"),
-        std.alias("val_std"),
+        *keys, "bucket", n.alias("val_count"),
+        mean.alias("val_mean"), std.alias("val_std"),
         F.coalesce(F.col("val_min"), F.lit(0.0)).alias("val_min"),
-        F.coalesce(F.col("val_max"), F.lit(0.0)).alias("val_max"),
-    )
+        F.coalesce(F.col("val_max"), F.lit(0.0)).alias("val_max"))
 
 
 def ohlc_partials(
@@ -434,11 +422,9 @@ def ohlc_partials(
     as :func:`rollup_partials`, extended to order statistics.
     """
     bucket = F.expr(f"`{ts_ms_col}` DIV {grain_ms}")
-    tick = F.struct(
-        F.col(ts_ms_col).alias("ms"),
-        F.col(tiebreak_col).alias("tb"),
-        F.col(value_col).alias("v"),
-    )
+    tick = F.struct(F.col(ts_ms_col).alias("ms"),
+                    F.col(tiebreak_col).alias("tb"),
+                    F.col(value_col).alias("v"))
     v = F.col(value_col)
     return df.groupBy(*keys, bucket.alias("bucket")).agg(
         F.min(tick).alias("o"),
@@ -468,14 +454,8 @@ def merge_ohlc(
         F.sum("n_ticks").cast("long").alias("n_ticks"),
     )
     return merged.select(
-        *keys,
-        "bucket",
-        F.col("o.v").alias("open"),
-        "high",
-        "low",
-        F.col("c.v").alias("close"),
-        "n_ticks",
-    )
+        *keys, "bucket", F.col("o.v").alias("open"), "high", "low",
+        F.col("c.v").alias("close"), "n_ticks")
 
 
 def having_gate(

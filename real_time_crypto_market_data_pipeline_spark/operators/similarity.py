@@ -459,9 +459,6 @@ def ivf_topk(
                    max_cell=max_cell, checkpoint_dir=checkpoint_dir,
                    codes_col=codes_col, amax_col=amax_col)
     if codes_col is not None:
-        import numpy as np
-        import pandas as pd
-
         # materialize the assignment ONCE: the query lookup and the
         # probe scan would otherwise each run the full assign pass
         e = e.localCheckpoint()
@@ -469,19 +466,8 @@ def ivf_topk(
         if r is None:  # absent query id: empty result, like the float path
             return e.sparkSession.createDataFrame(
                 [], f"{id_col} long, cell_id int, cosine double")
-        q = np.frombuffer(r["__q8"], np.int8).astype(np.float64) * r["__amax"] / 127.0
-        qn = max(np.linalg.norm(q), 1e-12)
-
-        def score(batches):
-            for pdf in batches:
-                V = _q8_mat(pdf)
-                Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
-                yield pd.DataFrame({id_col: pdf[id_col], "cell_id": pdf["cell_id"],
-                                    "cosine": (V @ q) / (Vn * qn)})
-
-        return (e.where(F.col("cell_id") == r["cell_id"])
-                .mapInPandas(score, f"{id_col} LONG, cell_id INT, cosine DOUBLE")
-                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+        return _codes_query_topk(
+            e.where(F.col("cell_id") == r["cell_id"]), _deq_row(r), k, id_col)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
         F.col("cell_id").alias("_qcell"),
         F.col(vec_col).alias("_qvec"),
@@ -494,39 +480,88 @@ def ivf_topk(
     )
 
 
+def _deq_row(r):
+    """Dequantize one collected codes row to the float64 wire values."""
+    import numpy as np
+
+    return np.frombuffer(r["__q8"], np.int8).astype(
+        np.float64) * r["__amax"] / 127.0
+
+
+def _codes_query_topk(e, q, k: int, id_col: str) -> DataFrame:
+    """Codes-wire mirror of ``_broadcast_query_topk``: Arrow-batched
+    BLAS scoring of a (pre-pruned) assignment against a driver-side
+    dequantized query; exact top-k via TakeOrderedAndProject."""
+    import numpy as np
+    import pandas as pd
+
+    qn = max(np.linalg.norm(q), 1e-12)
+
+    def score(batches):
+        for pdf in batches:
+            V = _q8_mat(pdf)
+            Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell_id": pdf["cell_id"],
+                                "cosine": (V @ q) / (Vn * qn)})
+
+    return (e.mapInPandas(score, f"{id_col} LONG, cell_id INT, cosine DOUBLE")
+            .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
 def ivf_kmeans_index(
     embeddings: DataFrame, num_cells: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     training_cap: int = 100_000,
+    codes_col: str | None = None, amax_col: str = "__amax",
 ):
     """IVF-k-means index build: train centroids, assign every vector.
 
-    Training input: the ``training_cap`` rows with smallest
-    ``xxhash64(id)`` - a deterministic pseudo-random sample compiling
-    to TakeOrderedAndProject, reproducible across partition layouts (a
-    bare ``limit`` is not); zero norms guarded by greatest(norm, eps).
-    Assignment does NOT use model.transform (an n x C euclidean pass):
-    the trained centroids feed ``assign_cells``. Returns ``(model,
-    assigned)``; ``assigned`` partitions on cell_id at scale (bucketed past ~1e3).
+    Training input: the ``training_cap`` rows with smallest ``xxhash64(id)`` -
+    a deterministic pseudo-random sample compiling to TakeOrderedAndProject,
+    reproducible across partition layouts (a bare ``limit`` is not); zero
+    norms guarded by greatest(norm, eps). Assignment does NOT use
+    model.transform (an n x C euclidean pass): the trained centroids feed
+    ``assign_cells``. Returns ``(model, assigned)``; ``assigned`` partitions
+    on cell_id at scale (bucketed past ~1e3). ``codes_col`` (r13): the input
+    is ``sq8_encode`` output - only the cap-bounded training sample
+    dequantizes (one narrow mapInPandas), the trained centers re-quantize
+    driver-side onto the same wire, and assignment + downstream stay
+    codes-resident: the corpus-wide float column never exists.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    train = (
-        embeddings.select(F.col(id_col), array_to_vector(unit).alias("features"))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(training_cap)
-        .select("features")
-    )
-    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(train)
-    cents = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell_id long, cvec array<double>",
-    )
-    assigned = assign_cells(embeddings, cents, num_cells, id_col, vec_col, keep_vec=True)
-    return model, assigned
+    samp = embeddings.orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)).limit(training_cap)
+    if codes_col is None:
+        norm = F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12))
+        unit = samp.select(F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm).alias("__unit"))
+    else:
+        def deq(batches):  # dequantize + unit-normalize the SAMPLE only
+            for pdf in batches:
+                V = _q8_mat(pdf)
+                V /= np.maximum(np.linalg.norm(V, axis=1), 1e-12)[:, None]
+                yield pd.DataFrame({"__unit": list(V)})
+
+        unit = samp.select(F.col(codes_col).alias("__q8"), F.col(amax_col)
+                           .alias("__amax")).mapInPandas(deq, "__unit array<double>")
+    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(
+        unit.select(array_to_vector("__unit").alias("features")))
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    if codes_col is None:
+        cents = embeddings.sparkSession.createDataFrame(
+            list(enumerate(centers)), "cell_id long, cvec array<double>")
+    else:  # centers ride the same wire the corpus is stored on
+        q8, amax = _sq8_quant_np(np.asarray(centers, dtype=np.float64))
+        cents = embeddings.sparkSession.createDataFrame(
+            [(i, q8[i].tobytes(), float(amax[i])) for i in range(num_cells)],
+            "cell_id long, __q8 binary, __amax double")
+    return model, assign_cells(embeddings, cents, num_cells, id_col, vec_col,
+                               keep_vec=True, codes_col=codes_col,
+                               amax_col=amax_col)
 
 
 def ivf_kmeans_probe_cells(model, query_vec, n_probe: int) -> list[int]:
@@ -548,6 +583,7 @@ def ivf_kmeans_topk(
     num_cells: int = 8, n_probe: int = 2, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     training_cap: int = 100_000,
+    codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
     """X3: IVF with a REAL k-means training pass (MLlib), n-cell probing.
 
@@ -559,11 +595,24 @@ def ivf_kmeans_topk(
     recall). At 100 TB the assignment table is written partitioned by
     cell_id, so a probe scans n_probe/C of the corpus. Centroids +
     query vector are driver-side by design - kilobytes; zero norms
-    guarded on every normalization (cosine 0, not NaN).
+    guarded on every normalization (cosine 0, not NaN). ``codes_col``
+    (r13): the trained-index probe rides the codes wire end-to-end
+    (see ``ivf_kmeans_index``); scoring dequantizes per Arrow batch.
     """
     model, assigned = ivf_kmeans_index(
-        embeddings, num_cells, seed, id_col, vec_col, training_cap
-    )
+        embeddings, num_cells, seed, id_col, vec_col, training_cap,
+        codes_col=codes_col, amax_col=amax_col)
+    if codes_col is not None:
+        assigned = assigned.localCheckpoint()  # query + probe: ONE pass
+        r = assigned.where(F.col(id_col) == query_vec_id).first()
+        if r is None:  # absent query id: empty, like the float path
+            return assigned.sparkSession.createDataFrame(
+                [], f"{id_col} long, cosine double")
+        qvec = _deq_row(r)
+        probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
+        return _codes_query_topk(
+            assigned.where(F.col("cell_id").isin(probe)), qvec, k, id_col,
+        ).select(id_col, "cosine")
     qvec = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
     probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
     q = _query_row(embeddings, query_vec_id, id_col, vec_col)

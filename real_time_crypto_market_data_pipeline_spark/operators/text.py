@@ -88,12 +88,10 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus size - the right shape at 100 TB.
     """
     toks = spread_for_fanout(docs, min_bytes=8 << 20).select(
-        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
-    )
+        F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token"))
     return toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-    )
+        F.countDistinct("doc_id").cast("long").alias("n_docs"))
 
 
 def bpe_ish_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -107,10 +105,8 @@ def bpe_ish_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lower(F.col(text_col)), F.lit("[a-z]+|[0-9]+"), F.lit(0)
     )
     return docs.select(
-        "doc_id",
-        F.size(pieces).cast("long").alias("n_pieces"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
-    )
+        "doc_id", F.size(pieces).cast("long").alias("n_pieces"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,14 +119,11 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(F.col(text_col))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n = F.size(toks)
-    ratio = F.when(n > 0, stop_hits.cast("double") / n.cast("double")).otherwise(
-        F.lit(0.0)
-    )
+    ratio = F.when(n > 0,
+                   stop_hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
     return docs.select(
-        "doc_id",
-        ratio.alias("stopword_ratio"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
-    )
+        "doc_id", ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"))
 
 
 def quality_score(

@@ -67,8 +67,7 @@ def windowed_latency_stats(
     delta (SURVEY hard-part 3).
     """
     lat = events.select(
-        "symbol",
-        "channel",
+        "symbol", "channel",
         F.timestamp_millis(F.col("ts_exchange_ms")).alias("event_time"),
         (F.col("ts_recv_epoch_ms") - F.col("ts_exchange_ms"))
         .cast("double")
@@ -203,8 +202,7 @@ def stream_stream_enrich(
             F.col("symbol").alias("b_symbol"),
             F.timestamp_millis(F.col("ts_exchange_ms")).alias("b_time"),
             F.col("book.best_bid").alias("best_bid"),
-            F.col("book.best_ask").alias("best_ask"),
-        )
+            F.col("book.best_ask").alias("best_ask"))
         .withWatermark("b_time", watermark)
     )
     trades = (
@@ -212,11 +210,9 @@ def stream_stream_enrich(
         .select(
             "symbol",
             F.timestamp_millis(F.col("ts_exchange_ms")).alias("t_time"),
-            F.col("ts_exchange_ms"),
-            F.col("trade.price").alias("price"),
+            F.col("ts_exchange_ms"), F.col("trade.price").alias("price"),
             F.col("trade.size").alias("size"),
-            F.col("trade.side").alias("side"),
-        )
+            F.col("trade.side").alias("side"))
         .withWatermark("t_time", watermark)
     )
     return trades.join(
@@ -230,13 +226,8 @@ def stream_stream_enrich(
         ),
         "inner",
     ).select(
-        "symbol",
-        "ts_exchange_ms",
-        "price",
-        "size",
-        "side",
-        "best_bid",
-        "best_ask",
+        "symbol", "ts_exchange_ms", "price", "size", "side",
+        "best_bid", "best_ask",
         (F.col("price") - (F.col("best_bid") + F.col("best_ask")) / 2).alias(
             "px_vs_mid"
         ),
@@ -260,9 +251,7 @@ def windowed_ohlc(
         "symbol",
         F.timestamp_millis(F.col("ts_exchange_ms")).alias("event_time"),
         F.col("ts_exchange_ms").alias("ms"),
-        F.col("trade.price").alias("price"),
-        F.col("trade.size").alias("size"),
-    )
+        F.col("trade.price").alias("price"), F.col("trade.size").alias("size"))
     return (
         trades.withWatermark("event_time", watermark)
         .groupBy("symbol", F.window("event_time", window))
@@ -296,17 +285,12 @@ def streaming_session_stats(
     cannot reproduce; the other four columns match exactly.
     """
     ev = events.select(
-        "user_id",
-        F.timestamp_millis(F.col("ms")).alias("event_time"),
-        F.col("ms"),
-        F.col("value"),
-    )
+        "user_id", F.timestamp_millis(F.col("ms")).alias("event_time"),
+        F.col("ms"), F.col("value"))
     return (
         ev.withWatermark("event_time", watermark)
-        .groupBy(
-            "user_id",
-            F.session_window("event_time", f"{gap_ms + 1} milliseconds"),
-        )
+        .groupBy("user_id",
+                 F.session_window("event_time", f"{gap_ms + 1} milliseconds"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.min("ms").cast("long").alias("start_ms"),

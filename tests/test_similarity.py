@@ -772,3 +772,33 @@ def test_ivf_topk_codes_path_missing_query_id_returns_empty(spark):
                      codes_col="__q8")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "cell_id", "cosine"]
+
+
+def test_ivf_kmeans_topk_codes_wire_matches_float_probe(spark, tmp_path):
+    """r13: ivf_kmeans_topk(codes_col=) completes the codes wire across
+    the TRAINED-index probe path - only the cap-bounded training sample
+    dequantizes, centers re-quantize onto the wire, assignment and
+    scoring stay codes-resident. At FULL probe the top-k ids match the
+    float path on testdata (SQ8 perturbs cosines ~1e-3, far under the
+    ranking gaps), cosines agree to quantization tolerance, and the
+    plan never touches a float vector column; at partial probe the
+    result is k rows from the probed cells. An absent query id returns
+    empty like the float path."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    S.sq8_encode(e).write.parquet(str(tmp_path / "codes"))
+    codes = spark.read.parquet(str(tmp_path / "codes"))
+    flt = S.ivf_kmeans_topk(e, query_vec_id=7, k=5, num_cells=2,
+                            n_probe=2).collect()
+    cdf = S.ivf_kmeans_topk(codes, query_vec_id=7, k=5, num_cells=2,
+                            n_probe=2, codes_col="__q8")
+    cod = cdf.collect()
+    assert [r.vec_id for r in cod] == [r.vec_id for r in flt]
+    assert all(abs(a.cosine - b.cosine) < 5e-2 for a, b in zip(cod, flt))
+    assert "embedding" not in cdf._jdf.queryExecution().executedPlan().toString()
+    part = S.ivf_kmeans_topk(codes, query_vec_id=7, k=5, num_cells=8,
+                             n_probe=2, codes_col="__q8").collect()
+    assert len(part) == 5
+    assert S.ivf_kmeans_topk(codes, query_vec_id=10**9, k=5, num_cells=8,
+                             codes_col="__q8").count() == 0
