@@ -367,7 +367,7 @@ def _jaccard(sh_a: Column, sh_b: Column) -> Column:
 def lsh_index_build(
     docs: DataFrame, index_dir: str, text_col: str = "text",
     min_jaccard: float = 0.5, shingle_n: int = 3,
-    num_buckets: int = IDX_BUCKETS,
+    num_buckets: int | None = None,
 ) -> None:
     """Build + persist the incremental NEAR-DUP (text) index: one-shot
     ``lsh_jaccard_dedup`` over the seed picks survivors (dropped iff a
@@ -379,15 +379,21 @@ def lsh_index_build(
     100 TB split sh into a doc_id-co-bucketed side table). Partitioned
     by bkt = crc32(bucket) % ``num_buckets`` + ``repartition("bkt")``
     (the r12 lesson: a dir per raw bucket VALUE is a listing wall; one
-    file per dir) - 1024 suits 100 TB, small corpora want fewer (the
-    write wall is one task+file per dir: 8.8 s for 976 rows at 614
-    dirs). ``{index_dir}/meta`` records the build parameters."""
+    file per dir). ``num_buckets=None`` derives ~2k band rows per
+    bucket, capped at 1024 (100 TB scale): every incremental append
+    writes ONE file per touched dir, so oversized fan-out is a
+    measured 10 s/batch append wall at 45k docs while undersized
+    fan-out just coarsens probe pruning. ``{index_dir}/meta`` records
+    the build parameters."""
     pairs = lsh_jaccard_dedup(docs, text_col, min_jaccard, shingle_n)
     # persist: _lsh_rows consumes kept on TWO join branches, each of
     # which would otherwise re-run the whole one-shot dedup lineage
     kept = docs.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
                      "doc_id", "left_anti").persist()
     try:
+        if num_buckets is None:
+            bands = DEFAULT_NUM_HASHES // DEFAULT_BAND_ROWS
+            num_buckets = min(IDX_BUCKETS, max(8, kept.count() * bands // 2000))
         _lsh_rows(kept, text_col, shingle_n, num_buckets).repartition(
             "bkt").write.mode(
             "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")

@@ -1508,10 +1508,7 @@ def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     idx = tempfile.mkdtemp(prefix="q_lsh_incr_")
     try:
-        # 64 bucket dirs: sized to the sf corpus (1024 is the 100 TB
-        # default; the write wall is one task+file per dir)
-        D.lsh_index_build(docs.where(F.col("doc_id") % 2 == 0), idx,
-                          num_buckets=64)
+        D.lsh_index_build(docs.where(F.col("doc_id") % 2 == 0), idx)
         return D.lsh_dedup_incremental(
             docs.where(F.col("doc_id") % 2 == 1), idx, update_index=False)
     finally:

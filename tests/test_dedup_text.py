@@ -1061,7 +1061,7 @@ def test_lsh_dedup_incremental_probes_only_batch_buckets(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     seed = _docs(spark, [(0, _ctext(0)), (1, _ctext(1))])
-    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    D.lsh_index_build(seed, idx, min_jaccard=0.5, num_buckets=D.IDX_BUCKETS)
     batch = _docs(spark, [(10, _ctext(0)), (11, _ctext(0))])  # routes like doc 0
     probed = {r.bkt for r in D._lsh_rows(batch, "text", 3).select("bkt").collect()}
     poisoned = 0
@@ -1154,7 +1154,7 @@ def test_lsh_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     seed = _docs(spark, [(0, _ctext(0)), (1, _ctext(1))])
-    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    D.lsh_index_build(seed, idx, min_jaccard=0.5, num_buckets=D.IDX_BUCKETS)
     dense = _docs(spark, [(100 + i, _ctext(1000 + i)) for i in range(300)])
     probed = {r.bkt for r in D._lsh_rows(dense, "text", 3)
               .select("bkt").distinct().collect()}
