@@ -391,9 +391,9 @@ def lsh_index_build(
     kept = docs.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
                      "doc_id", "left_anti").persist()
     try:
-        if num_buckets is None:
-            bands = DEFAULT_NUM_HASHES // DEFAULT_BAND_ROWS
-            num_buckets = min(IDX_BUCKETS, max(8, kept.count() * bands // 2000))
+        if num_buckets is None:  # ~2k band rows per bucket dir
+            num_buckets = min(IDX_BUCKETS, max(8, kept.count() * (
+                DEFAULT_NUM_HASHES // DEFAULT_BAND_ROWS) // 2000))
         _lsh_rows(kept, text_col, shingle_n, num_buckets).repartition(
             "bkt").write.mode(
             "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
@@ -408,9 +408,9 @@ def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
     """Index-layout rows: (doc_id, band, bucket, sh, bkt) - band
     buckets joined with the doc's shingle set, bucket-dir key attached."""
     return lsh_bucket_table(docs, text_col, shingle_n=shingle_n).join(
-        _shingle_sets(docs, text_col, shingle_n), "doc_id").withColumn(
-        "doc_id", F.col("doc_id").cast("long")).withColumn(
-        "bkt", (F.crc32("bucket") % num_buckets).cast("int"))
+        _shingle_sets(docs, text_col, shingle_n), "doc_id").withColumns(
+        {"doc_id": F.col("doc_id").cast("long"),
+         "bkt": (F.crc32("bucket") % num_buckets).cast("int")})
 
 
 def lsh_dedup_incremental(
@@ -448,15 +448,13 @@ def lsh_dedup_incremental(
     hit_seen = (  # seen survivors drop batch docs regardless of id order
         seen.select("band", "bucket", F.col("sh").alias("sh_s"))
         .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])
-        .where(_jaccard(F.col("sh_s"), F.col("sh")) >= min_jaccard)
-        .select("doc_id"))
+        .where(_jaccard(F.col("sh_s"), F.col("sh")) >= min_jaccard).select("doc_id"))
     hit_batch = (  # min-id rule within the batch (dropped docs still drop)
         bt.select(F.col("doc_id").alias("doc_a"), "band", "bucket",
                   F.col("sh").alias("sh_a"))
         .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])
-        .where((F.col("doc_a") < F.col("doc_id"))
-               & (_jaccard(F.col("sh_a"), F.col("sh")) >= min_jaccard))
-        .select("doc_id"))
+        .where((F.col("doc_a") < F.col("doc_id")) & (_jaccard(
+            F.col("sh_a"), F.col("sh")) >= min_jaccard)).select("doc_id"))
     admitted = batch.select("doc_id").join(  # shingle-less docs admit too
         hit_seen.unionByName(hit_batch).distinct(),
         "doc_id", "left_anti").localCheckpoint()

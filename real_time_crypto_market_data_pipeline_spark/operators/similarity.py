@@ -489,9 +489,9 @@ def _deq_row(r):
 
 
 def _codes_query_topk(e, q, k: int, id_col: str) -> DataFrame:
-    """Codes-wire mirror of ``_broadcast_query_topk``: Arrow-batched
-    BLAS scoring of a (pre-pruned) assignment against a driver-side
-    dequantized query; exact top-k via TakeOrderedAndProject."""
+    """Codes-wire mirror of ``_broadcast_query_topk``: Arrow-batched BLAS
+    scoring of a pre-pruned assignment against a driver-side dequantized
+    query; exact top-k via TakeOrderedAndProject."""
     import numpy as np
     import pandas as pd
 
@@ -611,8 +611,8 @@ def ivf_kmeans_topk(
         qvec = _deq_row(r)
         probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
         return _codes_query_topk(
-            assigned.where(F.col("cell_id").isin(probe)), qvec, k, id_col,
-        ).select(id_col, "cosine")
+            assigned.where(F.col("cell_id").isin(probe)), qvec, k,
+            id_col).select(id_col, "cosine")
     qvec = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
     probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
     q = _query_row(embeddings, query_vec_id, id_col, vec_col)
