@@ -1207,3 +1207,41 @@ def test_index_compaction_composes_with_incremental_appends(spark, tmp_path):
     adm = lambda p: {r.vec_id for r in D.semantic_dedup_incremental(  # noqa: E731
         probe, p, update_index=False).collect()}
     assert adm(cidx) == adm(idx) == {51}  # 50 dups the appended survivor 21
+
+
+def test_lsh_incremental_append_layout_and_compaction(spark, tmp_path):
+    """r13 append-wall pin: each incremental append writes at most ONE
+    new file per touched bucket dir (never tasks x dirs), and
+    sinks.compact_partitions restores one-file-per-bucket on the LSH
+    index with the admitted-set unchanged (parity with the semantic
+    compaction pin)."""
+    import glob
+    import shutil
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    idx = str(tmp_path / "idx")
+    seed = _docs(spark, [(0, _ctext(0)), (1, _ctext(1))])
+    D.lsh_index_build(seed, idx, min_jaccard=0.5)
+    files = lambda: {f for f in glob.glob(f"{idx}/kept/bkt=*/*.parquet")}  # noqa: E731
+    f0 = files()
+    for k in (2, 3):  # two appends of one genuinely-new doc each
+        assert D.lsh_dedup_incremental(
+            _docs(spark, [(10 + k, _ctext(10 + k))]), idx).count() == 1
+    f1 = files()
+    new = f1 - f0
+    # one new doc = 4 band rows = at most 4 touched dirs => <= 4 new files
+    assert len(new) <= 8 and all("/bkt=" in f for f in new)
+    by_dir = {}
+    for f in f1:
+        by_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    assert any(len(v) > 1 for v in by_dir.values())  # genuinely fragmented
+    cidx = str(tmp_path / "cidx")
+    K.compact_partitions(spark, f"{idx}/kept", f"{cidx}/kept")
+    for d in glob.glob(f"{cidx}/kept/bkt=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    shutil.copytree(f"{idx}/meta", f"{cidx}/meta")
+    probe = _docs(spark, [(50, _ctext(12)), (51, _ctext(99))])  # dup of 12, new
+    adm = lambda p: {r.doc_id for r in D.lsh_dedup_incremental(  # noqa: E731
+        probe, p, update_index=False).collect()}
+    assert adm(cidx) == adm(idx) == {51}
