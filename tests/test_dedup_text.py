@@ -1245,3 +1245,23 @@ def test_lsh_incremental_append_layout_and_compaction(spark, tmp_path):
     adm = lambda p: {r.doc_id for r in D.lsh_dedup_incremental(  # noqa: E731
         probe, p, update_index=False).collect()}
     assert adm(cidx) == adm(idx) == {51}
+
+
+def test_lsh_incremental_empty_index_and_meta_bucket_modulus(spark, tmp_path):
+    """Two index edges: (a) a seed of only shingle-less docs writes an
+    EMPTY kept/ (every doc survives, none has bucket rows) and the
+    probe still works - the explicit read schema means no footer
+    inference to fail on an empty dir; (b) the probe derives its bkt
+    modulus from the build meta, not the 1024 default - a dup of an
+    indexed doc is rejected under a non-default num_buckets (a probe
+    hashing with the wrong modulus would dir-miss and wrongly admit)."""
+    i1 = str(tmp_path / "i1")
+    D.lsh_index_build(_docs(spark, [(0, "too short"), (1, "also tiny")]), i1)
+    adm = {r.doc_id for r in D.lsh_dedup_incremental(
+        _docs(spark, [(10, _ctext(3))]), i1).collect()}
+    assert adm == {10}  # empty index admits everything shingled
+    i2 = str(tmp_path / "i2")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0)), (1, _ctext(1))]), i2,
+                      num_buckets=16)
+    assert D.lsh_dedup_incremental(  # dup of doc 0: must hit via %16 dirs
+        _docs(spark, [(20, _ctext(0))]), i2, update_index=False).count() == 0
