@@ -787,8 +787,7 @@ def semantic_dedup_incremental(
 
     spark = batch.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    meta = _read_meta(spark, index_dir)  # threshold/id_col default from
-    # the build meta; an explicit contradiction raises (r13)
+    meta = _read_meta(spark, index_dir)  # defaults below; contradiction raises
     p = _resolve_meta(meta, {"threshold": threshold,
                              "id_col": None if id_col == "vec_id" else id_col},
                       {"threshold": 0.40, "id_col": "vec_id"})
@@ -812,14 +811,15 @@ def semantic_dedup_incremental(
     if len(cells) * 2 <= num_cells:  # sparse batch: dir- + row-pruned probe
         kept = kept.where(F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells}))
                           & F.col("cell_id").isin(cells))
-    # else probe-breadth adaptivity (r13): the batch routed to most of
-    # C - scan the index whole instead of dragging a C-sized isin
+    # else adaptivity (r13): batch routed to most of C - scan whole
     both = kept.select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
                        "__q8", "__amax", F.lit(1).alias("__seen")).unionByName(
         assigned.select(id_col, "cell_id", "__q8", "__amax",
                         F.lit(0).alias("__seen")))
 
     def keep_new_in_cell(pdf):
+        if not (pdf["__seen"] == 0).any():  # untouched cell (whole-scan
+            return pdf.iloc[:0][[id_col, "cell_id"]]  # path): skip the gram
         pdf = pdf.sort_values(["__seen", id_col], ascending=[False, True],
                               ignore_index=True)
         V = _q8_mat(pdf)

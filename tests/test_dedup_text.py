@@ -1265,3 +1265,24 @@ def test_lsh_incremental_empty_index_and_meta_bucket_modulus(spark, tmp_path):
                       num_buckets=16)
     assert D.lsh_dedup_incremental(  # dup of doc 0: must hit via %16 dirs
         _docs(spark, [(20, _ctext(0))]), i2, update_index=False).count() == 0
+
+
+def test_semantic_dedup_incremental_dense_batch_correct_results(spark, tmp_path):
+    """Functional twin of the dense-path poison pin: a batch routing to
+    6 of 8 cells takes the whole-scan path and must admit exactly the
+    genuinely-new vectors (dups of seen rows rejected), with untouched
+    cells skipped by the kernel guard rather than re-grammed."""
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)] + [(8, _mix(6, 7))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    dense = spark.createDataFrame(  # cells 0..5 = 6 of 8 > half
+        [(20 + i, _unit(i, scale=2.0)) for i in range(5)]
+        + [(25, _mix(4, 5)), (26, _mix(4, 5, scale=3.0))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vec_id for r in
+           D.semantic_dedup_incremental(dense, idx, threshold=0.9).collect()}
+    assert adm == {25}  # 20-24 dup seen axes; 26 dups batch survivor 25
+    kept = {r.vec_id for r in spark.read.parquet(f"{idx}/kept").collect()}
+    assert 25 in kept and 26 not in kept
