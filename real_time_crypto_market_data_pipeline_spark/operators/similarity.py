@@ -60,8 +60,7 @@ def _broadcast_query_topk(
     stays shuffle-free) + TakeOrderedAndProject (no global sort);
     query norm precomputed (interpreted folds, ~1/3 of the cost)."""
     cos = dot(F.col(vec_col), F.col("_qvec")) / (
-        l2_norm(F.col(vec_col)) * F.col("_qn")
-    )
+        l2_norm(F.col(vec_col)) * F.col("_qn"))
     out = corpus.crossJoin(F.broadcast(q))
     if pred is not None:
         out = out.where(pred)
@@ -613,8 +612,11 @@ def ivf_kmeans_topk(
         return _codes_query_topk(
             assigned.where(F.col("cell_id").isin(probe)), qvec, k,
             id_col).select(id_col, "cosine")
-    qvec = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()[0]
-    probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
+    r = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if r is None:  # absent query id: empty, like the codes path (r13)
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, cosine double")
+    probe = ivf_kmeans_probe_cells(model, r[0], n_probe)
     q = _query_row(embeddings, query_vec_id, id_col, vec_col)
     return _broadcast_query_topk(
         assigned.where(F.col("cell_id").isin(probe)), q, k, id_col, vec_col
@@ -645,9 +647,7 @@ def cosine_topk_arrow(
     return (
         embeddings.select(id_col, vec_col)
         .mapInPandas(score, schema=f"{id_col} LONG, cosine DOUBLE")
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+        .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
 def hyperplane_lsh_buckets(

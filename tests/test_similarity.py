@@ -802,3 +802,5 @@ def test_ivf_kmeans_topk_codes_wire_matches_float_probe(spark, tmp_path):
     assert len(part) == 5
     assert S.ivf_kmeans_topk(codes, query_vec_id=10**9, k=5, num_cells=8,
                              codes_col="__q8").count() == 0
+    assert S.ivf_kmeans_topk(e, query_vec_id=10**9, k=5,
+                             num_cells=8).count() == 0  # float path parity
