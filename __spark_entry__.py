@@ -30,25 +30,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # + probe-adaptivity changes; (3) r11-evidence fill in registry order to
 # 50 - the remaining 28 r11-evidence queries lead round 14's prefix.
 _PRIORITY = [
-    # --- 1: r10-evidence cohort (26; oldest driver evidence) ---
-    "q_boilerplate", "q_corpus_prep", "q_csv_snapshot", "q_decontaminate",
-    "q_decontaminate_bloom", "q_dedup_exact", "q_dedup_incremental",
-    "q_dedup_lsh_jaccard", "q_dedup_near_pairs", "q_dedup_retention",
-    "q_dedup_simhash_pairs", "q_filter_funnel", "q_having_gate",
-    "q_join_enrich", "q_order_revenue_topk",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_window_variety",
-    # --- 2: code new/changed in round 13 (re-verify post-change) ---
-    "q_dedup_near_incremental",
-    "q_semdedup", "q_semdedup_incremental", "q_ann_ivf", "q_ann_ivf_kmeans",
-    # --- 3: r11-evidence fill, registry order (19; rest lead round 14) ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
-    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
-    "q_drawdown", "q_interval_join", "q_correlation", "q_null_guard",
-    "q_try_cast", "q_struct_project", "q_spread", "q_date_partition",
-    "q_to_json", "q_format_string",
-    # --- 4: the remaining r11-evidence cohort follows in registry order
+    # --- 1: r11-evidence cohort (28; oldest driver evidence, registry order) ---
+    "q_percentiles", "q_zero_rate", "q_dedup_near", "q_dedup_jaccard",
+    "q_token_count_bpe", "q_lang_id", "q_repetition_stats", "q_fingerprint",
+    "q_media_summary", "q_media_features", "q_chunk_documents",
+    "q_pack_sequences", "q_corpus_split", "q_corpus_sample",
+    "q_mix_temperature", "q_shuffle_shard", "q_quality_topp",
+    "q_quantize_int8", "q_tpch_q13", "q_tpch_q16", "q_first_last_value",
+    "q_interval_count", "q_ohlc_bars", "q_ohlc_rollup", "q_salted_stats",
+    "q_merge_upsert", "q_scd2_history", "q_pit_read",
+    # --- 2: code changed in round 14 (ADVICE fixes: dedup meta/id_col,
+    #        similarity codes-path unpersist) ---
+    "q_semdedup_incremental", "q_dedup_near_incremental",
+    "q_ann_ivf", "q_ann_ivf_kmeans",
+    # --- 3: r12-evidence fill, registry order (18; rest lead round 15) ---
+    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
+    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
+    "q_invariant_check", "q_filter_isin", "q_channel_split", "q_element_at",
+    "q_explode", "q_array_transform", "q_best_levels", "q_latency_cols",
+    "q_count_by_key", "q_grouped_stats",
+    # --- 4: the remaining r12-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]
 

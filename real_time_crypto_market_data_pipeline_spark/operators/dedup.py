@@ -186,9 +186,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         # shiftright's Python wrapper wants a literal int; the SQL
         # function accepts a column operand
         "w",
-        F.expr(
-            "CASE WHEN shiftright(h, CAST(bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END"
-        ),
+        F.expr("CASE WHEN shiftright(h, CAST(bit AS INT)) % 2 = 1 THEN 1 ELSE -1 END"),
     )
     votes = per_bit.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
     return votes.groupBy("doc_id").agg(
@@ -433,10 +431,13 @@ def lsh_dedup_incremental(
     contradiction raises."""
     spark = batch.sparkSession
     meta = _read_meta(spark, index_dir)
+    if meta is None:  # LSH indexes ALWAYS carry meta (no pre-r13 layout
+        raise ValueError(  # exists): absent meta = not a built index.
+            f"{index_dir}/meta is missing: not an lsh_index_build index "
+            "(num_buckets/shingle_n must come from the build)")
     min_jaccard = _resolve_meta(meta, {"min_jaccard": min_jaccard},
                                 {"min_jaccard": 0.5})["min_jaccard"]
-    shingle_n = int(meta["shingle_n"]) if meta is not None else 3
-    nb = int(meta["num_buckets"]) if meta is not None else IDX_BUCKETS
+    shingle_n, nb = int(meta["shingle_n"]), int(meta["num_buckets"])
     bt = _lsh_rows(batch, text_col, shingle_n, nb).localCheckpoint()
     # probed dirs: bounded by min(num_buckets, |batch| x bands)
     bkts = sorted(r[0] for r in bt.select("bkt").distinct().collect())
@@ -693,11 +694,18 @@ def _write_meta(spark, index_dir: str, **params) -> None:
 
 
 def _read_meta(spark, index_dir: str):
-    """Meta row, or None for a pre-r13 index (explicit params apply)."""
+    """Meta row, or None only when ``{index_dir}/meta`` does not EXIST
+    (the pre-r13 semantic layout; explicit params apply). Any other
+    read failure re-raises (r14): a corrupt/transiently-unreadable meta
+    falling back to defaults would probe with the wrong modulus and
+    silently admit duplicates - fail loud, never fail-open."""
+    from pyspark.errors import AnalysisException
     try:
         return spark.read.parquet(f"{index_dir}/meta").first()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def _resolve_meta(meta, explicit: dict, defaults: dict) -> dict:
@@ -762,7 +770,7 @@ def semantic_index_build(
 
 def semantic_dedup_incremental(
     batch: DataFrame, index_dir: str, threshold: float | None = None,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str | None = None, vec_col: str = "embedding",
     update_index: bool = True, checkpoint_dir: str | None = None,
     codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
@@ -779,8 +787,10 @@ def semantic_dedup_incremental(
     kernel sorts seen rows first and reuses the lower-triangle gram; admitted
     survivors' codes append to the index. Ids globally unique across batches
     (monotone ingest = the one-shot min-id rule, equality pinned).
-    ``threshold``/``id_col`` default from the index's build meta; an explicit
-    value contradicting the meta raises (r13)."""
+    ``threshold``/``id_col`` default (``None``) from the index's build meta
+    ('vec_id' for a pre-r13 meta-less index); an EXPLICIT value contradicting
+    the meta raises - incl. an explicit 'vec_id' vs a differently-keyed index
+    (r14: None is the from-meta sentinel, not the string default)."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
@@ -788,8 +798,7 @@ def semantic_dedup_incremental(
     spark = batch.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
     meta = _read_meta(spark, index_dir)  # defaults below; contradiction raises
-    p = _resolve_meta(meta, {"threshold": threshold,
-                             "id_col": None if id_col == "vec_id" else id_col},
+    p = _resolve_meta(meta, {"threshold": threshold, "id_col": id_col},
                       {"threshold": 0.40, "id_col": "vec_id"})
     threshold, id_col = p["threshold"], p["id_col"]
     num_cells = meta["num_cells"] if meta is not None else cents.count()

@@ -458,9 +458,7 @@ def merge_ohlc(
         F.col("c.v").alias("close"), "n_ticks")
 
 
-def having_gate(
-    df: DataFrame, keys: Sequence[str], min_samples: int = 20
-) -> DataFrame:
+def having_gate(df: DataFrame, keys: Sequence[str], min_samples: int = 20) -> DataFrame:
     """A8: emit per-key counts only for keys holding >= min_samples.
 
     Reference gate at ``rolling.py:125,130,134,139`` (>= 20 samples).

@@ -144,9 +144,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     per-frame decode would join this against the payload later."""
     video = media.where(F.col("kind") == "video")
     frame_idx = F.explode(
-        F.sequence(
-            F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
-        )
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
     )
     return video.select(
         "media_id", frame_idx.alias("frame_idx"), F.col("meta.n_frames").alias("n_frames")

@@ -97,9 +97,7 @@ def filter_control_and_malformed(decoded: DataFrame) -> DataFrame:
     m = F.col("_msg")
     return decoded.where(
         # F1 control filter (normalizer.py:65-66)
-        ~F.coalesce(
-            m["event"].isin("subscribe", "unsubscribe", "error"), F.lit(False)
-        )
+        ~F.coalesce(m["event"].isin("subscribe", "unsubscribe", "error"), F.lit(False))
         # F2 shape guards (normalizer.py:69-78)
         & m["arg"].isNotNull()
         & m["arg"]["channel"].isNotNull()
@@ -239,8 +237,9 @@ def normalize_frames(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
 def derived_columns(events: DataFrame) -> DataFrame:
     """F10+F11: spread + per-stage latency derivations (stdout.py:16-21).
 
-    lat_ex_recv_ms  = ts_recv_epoch_ms - ts_exchange_ms lat_recv_decode_ns /
-    lat_decode_proc_ns, with us display forms /1000 (rolling.py:52-54).
+    lat_ex_recv_ms = ts_recv_epoch_ms - ts_exchange_ms;
+    lat_recv_decode_ns / lat_decode_proc_ns are stage deltas on the
+    monotonic stamps, with us display forms /1000 (rolling.py:52-54).
     """
     return events.withColumns(
         {

@@ -196,6 +196,16 @@ def carry_broadcast(dst: DataFrame, src: DataFrame) -> DataFrame:
     return dst
 
 
+def _collect_release(out: DataFrame, handle: DataFrame) -> DataFrame:
+    """Materialize a k-row (BOUNDED by design) probe result, release
+    ``handle``'s persisted corpus blocks, and hand back the rows as a
+    local DataFrame: the persist lives exactly one probe call, never
+    accumulating corpus-sized executor storage across a session."""
+    rows = out.collect()
+    handle.unpersist()
+    return out.sparkSession.createDataFrame(rows, out.schema)
+
+
 def sq8_encode(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
@@ -458,15 +468,19 @@ def ivf_topk(
                    max_cell=max_cell, checkpoint_dir=checkpoint_dir,
                    codes_col=codes_col, amax_col=amax_col)
     if codes_col is not None:
-        # materialize the assignment ONCE: the query lookup and the
-        # probe scan would otherwise each run the full assign pass
-        e = e.localCheckpoint()
+        # persist the assignment ONCE (query lookup + probe scan would
+        # otherwise each run the full assign pass), then RELEASE it when
+        # the k-row result materializes - repeated probes in one session
+        # must not accumulate corpus-sized executor storage (r14)
+        e = e.persist()
         r = e.where(F.col(id_col) == query_vec_id).first()
         if r is None:  # absent query id: empty result, like the float path
+            e.unpersist()
             return e.sparkSession.createDataFrame(
                 [], f"{id_col} long, cell_id int, cosine double")
-        return _codes_query_topk(
-            e.where(F.col("cell_id") == r["cell_id"]), _deq_row(r), k, id_col)
+        return _collect_release(_codes_query_topk(
+            e.where(F.col("cell_id") == r["cell_id"]), _deq_row(r), k,
+            id_col), e)
     qrow = e.where(F.col(id_col) == query_vec_id).select(
         F.col("cell_id").alias("_qcell"),
         F.col(vec_col).alias("_qvec"),
@@ -602,16 +616,17 @@ def ivf_kmeans_topk(
         embeddings, num_cells, seed, id_col, vec_col, training_cap,
         codes_col=codes_col, amax_col=amax_col)
     if codes_col is not None:
-        assigned = assigned.localCheckpoint()  # query + probe: ONE pass
-        r = assigned.where(F.col(id_col) == query_vec_id).first()
+        assigned = assigned.persist()  # query + probe: ONE pass, released
+        r = assigned.where(F.col(id_col) == query_vec_id).first()  # below
         if r is None:  # absent query id: empty, like the float path
+            assigned.unpersist()
             return assigned.sparkSession.createDataFrame(
                 [], f"{id_col} long, cosine double")
         qvec = _deq_row(r)
         probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
-        return _codes_query_topk(
+        return _collect_release(_codes_query_topk(
             assigned.where(F.col("cell_id").isin(probe)), qvec, k,
-            id_col).select(id_col, "cosine")
+            id_col).select(id_col, "cosine"), assigned)
     r = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).first()
     if r is None:  # absent query id: empty, like the codes path (r13)
         return embeddings.sparkSession.createDataFrame(

@@ -113,22 +113,16 @@ def bloom_bitmap(
             )
         ).alias("p")
     )
-    words = pos.groupBy(
-        (F.col("p") / F.lit(64)).cast("int").alias("w")
-    ).agg(
+    words = pos.groupBy((F.col("p") / F.lit(64)).cast("int").alias("w")).agg(
         F.bit_or(
-            F.call_function(
-                "shiftleft", one, F.pmod(F.col("p"), F.lit(64)).cast("int")
-            )
+            F.call_function("shiftleft", one, F.pmod(F.col("p"), F.lit(64)).cast("int"))
         ).alias("bits")
     )
     # dense assembly: zero-fill missing words with a distributed left
     # join (not a per-index map lookup on one row, which is O(words x
     # entries) on a single task once the bitmap saturates), then sort
     # the <= n_words structs into position order on the final row
-    idx = keys.sparkSession.range(n_words).select(
-        F.col("id").cast("int").alias("w")
-    )
+    idx = keys.sparkSession.range(n_words).select(F.col("id").cast("int").alias("w"))
     filled = idx.join(words, "w", "left").select(
         "w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
     )
@@ -160,9 +154,7 @@ def bloom_contains(
     for s in range(num_hashes):
         p = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(num_bits))
         word = F.element_at(bitmap, (p / F.lit(64)).cast("int") + F.lit(1))
-        mask = F.call_function(
-            "shiftleft", one, F.pmod(p, F.lit(64)).cast("int")
-        )
+        mask = F.call_function("shiftleft", one, F.pmod(p, F.lit(64)).cast("int"))
         hit = word.bitwiseAND(mask) != F.lit(0).cast("long")
         cond = hit if cond is None else (cond & hit)
     return cond

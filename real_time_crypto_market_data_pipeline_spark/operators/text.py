@@ -208,9 +208,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )
-    per_gram = grams.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    per_gram = grams.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
     per_n = per_gram.groupBy("doc_id", "n").agg(
         F.sum("c").alias("total"),
         F.count(F.lit(1)).alias("n_distinct"),
@@ -485,9 +483,7 @@ def apply_mix(
     bucket clears its source's threshold. Pure row-local predicate
     after the broadcast join - works identically on a batch frame or
     a streaming microbatch (stateless stream-static join)."""
-    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast(
-        "bigint"
-    )
+    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast("bigint")
     return (
         docs.join(F.broadcast(thresholds), source_col)
         .where(bucket < F.col("thr"))

@@ -638,9 +638,7 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     zkey = None
     for i in range(16):
         bit_x = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
-        bit_y = F.shiftleft(
-            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
+        bit_y = F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
         term = bit_x + bit_y
         zkey = term if zkey is None else zkey + term
     return d.select("event_id", "x", "y", zkey.cast("long").alias("zkey"))
@@ -807,9 +805,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & run_click.isNotNull(), F.col("ms")
     )
     per_user = (
-        staged.select(
-            "user_id", "v_ms", "qc_ms", qual_purchase.alias("qp_ms")
-        )
+        staged.select("user_id", "v_ms", "qc_ms", qual_purchase.alias("qp_ms"))
         .groupBy("user_id")
         .agg(
             F.min("v_ms").alias("t_view"),
@@ -863,9 +859,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     already distinct).
     """
     wk = F.expr("ms div 604800000").alias("week")  # integer div: exact at any ts magnitude
-    presence = (
-        _events(spark, sf_dir).select("user_id", wk).distinct()
-    )
+    presence = (_events(spark, sf_dir).select("user_id", wk).distinct())
     w = Window.partitionBy("user_id")
     cohorted = presence.withColumn("cohort_week", F.min("week").over(w))
     return (

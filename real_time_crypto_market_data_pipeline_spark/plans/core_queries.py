@@ -376,9 +376,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = int(p * (n - 1)) over the sorted series - NOT interpolated,
     NOT percentile_approx; identical arithmetic on both engines.
     """
-    return M.percentiles_lower(
-        load(spark, sf_dir, "events"), ["event_type"], "value"
-    )
+    return M.percentiles_lower(load(spark, sf_dir, "events"), ["event_type"], "value")
 
 
 # ---------------------------------------------------------------- A3

@@ -316,9 +316,7 @@ def _decontam_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.explode_outer(
-                F.array_distinct(
-                    T.word_shingles(T.tokens_col(F.col("text")), 3)
-                )
+                F.array_distinct(T.word_shingles(T.tokens_col(F.col("text")), 3))
             ).alias("shingle"),
         )
         .where(F.col("shingle").isNotNull())
@@ -341,9 +339,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-join case); :func:`q_decontaminate_bloom` is that plan made explicit.
     """
     sh = _decontam_shingles(spark, sf_dir)
-    ev = (
-        sh.where(F.col("source") == "src0").select("shingle").distinct()
-    )
+    ev = (sh.where(F.col("source") == "src0").select("shingle").distinct())
     tr = sh.where(F.col("source") != "src0")
     return (
         tr.join(F.broadcast(ev), "shingle")
@@ -373,9 +369,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketches as SK
 
     sh = _decontam_shingles(spark, sf_dir)
-    ev = (
-        sh.where(F.col("source") == "src0").select("shingle").distinct()
-    )
+    ev = (sh.where(F.col("source") == "src0").select("shingle").distinct())
     bitmap = SK.bloom_bitmap(ev, "shingle")
     survivors = (
         sh.where(F.col("source") != "src0")

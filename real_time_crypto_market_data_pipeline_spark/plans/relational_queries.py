@@ -178,9 +178,7 @@ def q_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -285,9 +283,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -384,9 +380,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     would silently turn the join inner and drop the zero bucket.
     """
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") != "1-URGENT"
-    )
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
     per_cust = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
@@ -423,9 +417,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_rev"
-        )
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     supp = load(spark, sf_dir, "supplier")
@@ -552,9 +544,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.where(band).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
 
@@ -739,9 +729,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -771,9 +759,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
-    urgent = load(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
+    urgent = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return (
         cust.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
@@ -844,9 +830,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
     )
     w = Window.partitionBy("l_partkey")
     best = costs.withColumn("min_cost", F.min("supplycost").over(w)).where(
@@ -910,9 +894,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust_asia, orders.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
@@ -1141,9 +1123,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .withColumn(
-            "avg_qty", F.avg("qty").over(Window.partitionBy("l_partkey"))
-        )
+        .withColumn("avg_qty", F.avg("qty").over(Window.partitionBy("l_partkey")))
         .where(F.col("qty") > 1.5 * F.col("avg_qty"))
         .select("l_suppkey")
     )
@@ -1387,9 +1367,7 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by/max_by; batch keeps the window form for exact cross-engine
     open/close semantics.
     """
-    ev = load_events(spark, sf_dir).select(
-        "event_type", "value", "event_id", "ms"
-    )
+    ev = load_events(spark, sf_dir).select("event_type", "value", "event_id", "ms")
     ev = ev.withColumn("bucket", F.expr("ms DIV 3600000"))
     w = (
         Window.partitionBy("event_type", "bucket")
@@ -1554,9 +1532,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # under any merge order, so the merged row set hashes stably
         .agg(
             (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
-                    "double"
-                )
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
                 / 100.0
             ).alias("spend_1997")
         )

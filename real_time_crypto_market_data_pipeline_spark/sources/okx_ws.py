@@ -26,8 +26,8 @@ frame counter per (single) partition. At scale, one source partition per
 product is embarrassingly partitionable because OKX subscriptions are
 independent.
 
-JSON decode (S5) deliberately does NOT happen here: the source emits raw text
-+ stamps, and decode/normalize run as Catalyst expressions
+JSON decode (S5) deliberately does NOT happen here: the source emits the raw
+text plus stamps, and decode/normalize run as Catalyst expressions
 (operators/normalize.py), keeping the Python boundary thin.
 """
 

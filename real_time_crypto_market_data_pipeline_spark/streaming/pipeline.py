@@ -73,9 +73,7 @@ def windowed_latency_stats(
         .cast("double")
         .alias("lat_ms"),
     ).withWatermark("event_time", watermark)
-    return lat.groupBy(
-        "symbol", "channel", F.window("event_time", window, slide)
-    ).agg(
+    return lat.groupBy("symbol", "channel", F.window("event_time", window, slide)).agg(
         F.count("lat_ms").alias("lat_count"),
         F.avg("lat_ms").alias("lat_mean"),
         F.coalesce(F.stddev_samp("lat_ms"), F.lit(0.0)).alias("lat_std"),
@@ -146,9 +144,7 @@ def streaming_exact_dedup(
     keyed = events.withColumn(
         "event_time", F.timestamp_millis(F.col("ts_exchange_ms"))
     ).withWatermark("event_time", watermark)
-    return keyed.dropDuplicatesWithinWatermark(
-        ["symbol", "channel", "ts_exchange_ms"]
-    )
+    return keyed.dropDuplicatesWithinWatermark(["symbol", "channel", "ts_exchange_ms"])
 
 
 def streaming_near_dedup(
@@ -339,6 +335,4 @@ def streaming_temperature_mix(
     """
     from ..operators.text import apply_mix
 
-    return apply_mix(
-        doc_stream, thresholds, source_col=source_col, text_col=text_col
-    )
+    return apply_mix(doc_stream, thresholds, source_col=source_col, text_col=text_col)

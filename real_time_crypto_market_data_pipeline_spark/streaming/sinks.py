@@ -551,9 +551,7 @@ def _start_partials_sink(
         except (FileNotFoundError, ValueError):
             pass
         bp = to_partials(batch_df)
-        rollup_merge_batch(
-            batch_df.sparkSession, bp, target_dir, keys, merge_exprs
-        )
+        rollup_merge_batch(batch_df.sparkSession, bp, target_dir, keys, merge_exprs)
         os.makedirs(target_dir, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:

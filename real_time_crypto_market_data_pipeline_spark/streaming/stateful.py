@@ -20,9 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STALE_OUTPUT_DDL = (
-    "symbol STRING, channel STRING, ts_exchange_ms LONG, stale_ms LONG"
-)
+STALE_OUTPUT_DDL = ("symbol STRING, channel STRING, ts_exchange_ms LONG, stale_ms LONG")
 _STATE_DDL = "last_ts LONG"
 
 
@@ -93,9 +91,7 @@ EWMA_OUTPUT_DDL = (
     "ewma_mid DOUBLE, ewma_spread DOUBLE, rolling_mid DOUBLE, "
     "n LONG, spread_blowout BOOLEAN"
 )
-_EWMA_STATE_DDL = (
-    "ewma_mid DOUBLE, ewma_spread DOUBLE, n LONG, tail ARRAY<DOUBLE>"
-)
+_EWMA_STATE_DDL = ("ewma_mid DOUBLE, ewma_spread DOUBLE, n LONG, tail ARRAY<DOUBLE>")
 
 
 def make_ewma_fn(alpha: float, window: int, k: float, warmup: int):
@@ -139,9 +135,7 @@ def make_ewma_fn(alpha: float, window: int, k: float, warmup: int):
         # blowout judges each spread against the PREVAILING (pre-update)
         # EWMA spread, with n counted before the row
         prev_spread = ewma_spread.shift(1, fill_value=ewma_spread0 if n0 > 0 else 0.0)
-        blowout = ((n - 1) >= warmup) & (prev_spread > 0) & (
-            spread > k * prev_spread
-        )
+        blowout = ((n - 1) >= warmup) & (prev_spread > 0) & (spread > k * prev_spread)
         # bounded rolling tail continues across the batch boundary
         seeded_mid = pd.concat(
             [pd.Series(tail, dtype="float64"), mid], ignore_index=True
@@ -302,9 +296,7 @@ def _rvol_fn(
                 n += 1
             last = p
     state.update((last, n, ssq))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_returns": [n], "realized_var": [ssq]}
-    )
+    yield pd.DataFrame({"user_id": [user_id], "n_returns": [n], "realized_var": [ssq]})
 
 
 def streaming_realized_vol(events: DataFrame) -> DataFrame:

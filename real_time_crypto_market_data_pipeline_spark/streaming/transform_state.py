@@ -199,9 +199,7 @@ class IdleSymbolFlushProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        self._agg = handle.getValueState(
-            "agg", "n LONG, first_ms LONG, last_ms LONG"
-        )
+        self._agg = handle.getValueState("agg", "n LONG, first_ms LONG, last_ms LONG")
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues: TimerValues

@@ -1286,3 +1286,56 @@ def test_semantic_dedup_incremental_dense_batch_correct_results(spark, tmp_path)
     assert adm == {25}  # 20-24 dup seen axes; 26 dups batch survivor 25
     kept = {r.vec_id for r in spark.read.parquet(f"{idx}/kept").collect()}
     assert 25 in kept and 26 not in kept
+
+
+# ---------------------------------------------------------------- r14:
+# ADVICE hardening - meta fail-loud, id_col sentinel
+
+
+def test_read_meta_corrupt_raises_missing_returns_none(spark, tmp_path):
+    """r14 (ADVICE): _read_meta returns None ONLY for a missing
+    {index_dir}/meta (the pre-r13 layout); a corrupt/unreadable meta
+    re-raises instead of silently falling back to defaults (a wrong
+    num_buckets modulus would make the probe miss every seen bucket
+    and admit duplicates - a silent dedup pass-through)."""
+    idx = str(tmp_path / "idx")
+    assert D._read_meta(spark, idx) is None  # missing: pre-r13 fallback
+    (tmp_path / "idx" / "meta").mkdir(parents=True)
+    (tmp_path / "idx" / "meta" / "part-00000.parquet").write_bytes(
+        b"not a parquet footer")
+    with pytest.raises(Exception, match="(?i)parquet|footer|PAR1"):
+        D._read_meta(spark, idx)
+
+
+def test_lsh_incremental_missing_meta_raises(spark, tmp_path):
+    """r14 (ADVICE): LSH indexes ALWAYS carry meta (no pre-r13 LSH
+    layout exists), so a kept/ dir without meta is a broken index -
+    the probe must raise, never fail-open to default parameters."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0)), (1, _ctext(1))]), idx)
+    shutil.rmtree(f"{idx}/meta")
+    with pytest.raises(ValueError, match="meta is missing"):
+        D.lsh_dedup_incremental(_docs(spark, [(10, _ctext(0))]), idx)
+
+
+def test_semdedup_incremental_explicit_id_col_validated(spark, tmp_path):
+    """r14 (ADVICE): id_col=None is the from-meta sentinel, so an
+    EXPLICIT id_col - including the old string default 'vec_id' - is
+    validated against the build meta exactly like threshold: probing a
+    'vkey'-built index with id_col='vec_id' raises the contradiction
+    instead of silently using the meta value."""
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vkey LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9, id_col="vkey")
+    batch = spark.createDataFrame(
+        [(20, _mix(0, 1))], "vkey LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vkey for r in D.semantic_dedup_incremental(
+        batch, idx, update_index=False).collect()}
+    assert adm == {20}  # id_col defaulted from meta; result keyed by vkey
+    with pytest.raises(ValueError, match="id_col='vkey'"):
+        D.semantic_dedup_incremental(batch, idx, id_col="vec_id")
+    assert {r.vkey for r in D.semantic_dedup_incremental(  # matching explicit
+        batch, idx, id_col="vkey", update_index=False).collect()} == {20}

@@ -675,7 +675,10 @@ def test_ivf_topk_codes_wire_matches_float_probe(spark, tmp_path):
     cod = cdf.collect()
     assert [r.vec_id for r in cod] == [r.vec_id for r in flt]
     assert all(abs(a.cosine - b.cosine) < 5e-2 for a, b in zip(cod, flt))
-    assert "embedding" not in cdf._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in codes.columns  # float never exists on the wire
+    # r14: the probe collects its k-row result and releases the persisted
+    # corpus - the returned frame is a bounded local scan
+    assert "Scan ExistingRDD" in cdf._jdf.queryExecution().executedPlan().toString()
     part = S.ivf_topk(codes, query_vec_id=7, k=5, num_cells=8,
                       codes_col="__q8").collect()
     qcell = {r.vec_id: r.cell_id for r in
@@ -796,7 +799,8 @@ def test_ivf_kmeans_topk_codes_wire_matches_float_probe(spark, tmp_path):
     cod = cdf.collect()
     assert [r.vec_id for r in cod] == [r.vec_id for r in flt]
     assert all(abs(a.cosine - b.cosine) < 5e-2 for a, b in zip(cod, flt))
-    assert "embedding" not in cdf._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in codes.columns  # float never exists on the wire
+    assert "Scan ExistingRDD" in cdf._jdf.queryExecution().executedPlan().toString()
     part = S.ivf_kmeans_topk(codes, query_vec_id=7, k=5, num_cells=8,
                              n_probe=2, codes_col="__q8").collect()
     assert len(part) == 5
@@ -804,3 +808,26 @@ def test_ivf_kmeans_topk_codes_wire_matches_float_probe(spark, tmp_path):
                              codes_col="__q8").count() == 0
     assert S.ivf_kmeans_topk(e, query_vec_id=10**9, k=5,
                              num_cells=8).count() == 0  # float path parity
+
+
+def test_ivf_codes_probes_release_persisted_blocks(spark):
+    """r14 (ADVICE): the codes-path probes persist the corpus
+    assignment for exactly one call (query lookup + probe scan share
+    the pass) and release it when the k-row result materializes -
+    repeated probes in one session must not accumulate corpus-sized
+    executor storage. Pinned via the context's persistent-RDD map,
+    including the absent-query-id early returns."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = S.sq8_encode(e).localCheckpoint()  # stable input, off the books
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        assert S.ivf_topk(codes, query_vec_id=7, k=3, num_cells=4,
+                          codes_col="__q8").count() == 3
+        assert S.ivf_kmeans_topk(codes, query_vec_id=7, k=3, num_cells=2,
+                                 n_probe=2, codes_col="__q8").count() == 3
+    S.ivf_topk(codes, query_vec_id=10**9, k=3, num_cells=4,
+               codes_col="__q8").count()
+    S.ivf_kmeans_topk(codes, query_vec_id=10**9, k=3, num_cells=2,
+                      codes_col="__q8").count()
+    assert jsc.getPersistentRDDs().size() == before

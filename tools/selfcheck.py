@@ -2,13 +2,14 @@
 compare row count / schema shape / values (order-insensitive), mimicking the
 driver's correctness gate.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...] python
-tools/selfcheck.py --schema [sf_dir]   # schema contract only python
-tools/selfcheck.py --evidence-age      # driver-evidence ledger
+Usage:
+    python tools/selfcheck.py [sf_dir] [query ...]
+    python tools/selfcheck.py --schema [sf_dir]   # schema contract only
+    python tools/selfcheck.py --evidence-age      # driver-evidence ledger
 
 ``--evidence-age`` (no Spark needed) reads the committed CORRECTNESS_r*.json
 files; exit nonzero on evidence >2 rounds old, never-checked, or
-failing-at-latest-check - mechanizing the oldest- first prefix rotation (122
+failing-at-latest-check - mechanizing the oldest-first prefix rotation (124
 queries / 50 slots: steady-state max age 2). Every run starts with a testdata
 schema-contract check, so driver-side parquet drift is a one-line diagnosis
 instead of a lost round (round 2 lost 14 queries to events.ts LONG-ns ->
