@@ -198,11 +198,15 @@ def carry_broadcast(dst: DataFrame, src: DataFrame) -> DataFrame:
 
 def _collect_release(out: DataFrame, handle: DataFrame) -> DataFrame:
     """Materialize a k-row (BOUNDED by design) probe result, release
-    ``handle``'s persisted corpus blocks, and hand back the rows as a
-    local DataFrame: the persist lives exactly one probe call, never
-    accumulating corpus-sized executor storage across a session."""
+    ``handle``'s persisted corpus blocks AND its post-crossover assign
+    broadcast (if one rode along), and hand back the rows as a local
+    DataFrame: all probe-call storage lives exactly one call, never
+    accumulating corpus-sized executor state across a session."""
     rows = out.collect()
     handle.unpersist()
+    bv = getattr(handle, "assign_broadcast", None)
+    if bv is not None:
+        bv.unpersist()
     return out.sparkSession.createDataFrame(rows, out.schema)
 
 
@@ -475,9 +479,8 @@ def ivf_topk(
         e = e.persist()
         r = e.where(F.col(id_col) == query_vec_id).first()
         if r is None:  # absent query id: empty result, like the float path
-            e.unpersist()
-            return e.sparkSession.createDataFrame(
-                [], f"{id_col} long, cell_id int, cosine double")
+            return _collect_release(e.sparkSession.createDataFrame(
+                [], f"{id_col} long, cell_id int, cosine double"), e)
         return _collect_release(_codes_query_topk(
             e.where(F.col("cell_id") == r["cell_id"]), _deq_row(r), k,
             id_col), e)
@@ -619,9 +622,8 @@ def ivf_kmeans_topk(
         assigned = assigned.persist()  # query + probe: ONE pass, released
         r = assigned.where(F.col(id_col) == query_vec_id).first()  # below
         if r is None:  # absent query id: empty, like the float path
-            assigned.unpersist()
-            return assigned.sparkSession.createDataFrame(
-                [], f"{id_col} long, cosine double")
+            return _collect_release(assigned.sparkSession.createDataFrame(
+                [], f"{id_col} long, cosine double"), assigned)
         qvec = _deq_row(r)
         probe = ivf_kmeans_probe_cells(model, qvec, n_probe)
         return _collect_release(_codes_query_topk(

@@ -831,3 +831,28 @@ def test_ivf_codes_probes_release_persisted_blocks(spark):
     S.ivf_kmeans_topk(codes, query_vec_id=10**9, k=3, num_cells=2,
                       codes_col="__q8").count()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_ivf_codes_probe_releases_assign_broadcast(spark, monkeypatch):
+    """r14: past the broadcast crossover the codes probe's assignment
+    ships as a SparkContext.broadcast with no handle reachable from the
+    returned local frame - _collect_release must unpersist it along
+    with the persisted corpus blocks, or each probe call leaks one
+    corpus-index broadcast for the session's lifetime."""
+    released = []
+    real = S.assign_cells
+
+    def forced(*a, **kw):
+        out = real(*a, **{**kw, "broadcast_threshold_bytes": 0})
+        bv = out.assign_broadcast
+        orig = bv.unpersist
+        bv.unpersist = lambda *ar, **kws: (released.append(True),
+                                           orig(*ar, **kws))[1]
+        return out
+
+    monkeypatch.setattr(S, "assign_cells", forced)
+    codes = S.sq8_encode(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    assert S.ivf_topk(codes, query_vec_id=7, k=3, num_cells=4,
+                      codes_col="__q8").count() == 3
+    assert released == [True]
