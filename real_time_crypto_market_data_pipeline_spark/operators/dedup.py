@@ -637,7 +637,8 @@ def semantic_dedup(
     ``transport="int8"`` quantizes SQ8 in the assign worker (numpy;
     the JVM-HOF form lost 17x, SCALING.md r10) and moves every later
     leg - cell shuffle, pairwise pipe - onto the int8 wire (~4x fewer
-    bytes), with assignment, rings, and pairwise cosines on the
+    bytes); assignment routes on the RAW codes (r15, scale-invariant,
+    integer dots exact in float64), rings and pairwise cosines on the
     DEQUANTIZED values: deterministic, oracle-replayable bit-for-bit.
     The kept-set is the SQ8 corpus's, NOT float's - near-threshold
     cosine mass moves (2.6x fewer survivors on the synthetic x1000
@@ -703,7 +704,10 @@ def _read_meta(spark, index_dir: str):
     try:
         return spark.read.parquet(f"{index_dir}/meta").first()
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        # structured error condition, not message substring (r15 ADVICE:
+        # wording differs across Spark versions; the class is the contract)
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if cond == "PATH_NOT_FOUND":
             return None
         raise
 

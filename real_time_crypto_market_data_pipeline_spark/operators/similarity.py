@@ -156,7 +156,8 @@ def sq8_wire(vec_col: str):
 
 def _sq8_roundtrip_np(C):
     """Driver-side quantize->dequantize, bit-exact with ``sq8_wire`` +
-    ``_q8_mat``: centroids must see the values the wire carries."""
+    ``_q8_mat``: the wire values the pairwise/scoring legs see (routing
+    itself rides the raw codes since r15)."""
     import numpy as np
 
     amax = np.abs(C).max(axis=1, keepdims=True)
@@ -168,11 +169,22 @@ def _q8_mat(pdf):
     """Dequantize a wire batch (one 64-byte blob per row - BINARY pays
     no per-element Arrow offsets): op-for-op the oracle's left-assoc
     ``c * amax / 127.0``."""
+    return _q8_raw(pdf) * pdf["__amax"].to_numpy()[:, None] / 127.0
+
+
+def _q8_raw(pdf):
+    """RAW codes of a wire batch as float64 (no dequant scaling) - the
+    routing matrix (r15): dequant is a per-row POSITIVE scaling, so
+    every routing cosine is scale-invariant and the argmax unchanged in
+    exact math; integer dots (|c| <= 127, d = 64) are EXACT in float64,
+    so BLAS-vs-fold summation order can never flip a near-tie - raw
+    routing is strictly MORE oracle-stable than the dequantized form,
+    and it drops the full-matrix ``* amax / 127.0`` passes the 20M
+    assign-leg floor measured as ~compute (SCALING.md r14)."""
     import numpy as np
 
-    codes = np.frombuffer(b"".join(pdf["__q8"]), dtype=np.int8).reshape(
+    return np.frombuffer(b"".join(pdf["__q8"]), dtype=np.int8).reshape(
         len(pdf), -1).astype(np.float64)
-    return codes * pdf["__amax"].to_numpy()[:, None] / 127.0
 
 
 def _sq8_quant_np(V):
@@ -202,11 +214,13 @@ def _collect_release(out: DataFrame, handle: DataFrame) -> DataFrame:
     broadcast (if one rode along), and hand back the rows as a local
     DataFrame: all probe-call storage lives exactly one call, never
     accumulating corpus-sized executor state across a session."""
-    rows = out.collect()
-    handle.unpersist()
-    bv = getattr(handle, "assign_broadcast", None)
-    if bv is not None:
-        bv.unpersist()
+    try:
+        rows = out.collect()
+    finally:  # a mid-run probe failure must not leak the corpus blocks
+        handle.unpersist()
+        bv = getattr(handle, "assign_broadcast", None)
+        if bv is not None:
+            bv.unpersist()
     return out.sparkSession.createDataFrame(rows, out.schema)
 
 
@@ -265,13 +279,15 @@ def assign_cells(
 
     ``transport="int8"``: vectors SQ8-quantize IN THE WORKER (numpy;
     the JVM-HOF ``sq8_wire`` form measured 17x slower at 2M, SCALING.md
-    r10), the descent routes on the DEQUANTIZED values (centroids
-    round-tripped identically) so a dequantizing oracle replays
-    bit-for-bit, and ``keep_vec`` emits ``__q8``/``__amax`` - every
-    later leg carries ~4x fewer bytes. ``codes_col`` (r11): the input
-    ALREADY carries that wire (``sq8_encode`` output) - float never
-    read, worker quantize skipped (dequant = one frombuffer+reshape
-    per batch), ``cents`` carries the same two columns, nothing
+    r10), the descent routes on the RAW int8 codes (r15, ``_q8_raw``:
+    scale-invariant per side, integer dots exact in float64 - the
+    oracle's ``qcodes`` routing replays it bit-for-bit and the
+    full-matrix dequant passes the 20M assign floor measured disappear),
+    and ``keep_vec`` emits ``__q8``/``__amax`` - every later leg
+    carries ~4x fewer bytes. ``codes_col`` (r11): the input ALREADY
+    carries that wire (``sq8_encode`` output) - float never read,
+    worker quantize skipped (routing = one frombuffer+reshape per
+    batch), ``cents`` carries the same two columns, nothing
     re-quantizes: bit-identical to ``transport="int8"`` (pinned).
     """
     import numpy as np
@@ -289,11 +305,11 @@ def assign_cells(
         raise ValueError("cents.cell_id must be exactly 0..num_cells-1")
     if codes_col is None:
         C = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
-        if wire:  # route against what the wire carries
-            C = _sq8_roundtrip_np(C)
-    else:  # codes dequantize straight to the wire values (left-assoc = _q8_mat)
+        if wire:  # route on the RAW codes the wire carries (r15, _q8_raw)
+            C = _sq8_quant_np(C)[0].astype(np.float64)
+    else:  # raw codes ARE the routing matrix - no dequant scaling
         C = np.stack([np.frombuffer(r[1], dtype=np.int8).astype(np.float64)
-                      * r[2] / 127.0 for r in rows])
+                      for r in rows])
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)  # zero-norm -> cos 0
     g1 = _cbrt_ceil(num_cells)
     sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
@@ -307,12 +323,12 @@ def assign_cells(
         ids_, C_, Cn_, kids_ = bv.value if bv is not None else payload
         for pdf in batches:
             if codes_col is not None:
-                V = _q8_mat(pdf)
+                V = _q8_raw(pdf)
             else:
                 V = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-                if transport == "int8":  # quantize here; route on the dequant
+                if transport == "int8":  # quantize here; route on the raw codes
                     q8, amax = _sq8_quant_np(V)
-                    V = q8.astype(np.float64) * amax[:, None] / 127.0  # op-for-op _q8_mat
+                    V = q8.astype(np.float64)
             Vn = np.maximum(np.linalg.norm(V, axis=1), 1e-12)
             cell = ids_[_route(C_, Cn_, kids_, sizes, V, Vn, depth)]
             out = pd.DataFrame({id_col: pdf[id_col], "cell_id": cell.astype("int32")})
@@ -464,9 +480,12 @@ def ivf_topk(
     (the cap bounds what a probe reads, at the usual recall trade;
     ``checkpoint_dir`` makes the split's checkpoint reliable). ``codes_col``
     (r12): the input is ``sq8_encode`` output and the probe rides the codes
-    wire end-to-end - routing AND scoring on the dequantized values (one
-    Arrow-batched matmul; the float column never exists), so a codes-resident
-    corpus (the 100 TB layout) needs no float copy.
+    wire end-to-end - routing on raw codes, scoring on the dequantized
+    values (one Arrow-batched matmul; the float column never exists), so a
+    codes-resident corpus (the 100 TB layout) needs no float copy. NOTE the
+    codes path executes EAGERLY (``_collect_release``): the k-row result
+    returns as a local frame and errors surface at call time, unlike the
+    lazy float path.
     """
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True,
                    max_cell=max_cell, checkpoint_dir=checkpoint_dir,
@@ -613,7 +632,9 @@ def ivf_kmeans_topk(
     query vector are driver-side by design - kilobytes; zero norms
     guarded on every normalization (cosine 0, not NaN). ``codes_col``
     (r13): the trained-index probe rides the codes wire end-to-end
-    (see ``ivf_kmeans_index``); scoring dequantizes per Arrow batch.
+    (see ``ivf_kmeans_index``); scoring dequantizes per Arrow batch,
+    and the path executes EAGERLY (``_collect_release``) - a local
+    k-row frame, errors at call time, unlike the lazy float path.
     """
     model, assigned = ivf_kmeans_index(
         embeddings, num_cells, seed, id_col, vec_col, training_cap,

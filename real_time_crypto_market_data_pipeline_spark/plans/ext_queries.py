@@ -473,14 +473,18 @@ def q_cosine_topk_arrow_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- X3 (IVF scale path)
-def _ivf_best(prm: str, src: str = "embeddings", pre: str = "") -> str:
+def _ivf_best(prm: str, src: str = "embeddings", pre: str = "",
+              route: str = "embedding") -> str:
     """Three-level IVF assignment as DuckDB CTEs, mirroring
     operators/similarity.assign_cells: ``prm`` yields one row with
     c = num_cells, g1 = exact ceil(cbrt(c)) (float pow corrected +-1),
     g2 = least(c, g1^2); ``best`` descends top -> winner's mids ->
     winner's cells, ties -> lowest id at every hop, centroids routed
     down the same hops when parent maps build. ``src``/``pre`` swap the
-    vector relation (e.g. ``_EQ_PRE``'s SQ8-dequantized ``eq``)."""
+    vector relation (e.g. ``_EQ_PRE``'s SQ8 ``eq``); ``route`` swaps
+    the ROUTING column (``eq.qcodes`` = raw int8 codes, r15 - both hop
+    sides raw, matching ``_q8_raw``), with ``best`` joining the
+    dequantized embedding back for the downstream pairwise/ring legs."""
     rn = "row_number() OVER (PARTITION BY {p} ORDER BY {s} DESC, {t}) AS rn"
 
     def hop(name: str, aid: str, avec: str, bid: str, bvec: str, frm: str) -> str:
@@ -491,28 +495,32 @@ def _ivf_best(prm: str, src: str = "embeddings", pre: str = "") -> str:
                {rn.format(p=aid, s=_COSG.format(a=avec, b=bvec), t=bid)}
         FROM {frm}) t WHERE rn = 1)"""
 
+    bestn = "best" if route == "embedding" else "best0"
+    tail = "" if route == "embedding" else f""",
+    best AS (SELECT b.vec_id, e.embedding, b.cell_id
+             FROM {bestn} b JOIN {src} e USING (vec_id))"""
     return f"""
     WITH {pre}prm AS (SELECT c, g1, LEAST(c, g1 * g1) AS g2 FROM (
         SELECT c, CASE WHEN r > 1 AND (r-1)*(r-1)*(r-1) >= c THEN r-1
                        WHEN r*r*r >= c THEN r ELSE r+1 END AS g1
         FROM (SELECT c, GREATEST(1, CAST(ROUND(POW(c, 1.0/3.0)) AS BIGINT)) AS r
               FROM ({prm}) prm0) t) t),
-    top AS (SELECT vec_id AS top_id, embedding AS tvec
+    top AS (SELECT vec_id AS top_id, {route} AS tvec
             FROM {src}, prm WHERE vec_id < prm.g1),
-    mid AS (SELECT vec_id AS mid_id, embedding AS mvec
+    mid AS (SELECT vec_id AS mid_id, {route} AS mvec
             FROM {src}, prm WHERE vec_id < prm.g2),
-    cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+    cents AS (SELECT vec_id AS cell_id, {route} AS cvec
               FROM {src}, prm WHERE vec_id < prm.c),
     {hop("mmap", "m.mid_id", "m.mvec", "t.top_id", "t.tvec", "mid m CROSS JOIN top t")},
     {hop("ctop", "c.cell_id", "c.cvec", "t.top_id", "t.tvec", "cents c CROSS JOIN top t")},
     {hop("cmap", "ct.cell_id", "ct.cvec", "m.mid_id", "m.mvec",
          "ctop ct JOIN mmap m ON ct.top_id = m.top_id")},
-    {hop("vtop", "e.vec_id", "e.embedding", "t.top_id", "t.tvec",
+    {hop("vtop", "e.vec_id", f"e.{route}", "t.top_id", "t.tvec",
          f"{src} e CROSS JOIN top t")},
-    {hop("vmid", "v.vec_id", "v.embedding", "m.mid_id", "m.mvec",
+    {hop("vmid", "v.vec_id", f"v.{route}", "m.mid_id", "m.mvec",
          "vtop v JOIN mmap m ON v.top_id = m.top_id")},
-    {hop("best", "v.vec_id", "v.embedding", "c.cell_id", "c.cvec",
-         "vmid v JOIN cmap c ON v.mid_id = c.mid_id")}"""
+    {hop(bestn, "v.vec_id", f"v.{route}", "c.cell_id", "c.cvec",
+         "vmid v JOIN cmap c ON v.mid_id = c.mid_id")}{tail}"""
 
 
 # Spark twin: ivf_assign(num_cells=None) - C = max(1, min(max(8, n//250), n)),
@@ -522,11 +530,16 @@ _DERIVED_CELLS = ("SELECT GREATEST(1, LEAST(GREATEST(8, COUNT(*) // 250),"
 
 # transport="int8" wire view: SQ8 quantize -> dequantize, every op in
 # the exact order of similarity.sq8_wire + _q8_mat (left-assoc
-# c*amax/127.0), so routing/rings/pairwise on ``eq`` replay Spark exactly.
+# c*amax/127.0), so rings/pairwise on ``eq.embedding`` replay Spark
+# exactly; ``qcodes`` is the RAW codes matrix the descent routes on
+# (r15, similarity._q8_raw - integer dots are exact in float64).
 _EQ_PRE = """eq AS (
       SELECT vec_id, CASE WHEN amax > 0
         THEN list_transform(v, x -> floor(x * 127.0 / amax + 0.5) * amax / 127.0)
-        ELSE list_transform(v, x -> 0.0) END AS embedding
+        ELSE list_transform(v, x -> 0.0) END AS embedding,
+      CASE WHEN amax > 0
+        THEN list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
+        ELSE list_transform(v, x -> 0.0) END AS qcodes
       FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
             FROM embeddings) t),
@@ -1384,7 +1397,7 @@ _SD_SPLIT, _SD_FINAL = _split_cte(cap=64)
 
 @query(
     "q_semdedup",
-    oracle=_ivf_best(_DERIVED_CELLS, src="eq", pre=_EQ_PRE)
+    oracle=_ivf_best(_DERIVED_CELLS, src="eq", pre=_EQ_PRE, route="qcodes")
     + _SD_SPLIT
     + f""",
     dropped AS (
@@ -1517,6 +1530,7 @@ def q_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM eq WHERE vec_id < (SELECT h FROM half)",
         src="eq",
         pre=_EQ_PRE + "half AS (SELECT COUNT(*) // 2 AS h FROM embeddings),\n    ",
+        route="qcodes",
     )
     + f""",
     sdrop AS (SELECT DISTINCT b.vec_id FROM best a JOIN best b

@@ -390,9 +390,9 @@ def test_assign_cells_broadcast_path_matches_closure(emb):
 
 
 def test_int8_transport_matches_numpy_replay_on_testdata(spark):
-    """transport='int8' routes on the DEQUANTIZED wire: replay quantize
-    -> dequantize -> three-hop descent in pure numpy over the real
-    sf0.001 corpus and demand bit-identical assignments."""
+    """transport='int8' routes on the RAW int8 codes (r15): replay
+    quantize -> three-hop descent in pure numpy over the real sf0.001
+    corpus and demand bit-identical assignments."""
     import numpy as np
 
     from real_time_crypto_market_data_pipeline_spark.tables import load
@@ -400,8 +400,9 @@ def test_int8_transport_matches_numpy_replay_on_testdata(spark):
     e = load(spark, "/root/testdata/sf0.001", "embeddings")
     rows = sorted(e.collect(), key=lambda r: r.vec_id)
     assert [r.vec_id for r in rows] == list(range(len(rows)))
-    Q = S._sq8_roundtrip_np(
-        np.stack([np.asarray(r.embedding, np.float64) for r in rows]))
+    Q = S._sq8_quant_np(
+        np.stack([np.asarray(r.embedding, np.float64) for r in rows])
+    )[0].astype(np.float64)
     num_cells = max(8, len(rows) // 250)
     C = Q[:num_cells]
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)
@@ -656,17 +657,26 @@ def test_codes_col_broadcast_path_matches_closure(spark):
     bdf.assign_broadcast.unpersist()
 
 
-def test_ivf_topk_codes_wire_matches_float_probe(spark, tmp_path):
+def test_ivf_topk_codes_wire_matches_float_probe(spark, tmp_path, monkeypatch):
     """r12: ivf_topk(codes_col=) rides the sq8_encode wire end-to-end
     over a codes-on-disk corpus (parquet roundtrip - the actual use).
     At FULL probe (num_cells=1, every row in the probed cell) the
     top-k ids match the float probe's on testdata (SQ8 perturbs
     cosines ~1e-3, far under the ranking gaps here) and the cosines
-    agree to quantization tolerance; the plan never touches a float
-    vector column (the input literally has none). At partial probe
-    the scanned cell is the query's int8-routed cell."""
+    agree to quantization tolerance; the COMPUTE plan (captured at the
+    pre-collect intermediate, r15 ADVICE - results collect locally, so
+    the returned frame's plan is vacuous) never touches a float vector
+    column. At partial probe the scanned cell is the query's
+    int8-routed cell."""
     from real_time_crypto_market_data_pipeline_spark.tables import load
 
+    plans, real = [], S._collect_release
+
+    def spy(out, handle):
+        plans.append(out._jdf.queryExecution().executedPlan().toString())
+        return real(out, handle)
+
+    monkeypatch.setattr(S, "_collect_release", spy)
     e = load(spark, "/root/testdata/sf0.001", "embeddings")
     S.sq8_encode(e).write.parquet(str(tmp_path / "codes"))
     codes = spark.read.parquet(str(tmp_path / "codes"))
@@ -675,7 +685,8 @@ def test_ivf_topk_codes_wire_matches_float_probe(spark, tmp_path):
     cod = cdf.collect()
     assert [r.vec_id for r in cod] == [r.vec_id for r in flt]
     assert all(abs(a.cosine - b.cosine) < 5e-2 for a, b in zip(cod, flt))
-    assert "embedding" not in codes.columns  # float never exists on the wire
+    # float never exists anywhere in the executed compute plan
+    assert len(plans) == 1 and "embedding" not in plans[0]
     # r14: the probe collects its k-row result and releases the persisted
     # corpus - the returned frame is a bounded local scan
     assert "Scan ExistingRDD" in cdf._jdf.queryExecution().executedPlan().toString()
