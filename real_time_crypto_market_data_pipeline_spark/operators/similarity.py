@@ -470,6 +470,7 @@ def ivf_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_cell: int | None = None, checkpoint_dir: str | None = None,
     codes_col: str | None = None, amax_col: str = "__amax",
+    n_probe: int | None = None,
 ) -> DataFrame:
     """X3 scale path: IVF search - probe only the query's cell.
 
@@ -485,8 +486,15 @@ def ivf_topk(
     codes-resident corpus (the 100 TB layout) needs no float copy. NOTE the
     codes path executes EAGERLY (``_collect_release``): the k-row result
     returns as a local frame and errors surface at call time, unlike the
-    lazy float path.
+    lazy float path. ``n_probe`` (r15) widens the float-path probe to the
+    n cells whose CENTROIDS are most cosine-similar to the query (ties ->
+    lowest cell_id; the flat FAISS probe rule, same as
+    ``ivf_kmeans_probe_cells``) instead of the query's own assigned cell
+    - the knob ``ann_recall`` measures; the n_probe-row ranking collect
+    is bounded by num_cells.
     """
+    if n_probe is not None and (codes_col is not None or max_cell is not None):
+        raise ValueError("n_probe probes quantizer CELLS: float path, no ring split")
     e = ivf_assign(embeddings, num_cells, id_col, vec_col, keep_vec=True,
                    max_cell=max_cell, checkpoint_dir=checkpoint_dir,
                    codes_col=codes_col, amax_col=amax_col)
@@ -508,11 +516,42 @@ def ivf_topk(
         F.col(vec_col).alias("_qvec"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
+    pred = F.col("cell_id") == F.col("_qcell")
+    if n_probe is not None:
+        # rank centroids by the SAME JVM cosine fold the oracle replays
+        # (sequential list_sum - numpy's pairwise dot is not bit-stable
+        # against it); num_cells rows, bounded driver collect
+        q = _query_row(embeddings, query_vec_id, id_col, vec_col)
+        ranked = (
+            embeddings.where(F.col(id_col) < num_cells).crossJoin(F.broadcast(q))
+            .select(F.col(id_col).alias("cell_id"),
+                    (dot(F.col(vec_col), F.col("_qvec"))
+                     / (l2_norm(F.col(vec_col)) * F.col("_qn"))).alias("_s"))
+            .orderBy(F.col("_s").desc(), "cell_id").limit(n_probe).collect())
+        pred = F.col("cell_id").isin([int(r["cell_id"]) for r in ranked])
     return _broadcast_query_topk(
         e, qrow, k, id_col, vec_col,
         extra=(F.col("cell_id").cast("int").alias("cell_id"),),
-        pred=F.col("cell_id") == F.col("_qcell"),
+        pred=pred,
     )
+
+
+def ann_recall(exact_topk: DataFrame, approx_topk: DataFrame, k: int,
+               id_col: str = "vec_id") -> DataFrame:
+    """X3 (measurement): recall@k of an ANN result against exact ground
+    truth - |approx ids intersect exact ids| / k, as a one-row frame.
+
+    Both inputs are k-row top-k frames (``cosine_topk`` /
+    ``ivf_topk`` / ``ivf_kmeans_topk`` output), so the semi-join is a
+    broadcast of k rows; at 100 TB the recall sweep runs over a SHARED
+    persisted ``ivf_assign`` table, n_probe varying only the probe
+    predicate. Recall is provably nondecreasing in the probed-cell set
+    (every exact-top-k member in the candidate set outranks every
+    non-member under the shared cosine+id order) - the pytest pin."""
+    hits = exact_topk.select(id_col).join(
+        F.broadcast(approx_topk.select(id_col)), id_col, "left_semi")
+    return hits.agg((F.count(F.lit(1)).cast("double")
+                     / F.lit(float(k))).alias("recall"))
 
 
 def _deq_row(r):

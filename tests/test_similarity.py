@@ -867,3 +867,48 @@ def test_ivf_codes_probe_releases_assign_broadcast(spark, monkeypatch):
     assert S.ivf_topk(codes, query_vec_id=7, k=3, num_cells=4,
                       codes_col="__q8").count() == 3
     assert released == [True]
+
+
+def test_ann_recall_kmeans_monotone(spark):
+    """r15 verdict item 4: the kmeans-trained probe's recall@k is
+    monotone nondecreasing in n_probe and EXACTLY 1.0 at n_probe ==
+    num_cells (full probe == brute force for any trained model). The
+    kmeans curve is pinned here because MLlib training is not
+    SQL-expressible; the registry's q_ann_recall oracle-checks the
+    deterministic-descent variant."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = S.cosine_topk(emb, query_vec_id=0, k=10)
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        approx = S.ivf_kmeans_topk(emb, query_vec_id=0, k=10,
+                                   num_cells=8, n_probe=n_probe)
+        recalls.append(S.ann_recall(exact, approx, 10).first()["recall"])
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+
+
+def test_ann_recall_ivf_nprobe_monotone_and_full(emb):
+    """Deterministic-IVF twin: n_probe widens the probed-cell set as a
+    sorted prefix, so recall is monotone; probing all cells IS brute
+    force (recall 1.0), for any quantizer."""
+    exact = S.cosine_topk(emb, query_vec_id=5, k=10)
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        approx = S.ivf_topk(emb, query_vec_id=5, k=10, num_cells=8,
+                            n_probe=n_probe)
+        recalls.append(S.ann_recall(exact, approx, 10).first()["recall"])
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+
+
+def test_ivf_topk_nprobe_rejects_rings_and_codes(emb):
+    """n_probe selects quantizer CELLS: combining it with the ring
+    split (cell ids renumbered) or the codes wire raises up front."""
+    with pytest.raises(ValueError, match="n_probe"):
+        S.ivf_topk(emb, query_vec_id=5, k=3, num_cells=8, n_probe=2,
+                   max_cell=80)
+    codes = S.sq8_encode(emb)
+    with pytest.raises(ValueError, match="n_probe"):
+        S.ivf_topk(codes, query_vec_id=5, k=3, num_cells=8, n_probe=2,
+                   codes_col="__q8")
