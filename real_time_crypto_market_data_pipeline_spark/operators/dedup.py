@@ -411,9 +411,47 @@ def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
          "bkt": (F.crc32("bucket") % num_buckets).cast("int")})
 
 
+def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> bool:
+    """Append-path auto-compaction (r15): when ``{index_dir}/kept``
+    averages more than ``max_files_per_bucket`` parquet files per
+    bucket dir (each append grows one file per touched dir - 86 -> 516
+    over five appends in SCALING.md's r14 tail), rewrite it
+    one-file-per-bucket through ``compact_partitions`` and swap the
+    result in. Parity is pinned: compaction never changes the kept set
+    or what a probe admits. Local-FS policy like the compactor itself;
+    at 100 TB this is the metastore-driven OPTIMIZE the sink docstring
+    names. Returns True iff a compaction ran."""
+    import os
+    import shutil
+
+    kept = os.path.join(index_dir, "kept")
+    if not os.path.isdir(kept):  # non-local index dir: policy no-ops
+        return False
+    nfiles = ndirs = 0
+    for root, _dirs, files in os.walk(kept):
+        pq = sum(f.endswith(".parquet") for f in files)
+        if pq:
+            ndirs += 1
+            nfiles += pq
+    if not ndirs or nfiles <= max_files_per_bucket * ndirs:
+        return False
+    from ..streaming.sinks import compact_partitions
+
+    tmp, old = kept + "__compact", kept + "__old"
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    compact_partitions(spark, kept, tmp)
+    os.rename(kept, old)  # swap; a real lakehouse swaps via metastore
+    os.rename(tmp, kept)
+    shutil.rmtree(old)
+    return True
+
+
 def lsh_dedup_incremental(
     batch: DataFrame, index_dir: str, text_col: str = "text",
     min_jaccard: float | None = None, update_index: bool = True,
+    compact_files_per_bucket: int | None = 8,
 ) -> DataFrame:
     """Batch-over-time near-dup text dedup (the r13 mirror of
     ``semantic_dedup_incremental``): admit only batch docs that verify as
@@ -427,7 +465,10 @@ def lsh_dedup_incremental(
     universe, where scan-whole beats a giant isin (probe-breadth adaptivity),
     (c) candidates = band-bucket equi-join, verified by exact Jaccard on the
     inline shingle sets (never all-pairs), (d) admitted survivors' rows
-    append. ``min_jaccard``/``shingle_n`` default from the build meta; a
+    append, and the layout self-heals: past an average of
+    ``compact_files_per_bucket`` files per bucket dir the append path
+    auto-compacts (``_maybe_compact_kept``; None disables).
+    ``min_jaccard``/``shingle_n`` default from the build meta; a
     contradiction raises."""
     spark = batch.sparkSession
     meta = _read_meta(spark, index_dir)
@@ -462,6 +503,8 @@ def lsh_dedup_incremental(
     if update_index:  # advance the seen-set: append survivors' rows
         bt.join(admitted, "doc_id", "left_semi").repartition("bkt").write.mode(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
+        if compact_files_per_bucket is not None:
+            _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
     return admitted
 
 

@@ -1339,3 +1339,50 @@ def test_semdedup_incremental_explicit_id_col_validated(spark, tmp_path):
         D.semantic_dedup_incremental(batch, idx, id_col="vec_id")
     assert {r.vkey for r in D.semantic_dedup_incremental(  # matching explicit
         batch, idx, id_col="vkey", update_index=False).collect()} == {20}
+
+
+def test_lsh_incremental_auto_compaction_policy(spark, tmp_path):
+    """r15 (verdict item 5): the append path self-heals its layout.
+    With compact_files_per_bucket=1 every fragmenting append triggers
+    _maybe_compact_kept, so the file count stays one-per-bucket across
+    >= 5 appends (86 -> 516 uncompacted in SCALING.md's r14 tail), and
+    the compacted index admits exactly what a fragmented one does
+    (composes the r13 parity pin)."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0)), (1, _ctext(1))]), idx)
+    files = lambda: glob.glob(f"{idx}/kept/bkt=*/*.parquet")  # noqa: E731
+    dirs = lambda: glob.glob(f"{idx}/kept/bkt=*")  # noqa: E731
+    fired = 0
+    for k in range(5):  # new docs only: each append advances the index
+        assert D.lsh_dedup_incremental(
+            _docs(spark, [(10 + k, _ctext(10 + k))]), idx,
+            compact_files_per_bucket=1).count() == 1
+        fired += len(files()) == len(dirs())
+        assert len(files()) <= len(dirs()), "policy left fragmentation"
+    assert fired == 5  # one-file-per-bucket restored after EVERY append
+    # parity after auto-compaction: dup of an appended survivor rejected,
+    # novel doc admitted; meta survives the swap (modulus still derived)
+    probe = _docs(spark, [(50, _ctext(13)), (51, _ctext(99))])
+    adm = {r.doc_id for r in D.lsh_dedup_incremental(
+        probe, idx, update_index=False).collect()}
+    assert adm == {51}
+
+
+def test_lsh_incremental_compaction_disabled_fragments(spark, tmp_path):
+    """compact_files_per_bucket=None keeps the r13 behavior: appends
+    fragment one file per touched dir (the policy is opt-out-able for
+    callers running their own OPTIMIZE cadence)."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0)), (1, _ctext(1))]), idx)
+    for k in range(3):
+        D.lsh_dedup_incremental(
+            _docs(spark, [(10 + k, _ctext(10 + k))]), idx,
+            compact_files_per_bucket=None).count()
+    by_dir = {}
+    for f in glob.glob(f"{idx}/kept/bkt=*/*.parquet"):
+        by_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    assert any(len(v) > 1 for v in by_dir.values())
