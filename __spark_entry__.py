@@ -24,32 +24,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-13 allocation: (1) the 26 r10-evidence queries (oldest, age 2);
-# (2) re-checks for CODE CHANGED in round 13: the NEW q_dedup_near_incremental
-# plus the semantic/IVF queries touched by the index-meta + routing-tree
-# + probe-adaptivity changes; (3) r11-evidence fill in registry order to
-# 50 - the remaining 28 r11-evidence queries lead round 14's prefix.
+# Round-15 allocation: (1) the 28 r12-evidence queries (oldest, age 2 -
+# tools/selfcheck.py --evidence-age pins the set); (2) re-checks for
+# CODE CHANGED in round 15: the NEW q_ann_recall + re-registered
+# q_dedup_jaccard_pruned, plus the semantic/IVF queries whose routing
+# moved to raw int8 codes after the r14 artifacts landed (70554fa) and
+# the LSH incremental that gained the auto-compaction policy; (3)
+# r13-evidence fill in registry order to 50 - the remaining 16
+# r13-evidence queries lead round 16's prefix.
 _PRIORITY = [
-    # --- 1: r11-evidence cohort (28; oldest driver evidence, registry order) ---
-    "q_percentiles", "q_zero_rate", "q_dedup_near", "q_dedup_jaccard",
-    "q_token_count_bpe", "q_lang_id", "q_repetition_stats", "q_fingerprint",
-    "q_media_summary", "q_media_features", "q_chunk_documents",
-    "q_pack_sequences", "q_corpus_split", "q_corpus_sample",
-    "q_mix_temperature", "q_shuffle_shard", "q_quality_topp",
-    "q_quantize_int8", "q_tpch_q13", "q_tpch_q16", "q_first_last_value",
-    "q_interval_count", "q_ohlc_bars", "q_ohlc_rollup", "q_salted_stats",
-    "q_merge_upsert", "q_scd2_history", "q_pit_read",
-    # --- 2: code changed in round 14 (ADVICE fixes: dedup meta/id_col,
-    #        similarity codes-path unpersist) ---
-    "q_semdedup_incremental", "q_dedup_near_incremental",
-    "q_ann_ivf", "q_ann_ivf_kmeans",
-    # --- 3: r12-evidence fill, registry order (18; rest lead round 15) ---
-    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
-    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
-    "q_invariant_check", "q_filter_isin", "q_channel_split", "q_element_at",
-    "q_explode", "q_array_transform", "q_best_levels", "q_latency_cols",
-    "q_count_by_key", "q_grouped_stats",
-    # --- 4: the remaining r12-evidence cohort follows in registry order
+    # --- 1: r12-evidence cohort (28; oldest driver evidence, registry order) ---
+    "q_lag_diff", "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
+    "q_dedup_embed", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
+    "q_token_stats", "q_quality_score", "q_tfidf", "q_scrub_text",
+    "q_dedup_clusters", "q_ann_lsh_buckets", "q_sketch_distinct",
+    "q_tpch_q1", "q_topk_per_group", "q_tpch_q6", "q_supplier_region",
+    "q_part_brand_stats", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q10", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q9",
+    "q_profile_columns",
+    # --- 2: code changed in round 15 (new recall query + df-capped
+    #        benched jaccard; raw-code routing; LSH auto-compaction) ---
+    "q_ann_recall", "q_dedup_jaccard_pruned", "q_ann_ivf",
+    "q_ann_ivf_kmeans", "q_semdedup", "q_semdedup_incremental",
+    "q_dedup_near_incremental",
+    # --- 3: r13-evidence fill, registry order (15; rest lead round 16) ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
+    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
+    "q_drawdown", "q_interval_join", "q_correlation", "q_null_guard",
+    "q_try_cast", "q_struct_project",
+    # --- 4: the remaining r13-evidence cohort follows in registry order
     #        via the fallback in queries(). ---
 ]
 
