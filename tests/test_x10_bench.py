@@ -25,7 +25,8 @@ import re
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PAIR_BOUND = {"q_dedup_jaccard", "q_dedup_near", "q_dedup_lsh_jaccard"}
+PAIR_BOUND = {"q_dedup_jaccard", "q_dedup_jaccard_pruned", "q_dedup_near",
+              "q_dedup_lsh_jaccard"}
 
 
 def _latest(pattern: str):
