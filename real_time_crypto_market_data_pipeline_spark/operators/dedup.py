@@ -225,7 +225,14 @@ def jaccard_pairs(
             "doc_id",
             F.explode(word_shingles(tokens_col(F.col(text_col)),
                                     shingle_n)).alias("shingle"))
-        .distinct())
+        .distinct()
+        # materialize the distinct shingle table ONCE (lazily): sizes,
+        # the df census, and both join sides read it, and exchange
+        # reuse does not cover the post-prune branches - measured 5.6
+        # -> 3.5 s at x10 (SCALING.md r15). Executor-pinned blocks,
+        # same trade as the incremental probes; ContextCleaner frees
+        # them when the query's RDD goes unreachable.
+        .localCheckpoint(eager=False))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         # df-pruning: a shingle appearing in >max_df docs contributes
