@@ -24,36 +24,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-15 allocation: (1) the 28 r12-evidence queries (oldest, age 2 -
-# tools/selfcheck.py --evidence-age pins the set); (2) re-checks for
-# CODE CHANGED in round 15: the NEW q_ann_recall + re-registered
-# q_dedup_jaccard_pruned, plus the semantic/IVF queries whose routing
-# moved to raw int8 codes after the r14 artifacts landed (70554fa) and
-# the LSH incremental that gained the auto-compaction policy; (3)
-# r13-evidence fill in registry order to 50 - the remaining 16
-# r13-evidence queries lead round 16's prefix.
+# Round-15 allocation: (1) the 28 r12-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set); (2) round-15
+# changed-code re-checks: NEW q_ann_recall + re-registered
+# q_dedup_jaccard_pruned, the raw-int8-routed semantic/IVF queries,
+# the auto-compacting LSH incremental; (3) r13-evidence fill in
+# registry order to 50 - the remaining 16 lead round 16's prefix.
 _PRIORITY = [
     # --- 1: r12-evidence cohort (28; oldest driver evidence, registry order) ---
     "q_lag_diff", "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
     "q_dedup_embed", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
     "q_token_stats", "q_quality_score", "q_tfidf", "q_scrub_text",
-    "q_dedup_clusters", "q_ann_lsh_buckets", "q_sketch_distinct",
-    "q_tpch_q1", "q_topk_per_group", "q_tpch_q6", "q_supplier_region",
-    "q_part_brand_stats", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q10", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q9",
-    "q_profile_columns",
-    # --- 2: code changed in round 15 (new recall query + df-capped
-    #        benched jaccard; raw-code routing; LSH auto-compaction) ---
-    "q_ann_recall", "q_dedup_jaccard_pruned", "q_ann_ivf",
-    "q_ann_ivf_kmeans", "q_semdedup", "q_semdedup_incremental",
-    "q_dedup_near_incremental",
+    "q_dedup_clusters", "q_ann_lsh_buckets", "q_sketch_distinct", "q_tpch_q1",
+    "q_topk_per_group", "q_tpch_q6", "q_supplier_region", "q_part_brand_stats",
+    "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q2",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q9", "q_profile_columns",
+    # --- 2: code changed in round 15 ---
+    "q_ann_recall", "q_dedup_jaccard_pruned", "q_ann_ivf", "q_ann_ivf_kmeans",
+    "q_semdedup", "q_semdedup_incremental", "q_dedup_near_incremental",
     # --- 3: r13-evidence fill, registry order (15; rest lead round 16) ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
-    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
-    "q_drawdown", "q_interval_join", "q_correlation", "q_null_guard",
-    "q_try_cast", "q_struct_project",
-    # --- 4: the remaining r13-evidence cohort follows in registry order
-    #        via the fallback in queries(). ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube", "q_semi_anti",
+    "q_above_customer_avg", "q_twap", "q_rollup_merge", "q_drawdown",
+    "q_interval_join", "q_correlation", "q_null_guard", "q_try_cast",
+    "q_struct_project",
+    # --- 4: remaining r13 cohort follows via the queries() fallback. ---
 ]
 
 

@@ -228,10 +228,8 @@ def jaccard_pairs(
         .distinct()
         # materialize the distinct shingle table ONCE (lazily): sizes,
         # the df census, and both join sides read it, and exchange
-        # reuse does not cover the post-prune branches - measured 5.6
-        # -> 3.5 s at x10 (SCALING.md r15). Executor-pinned blocks,
-        # same trade as the incremental probes; ContextCleaner frees
-        # them when the query's RDD goes unreachable.
+        # reuse does not cover the post-prune branches - 5.6 -> 3.5 s
+        # at x10 (SCALING.md r15); ContextCleaner frees the blocks.
         .localCheckpoint(eager=False))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
@@ -419,35 +417,29 @@ def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
 
 
 def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> bool:
-    """Append-path auto-compaction (r15): when ``{index_dir}/kept``
-    averages more than ``max_files_per_bucket`` parquet files per
-    bucket dir (each append grows one file per touched dir - 86 -> 516
-    over five appends in SCALING.md's r14 tail), rewrite it
-    one-file-per-bucket through ``compact_partitions`` and swap the
-    result in. Parity is pinned: compaction never changes the kept set
-    or what a probe admits. Local-FS policy like the compactor itself;
-    at 100 TB this is the metastore-driven OPTIMIZE the sink docstring
-    names. Returns True iff a compaction ran."""
+    """Append-path auto-compaction (r15): past an average of
+    ``max_files_per_bucket`` parquet files per ``kept/`` bucket dir
+    (appends grow one file per touched dir - 86 -> 516 over five in
+    SCALING.md), rewrite one-file-per-bucket via ``compact_partitions``
+    and swap it in; admit parity pytest-pinned. Local-FS policy like
+    the compactor itself (the 100 TB form is metastore OPTIMIZE).
+    Returns True iff a compaction ran."""
     import os
     import shutil
 
     kept = os.path.join(index_dir, "kept")
     if not os.path.isdir(kept):  # non-local index dir: policy no-ops
         return False
-    nfiles = ndirs = 0
-    for root, _dirs, files in os.walk(kept):
-        pq = sum(f.endswith(".parquet") for f in files)
-        if pq:
-            ndirs += 1
-            nfiles += pq
+    counts = [sum(f.endswith(".parquet") for f in fs)
+              for _, _, fs in os.walk(kept)]
+    nfiles, ndirs = sum(counts), sum(c > 0 for c in counts)
     if not ndirs or nfiles <= max_files_per_bucket * ndirs:
         return False
     from ..streaming.sinks import compact_partitions
 
     tmp, old = kept + "__compact", kept + "__old"
     for d in (tmp, old):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        shutil.rmtree(d, ignore_errors=True)
     compact_partitions(spark, kept, tmp)
     os.rename(kept, old)  # swap; a real lakehouse swaps via metastore
     os.rename(tmp, kept)

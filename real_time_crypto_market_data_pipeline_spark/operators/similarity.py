@@ -280,15 +280,14 @@ def assign_cells(
     ``transport="int8"``: vectors SQ8-quantize IN THE WORKER (numpy;
     the JVM-HOF ``sq8_wire`` form measured 17x slower at 2M, SCALING.md
     r10), the descent routes on the RAW int8 codes (r15, ``_q8_raw``:
-    scale-invariant per side, integer dots exact in float64 - the
-    oracle's ``qcodes`` routing replays it bit-for-bit and the
-    full-matrix dequant passes the 20M assign floor measured disappear),
-    and ``keep_vec`` emits ``__q8``/``__amax`` - every later leg
+    scale-invariant per side, integer dots exact in float64; the
+    oracle's ``qcodes`` routing replays it bit-for-bit - a self-
+    consistency win, perf-neutral on the gram-bound leg, SCALING.md
+    r15), and ``keep_vec`` emits ``__q8``/``__amax`` - every later leg
     carries ~4x fewer bytes. ``codes_col`` (r11): the input ALREADY
     carries that wire (``sq8_encode`` output) - float never read,
-    worker quantize skipped (routing = one frombuffer+reshape per
-    batch), ``cents`` carries the same two columns, nothing
-    re-quantizes: bit-identical to ``transport="int8"`` (pinned).
+    worker quantize skipped, ``cents`` carries the same two columns,
+    nothing re-quantizes: bit-identical to ``transport="int8"``.
     """
     import numpy as np
     import pandas as pd
@@ -486,12 +485,10 @@ def ivf_topk(
     codes-resident corpus (the 100 TB layout) needs no float copy. NOTE the
     codes path executes EAGERLY (``_collect_release``): the k-row result
     returns as a local frame and errors surface at call time, unlike the
-    lazy float path. ``n_probe`` (r15) widens the float-path probe to the
-    n cells whose CENTROIDS are most cosine-similar to the query (ties ->
-    lowest cell_id; the flat FAISS probe rule, same as
-    ``ivf_kmeans_probe_cells``) instead of the query's own assigned cell
-    - the knob ``ann_recall`` measures; the n_probe-row ranking collect
-    is bounded by num_cells.
+    lazy float path. ``n_probe`` (r15) widens the float-path probe to
+    the n most-query-similar CENTROIDS' cells (ties -> lowest cell_id,
+    the flat ``ivf_kmeans_probe_cells`` rule) instead of the query's
+    own assigned cell - the knob ``ann_recall`` measures.
     """
     if n_probe is not None and (codes_col is not None or max_cell is not None):
         raise ValueError("n_probe probes quantizer CELLS: float path, no ring split")
@@ -519,16 +516,13 @@ def ivf_topk(
     pred = F.col("cell_id") == F.col("_qcell")
     if n_probe is not None:
         # rank centroids by the SAME JVM cosine fold the oracle replays
-        # (sequential list_sum - numpy's pairwise dot is not bit-stable
-        # against it); num_cells rows, bounded driver collect
-        q = _query_row(embeddings, query_vec_id, id_col, vec_col)
-        ranked = (
-            embeddings.where(F.col(id_col) < num_cells).crossJoin(F.broadcast(q))
-            .select(F.col(id_col).alias("cell_id"),
-                    (dot(F.col(vec_col), F.col("_qvec"))
-                     / (l2_norm(F.col(vec_col)) * F.col("_qn"))).alias("_s"))
-            .orderBy(F.col("_s").desc(), "cell_id").limit(n_probe).collect())
-        pred = F.col("cell_id").isin([int(r["cell_id"]) for r in ranked])
+        # (numpy's pairwise dot is not bit-stable against it); ties ->
+        # lowest id; n_probe rows, bounded driver collect
+        ranked = _broadcast_query_topk(
+            embeddings.where(F.col(id_col) < num_cells),
+            _query_row(embeddings, query_vec_id, id_col, vec_col),
+            n_probe, id_col, vec_col).collect()
+        pred = F.col("cell_id").isin([int(r[id_col]) for r in ranked])
     return _broadcast_query_topk(
         e, qrow, k, id_col, vec_col,
         extra=(F.col("cell_id").cast("int").alias("cell_id"),),
@@ -540,18 +534,13 @@ def ann_recall(exact_topk: DataFrame, approx_topk: DataFrame, k: int,
                id_col: str = "vec_id") -> DataFrame:
     """X3 (measurement): recall@k of an ANN result against exact ground
     truth - |approx ids intersect exact ids| / k, as a one-row frame.
-
-    Both inputs are k-row top-k frames (``cosine_topk`` /
-    ``ivf_topk`` / ``ivf_kmeans_topk`` output), so the semi-join is a
-    broadcast of k rows; at 100 TB the recall sweep runs over a SHARED
-    persisted ``ivf_assign`` table, n_probe varying only the probe
-    predicate. Recall is provably nondecreasing in the probed-cell set
+    Both inputs are k-row top-k frames, so the semi-join broadcasts k
+    rows. Recall is provably nondecreasing in the probed-cell set
     (every exact-top-k member in the candidate set outranks every
     non-member under the shared cosine+id order) - the pytest pin."""
-    hits = exact_topk.select(id_col).join(
-        F.broadcast(approx_topk.select(id_col)), id_col, "left_semi")
-    return hits.agg((F.count(F.lit(1)).cast("double")
-                     / F.lit(float(k))).alias("recall"))
+    return exact_topk.select(id_col).join(
+        F.broadcast(approx_topk.select(id_col)), id_col, "left_semi").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(k))).alias("recall"))
 
 
 def _deq_row(r):

@@ -175,17 +175,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- X2 (Jaccard verify)
-@query(
-    "q_dedup_jaccard",
-    oracle=f"""
+def _jaccard_oracle(prune: str = "", src: str = "dsh") -> str:
+    """Shared exact/df-capped Jaccard oracle; sizes always keep the
+    FULL sets (pruned jaccard = the documented lower bound)."""
+    return f"""
     WITH {_SHINGLES},
     dsh AS (
       SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id){prune},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -195,8 +196,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
-    """,
-)
+    """
+
+
+@query("q_dedup_jaccard", oracle=_jaccard_oracle())
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: top-20 trigram-Jaccard pairs; equi-join on shingles prunes disjoint pairs.
 
@@ -206,48 +209,25 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load(spark, sf_dir, "documents"), top_k=20)
 
 
-# r15 (re-registered, r14 verdict): the benched Jaccard runs WITH the
-# ``max_df`` skew guard the operator was built around - a shingle in
-# > max_df docs contributes df^2 join rows and ~no similarity signal.
 @query(
     "q_dedup_jaccard_pruned",
-    oracle=f"""
-    WITH {_SHINGLES},
-    dsh AS (
-      SELECT DISTINCT doc_id, shingle FROM sh, UNNEST(shingles) AS u(shingle)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+    oracle=_jaccard_oracle(prune=""",
     hot AS (SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) > 5),
     kept AS (SELECT doc_id, shingle FROM dsh
-             WHERE shingle NOT IN (SELECT shingle FROM hot)),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE)
-             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
-    """,
+             WHERE shingle NOT IN (SELECT shingle FROM hot))""", src="kept"),
     bench=True,
 )
 def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (benched form): df-capped trigram-Jaccard top-20.
+    """X2 (benched form, r15): df-capped trigram-Jaccard top-20.
 
     ``max_df=5`` excludes shingles in > 5 docs from the intersection
-    (sizes keep full sets: the LOWER-BOUND semantics documented at
-    ``jaccard_pairs``), bounding the self-join at max_df * n rows -
-    linear in corpus - where the exact form carries sum(df^2). The cap
-    sits below this synthetic corpus's common-phrase df mode (~9 per
-    sf0.1 copy) deliberately: the testdata's tiny shared vocabulary
-    makes EVERY shingle a stopword-analog, so the benched form
-    exercises the guard the way a natural 100 TB corpus would tune it
-    (a cap orders of magnitude above dup-cluster size, below
-    stopword df)."""
+    (sizes keep full sets: ``jaccard_pairs``'s documented LOWER-BOUND
+    semantics), bounding the self-join at max_df * n rows where the
+    exact form carries sum(df^2). The cap sits below this corpus's
+    common-phrase df mode (~9) deliberately: its tiny vocabulary makes
+    EVERY shingle a stopword-analog, so the benched form exercises the
+    guard as a natural 100 TB corpus tunes it (cap far above
+    dup-cluster size, below stopword df)."""
     return D.jaccard_pairs(load(spark, sf_dir, "documents"), top_k=20, max_df=5)
 
 
@@ -671,59 +651,47 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r15 (verdict item 4): recall@k vs exact ground truth, the number the
-# n_probe knob is tuned against. The oracle-checked entry measures the
-# DETERMINISTIC-descent IVF (the SQL-replayable assignment _ivf_best
-# pins); the kmeans-trained variant's recall is model-dependent (MLlib
-# training is not SQL-expressible), so ITS curve is pytest-pinned
-# instead: monotone in n_probe, exactly 1.0 at n_probe == num_cells
-# (tests/test_similarity.py::test_ann_recall_kmeans_monotone).
 @query(
     "q_ann_recall",
     oracle=_ivf_best("SELECT 8 AS c")
     + f""",
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    cr AS (SELECT cell_id,
-                  row_number() OVER (ORDER BY {_COS.format(a='cvec', b='qe')}
-                                     DESC, cell_id) AS rnk
+    cr AS (SELECT cell_id, row_number() OVER (ORDER BY
+             {_COS.format(a='cvec', b='qe')} DESC, cell_id) AS rnk
            FROM cents CROSS JOIN q),
     probes AS (SELECT n_probe FROM (VALUES (1), (2), (4)) AS p(n_probe)),
     cand AS (
-      SELECT p.n_probe, b.vec_id,
-             row_number() OVER (PARTITION BY p.n_probe
-                                ORDER BY {_COS.format(a='b.embedding', b='q.qe')}
-                                DESC, b.vec_id) AS rn
+      SELECT p.n_probe, b.vec_id, row_number() OVER (PARTITION BY p.n_probe
+               ORDER BY {_COS.format(a='b.embedding', b='q.qe')} DESC, b.vec_id) AS rn
       FROM best b JOIN cr ON b.cell_id = cr.cell_id
-      CROSS JOIN q CROSS JOIN probes p
-      WHERE cr.rnk <= p.n_probe),
-    approx AS (SELECT n_probe, vec_id FROM cand WHERE rn <= 10),
+      CROSS JOIN q CROSS JOIN probes p WHERE cr.rnk <= p.n_probe),
     exact AS (SELECT vec_id FROM (
-      SELECT e.vec_id, row_number() OVER (
-        ORDER BY {_COS.format(a='e.embedding', b='q.qe')} DESC, e.vec_id) AS rn
+      SELECT e.vec_id, row_number() OVER (ORDER BY
+        {_COS.format(a='e.embedding', b='q.qe')} DESC, e.vec_id) AS rn
       FROM embeddings e CROSS JOIN q) t WHERE rn <= 10)
     SELECT CAST(p.n_probe AS INTEGER) AS n_probe,
            CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall
     FROM probes p LEFT JOIN (
-      SELECT a.n_probe, COUNT(*) AS hits
-      FROM approx a JOIN exact e USING (vec_id) GROUP BY a.n_probe) h
+      SELECT c.n_probe, COUNT(*) AS hits FROM cand c
+      JOIN exact e USING (vec_id) WHERE c.rn <= 10 GROUP BY c.n_probe) h
       ON h.n_probe = p.n_probe
     ORDER BY n_probe
     """,
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 (measurement): recall@10 of the deterministic IVF at n_probe
-    in {1, 2, 4} against brute-force ground truth - the quantified form
-    of the docstrings' "usual recall trade". Each probe re-derives the
-    assignment here (sf-scale diagnostic); production sweeps n_probe
-    over ONE persisted ``ivf_assign`` table."""
+    """X3 (measurement, r15): recall@10 of the deterministic IVF at
+    n_probe in {1, 2, 4} vs brute-force ground truth - the quantified
+    form of the docstrings' "usual recall trade". The kmeans-trained
+    curve is model-dependent (MLlib is not SQL-expressible) and is
+    pytest-pinned instead: monotone in n_probe, 1.0 at full probe.
+    Production sweeps n_probe over ONE persisted ``ivf_assign``."""
     emb = load(spark, sf_dir, "embeddings")
     exact = S.cosine_topk(emb, query_vec_id=0, k=10)
     out = None
     for n_probe in (1, 2, 4):
-        approx = S.ivf_topk(emb, query_vec_id=0, k=10, num_cells=8,
-                            n_probe=n_probe)
-        r = S.ann_recall(exact, approx, 10).select(
-            F.lit(n_probe).cast("int").alias("n_probe"), "recall")
+        r = S.ann_recall(exact, S.ivf_topk(
+            emb, query_vec_id=0, k=10, num_cells=8, n_probe=n_probe),
+            10).select(F.lit(n_probe).cast("int").alias("n_probe"), "recall")
         out = r if out is None else out.unionByName(r)
     return out.orderBy("n_probe")
 

@@ -22,9 +22,8 @@ ORACLES: dict[str, str] = {}
 BENCH_KEYS: list[str] = []
 # Measured and reported, but outside the headline total: the headline
 # set is pinned to the round-1 baseline so totals stay comparable
-# round over round (one sanctioned swap, r15: the benched Jaccard is
-# the df-capped q_dedup_jaccard_pruned - same operator, the skew guard
-# on - replacing the unpruned form the r14 verdict graded perf-weak);
+# (one sanctioned swap, r15: the benched Jaccard is the df-capped
+# q_dedup_jaccard_pruned, replacing the r14 perf-weak unpruned form);
 # synthetic-input studies (1024-dim crossover twins) land here.
 BENCH_EXTRA_KEYS: list[str] = []
 

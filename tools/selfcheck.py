@@ -9,12 +9,11 @@ Usage:
 
 ``--evidence-age`` (no Spark needed) reads the committed CORRECTNESS_r*.json
 files; exit nonzero on evidence >2 rounds old, never-checked, or
-failing-at-latest-check - mechanizing the oldest-first prefix rotation (124
-queries / 50 slots: steady-state max age 2). Every run starts with a testdata
-schema-contract check, so driver-side parquet drift is a one-line diagnosis
-instead of a lost round (round 2 lost 14 queries to events.ts LONG-ns ->
-timestamp[us] drift). Exit code 0 iff the contract holds and every checked
-query matches.
+failing-at-latest-check - mechanizing the oldest-first prefix rotation
+(126 queries / 50 slots: steady-state max age 2). Every run starts with a
+testdata schema-contract check (round 2 lost 14 queries to events.ts
+parquet drift). Exit 0 iff the contract holds and every checked query
+matches.
 """
 
 from __future__ import annotations
