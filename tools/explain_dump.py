@@ -25,6 +25,8 @@ COMMENTARY = {
     "q_dedup_near": "MinHash: explode shingles once, 8 codegen'd md5 mins, partial-aggregated so the exchange carries one row per doc; banding is a projection.",
     "q_token_stats": "Vocabulary census: explode -> partial-aggregated groupBy(token), shuffle O(vocab) not O(corpus); the pre-explode spread is size-gated (8 MB) because for this cheap per-row fan-out the exchange's stage barrier costs more than single-stage tokenization below that (SCALING.md r6 A/B) - a compact-but-large single file still spreads.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
+    "q_dedup_jaccard_pruned": "df-capped Jaccard (the benched form): the hot-shingle census comes back as a broadcast LEFT-ANTI prune on both self-join sides, bounding the equi-join at max_df*n rows where the exact form carries sum(df^2); the distinct shingle table materializes once (lazy localCheckpoint) because the census, the sizes, and BOTH join sides consume it - without that the explode+distinct subtree executes four times (5.6 -> 3.5 s at x10, SCALING.md r15).",
+    "q_ann_recall": "Recall@10 sweep: each n_probe variant prunes the shared three-level assignment with a centroid-ranked isin (an n_probe-row driver collect, bounded by num_cells); recall itself is a k-row broadcast semi-join + count, so the whole measurement costs one assignment pass per probe width - production amortizes by sweeping over ONE persisted ivf_assign table.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
     "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
     "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
