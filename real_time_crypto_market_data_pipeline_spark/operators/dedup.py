@@ -819,6 +819,7 @@ def semantic_dedup_incremental(
     id_col: str | None = None, vec_col: str = "embedding",
     update_index: bool = True, checkpoint_dir: str | None = None,
     codes_col: str | None = None, amax_col: str = "__amax",
+    compact_files_per_bucket: int | None = 8,
 ) -> DataFrame:
     """Batch-over-time SemDeDup: admit only batch vectors NOT within
     ``threshold`` of a kept (index) vector or an earlier (lower-id) vector of
@@ -836,7 +837,9 @@ def semantic_dedup_incremental(
     ``threshold``/``id_col`` default (``None``) from the index's build meta
     ('vec_id' for a pre-r13 meta-less index); an EXPLICIT value contradicting
     the meta raises - incl. an explicit 'vec_id' vs a differently-keyed index
-    (r14: None is the from-meta sentinel, not the string default)."""
+    (r14: None is the from-meta sentinel, not the string default). The
+    append path self-heals its layout like the LSH twin (r15):
+    ``compact_files_per_bucket`` gates ``_maybe_compact_kept``."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
@@ -891,4 +894,6 @@ def semantic_dedup_incremental(
             (F.col("cell_id") % IDX_BUCKETS).alias("bkt"),
         ).repartition("bkt").write.mode(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
+        if compact_files_per_bucket is not None:
+            _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
     return admitted

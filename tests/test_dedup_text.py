@@ -1386,3 +1386,30 @@ def test_lsh_incremental_compaction_disabled_fragments(spark, tmp_path):
     for f in glob.glob(f"{idx}/kept/bkt=*/*.parquet"):
         by_dir.setdefault(f.rsplit("/", 1)[0], []).append(f)
     assert any(len(v) > 1 for v in by_dir.values())
+
+
+def test_semantic_incremental_auto_compaction_policy(spark, tmp_path):
+    """r15 symmetry: the semantic append path self-heals like the LSH
+    twin - with compact_files_per_bucket=1 every fragmenting admit
+    restores one-file-per-bucket, and a post-compaction probe still
+    rejects dups of appended survivors."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    files = lambda: glob.glob(f"{idx}/kept/bkt=*/*.parquet")  # noqa: E731
+    dirs = lambda: glob.glob(f"{idx}/kept/bkt=*")  # noqa: E731
+    for k in (1, 2, 3):  # each admits into cell 0: bkt=0 would fragment
+        b = spark.createDataFrame([(20 + k, _mix(0, k))],
+                                  "vec_id LONG, embedding ARRAY<DOUBLE>")
+        assert D.semantic_dedup_incremental(
+            b, idx, threshold=0.9, compact_files_per_bucket=1).count() == 1
+        assert len(files()) == len(dirs())  # restored after every append
+    probe = spark.createDataFrame(
+        [(50, _mix(0, 1, scale=3.0)), (51, _mix(6, 7))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vec_id for r in D.semantic_dedup_incremental(
+        probe, idx, update_index=False).collect()}
+    assert adm == {51}  # 50 dups appended survivor 21 through the compacted index
