@@ -31,23 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # the auto-compacting LSH incremental; (3) r13-evidence fill in
 # registry order to 50 - the remaining 16 lead round 16's prefix.
 _PRIORITY = [
-    # --- 1: r12-evidence cohort (28; oldest driver evidence, registry order) ---
-    "q_lag_diff", "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
-    "q_dedup_embed", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
-    "q_token_stats", "q_quality_score", "q_tfidf", "q_scrub_text",
-    "q_dedup_clusters", "q_ann_lsh_buckets", "q_sketch_distinct", "q_tpch_q1",
-    "q_topk_per_group", "q_tpch_q6", "q_supplier_region", "q_part_brand_stats",
-    "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q2",
-    "q_tpch_q3", "q_tpch_q4", "q_tpch_q9", "q_profile_columns",
-    # --- 2: code changed in round 15 ---
-    "q_ann_recall", "q_dedup_jaccard_pruned", "q_ann_ivf", "q_ann_ivf_kmeans",
-    "q_semdedup", "q_semdedup_incremental", "q_dedup_near_incremental",
-    # --- 3: r13-evidence fill, registry order (15; rest lead round 16) ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube", "q_semi_anti",
-    "q_above_customer_avg", "q_twap", "q_rollup_merge", "q_drawdown",
-    "q_interval_join", "q_correlation", "q_null_guard", "q_try_cast",
-    "q_struct_project",
-    # --- 4: remaining r13 cohort follows via the queries() fallback. ---
+    # --- 1: r13-evidence cohort (30; age-2 per the ledger, registry order) ---
+    "q_spread", "q_date_partition", "q_to_json", "q_format_string",
+    "q_having_gate", "q_csv_snapshot", "q_dedup_exact", "q_dedup_near_pairs",
+    "q_dedup_simhash_pairs", "q_corpus_prep", "q_decontaminate",
+    "q_decontaminate_bloom", "q_dedup_lsh_jaccard", "q_dedup_retention",
+    "q_boilerplate", "q_dedup_incremental", "q_filter_funnel", "q_join_enrich",
+    "q_order_revenue_topk", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22", "q_tpch_q11",
+    "q_tpch_q20", "q_tpch_q21", "q_window_variety",
+    # --- 2: code changed in round 16 (probe pruning, recall sweep, jaccard) ---
+    "q_ann_recall", "q_dedup_jaccard", "q_dedup_jaccard_pruned",
+    "q_dedup_near_incremental", "q_semdedup_incremental",
+    # --- 3: r14-evidence fill to 50, registry order ---
+    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
+    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
+    "q_invariant_check", "q_filter_isin", "q_channel_split", "q_element_at",
+    "q_explode", "q_array_transform", "q_best_levels",
 ]
 
 

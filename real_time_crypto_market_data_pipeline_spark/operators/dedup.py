@@ -260,6 +260,10 @@ def jaccard_pairs(
         jac = jac.where(F.col("jaccard") >= min_jaccard)
     if top_k is not None:
         jac = jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_k)
+    # release handle (r16 ADVICE): ContextCleaner frees the checkpoint
+    # blocks on driver GC; a long-lived session that is done with the
+    # result can drop them eagerly via jac.shingle_table.rdd.unpersist()
+    jac.shingle_table = sh
     return jac
 
 
@@ -416,6 +420,28 @@ def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
          "bkt": (F.crc32("bucket") % num_buckets).cast("int")})
 
 
+def _heal_kept_swap(index_dir: str) -> None:
+    """Crash recovery for ``_maybe_compact_kept``'s two-rename swap (r16):
+    a death between the renames left no readable ``kept/``. The compacted
+    tree is always COMPLETE before the first rename runs, so recovery
+    rolls FORWARD (finish the swap) when it exists, else rolls BACK to
+    the pre-compaction tree. Runs at probe/compact entry (two isdir
+    stats), so a torn swap self-heals on the next call. No-op off local
+    FS (the lakehouse form swaps via metastore, which is atomic)."""
+    import os
+    import shutil
+
+    kept = os.path.join(index_dir, "kept")
+    tmp, old = kept + "__compact", kept + "__old"
+    if not os.path.isdir(kept):
+        if os.path.isdir(tmp):
+            os.rename(tmp, kept)  # compacted tree complete: roll forward
+        elif os.path.isdir(old):
+            os.rename(old, kept)  # no compacted tree: roll back
+    for d in (tmp, old):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> bool:
     """Append-path auto-compaction (r15): past an average of
     ``max_files_per_bucket`` parquet files per ``kept/`` bucket dir
@@ -423,10 +449,14 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> boo
     SCALING.md), rewrite one-file-per-bucket via ``compact_partitions``
     and swap it in; admit parity pytest-pinned. Local-FS policy like
     the compactor itself (the 100 TB form is metastore OPTIMIZE).
+    A torn swap is recoverable at every point: the compacted tree is
+    complete before the first rename, and ``_heal_kept_swap`` (called
+    here and at probe entry) finishes or unwinds it.
     Returns True iff a compaction ran."""
     import os
     import shutil
 
+    _heal_kept_swap(index_dir)
     kept = os.path.join(index_dir, "kept")
     if not os.path.isdir(kept):  # non-local index dir: policy no-ops
         return False
@@ -438,8 +468,6 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> boo
     from ..streaming.sinks import compact_partitions
 
     tmp, old = kept + "__compact", kept + "__old"
-    for d in (tmp, old):
-        shutil.rmtree(d, ignore_errors=True)
     compact_partitions(spark, kept, tmp)
     os.rename(kept, old)  # swap; a real lakehouse swaps via metastore
     os.rename(tmp, kept)
@@ -460,8 +488,8 @@ def lsh_dedup_incremental(
     id-order arrival the two coincide, pytest-pinned). Per-batch cost is
     O(batch x bucket-residents), never a corpus rescan: (a) ONE materialized
     batch pass computes band buckets + shingle sets, (b) the probe dir-prunes
-    to the batch's bkt values - UNLESS they cover over half the bucket
-    universe, where scan-whole beats a giant isin (probe-breadth adaptivity),
+    to the batch's bkt values at ANY breadth (partition-column isin: resolved
+    at file listing, so dense batches pay touched dirs, never a whole scan),
     (c) candidates = band-bucket equi-join, verified by exact Jaccard on the
     inline shingle sets (never all-pairs), (d) admitted survivors' rows
     append, and the layout self-heals: past an average of
@@ -478,14 +506,18 @@ def lsh_dedup_incremental(
     min_jaccard = _resolve_meta(meta, {"min_jaccard": min_jaccard},
                                 {"min_jaccard": 0.5})["min_jaccard"]
     shingle_n, nb = int(meta["shingle_n"]), int(meta["num_buckets"])
+    _heal_kept_swap(index_dir)  # a torn compaction swap repairs before the read
     bt = _lsh_rows(batch, text_col, shingle_n, nb).localCheckpoint()
     # probed dirs: bounded by min(num_buckets, |batch| x bands)
     bkts = sorted(r[0] for r in bt.select("bkt").distinct().collect())
     seen = spark.read.schema(  # fixed layout: no footer read at planning
         "doc_id long, band int, bucket string, sh array<string>, bkt int"
-    ).parquet(f"{index_dir}/kept")
-    if len(bkts) * 2 <= nb:  # sparse batch: dir-pruned probe
-        seen = seen.where(F.col("bkt").isin(bkts))
+    ).parquet(f"{index_dir}/kept").where(F.col("bkt").isin(bkts))
+    # ^ ALWAYS dir-prune (r16): bkt is the partition column, so the isin
+    # (<= num_buckets <= 1024 literals) resolves per-DIRECTORY at file
+    # listing, never per row - the r15 ">half the universe -> scan whole"
+    # fallback priced it as a row filter and read the entire index for
+    # dense batches. Lossless: an equal (band, bucket) implies equal bkt.
     hit_seen = (  # seen survivors drop batch docs regardless of id order
         seen.select("band", "bucket", F.col("sh").alias("sh_s"))
         .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])
@@ -505,6 +537,35 @@ def lsh_dedup_incremental(
         if compact_files_per_bucket is not None:
             _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
     return admitted
+
+
+def lsh_index_member(batch: DataFrame, index_dir: str,
+                     text_col: str = "text") -> DataFrame:
+    """Replay-deterministic admitted set for a batch ALREADY applied to the
+    index: batch ids RESIDENT in ``kept/`` plus band-less docs (too short to
+    shingle - they always admit but never enter the index). Equals
+    ``lsh_dedup_incremental``'s return once the batch's append landed, at ANY
+    crash/replay point - the streaming sink derives its per-epoch output from
+    this, never from the probe's return value, which collapses to
+    band-less-only when a replayed batch re-probes the index it has already
+    advanced (every survivor then self-matches at Jaccard 1.0). Cost: one
+    batch LSH pass + a dir-pruned id scan; ids globally unique across
+    batches (the incremental contract)."""
+    spark = batch.sparkSession
+    meta = _read_meta(spark, index_dir)
+    if meta is None:
+        raise ValueError(f"{index_dir}/meta is missing: not a built index")
+    ids = _lsh_rows(batch, text_col, int(meta["shingle_n"]),
+                    int(meta["num_buckets"])).select(
+        "doc_id", "bkt").localCheckpoint()
+    bkts = sorted(r[0] for r in ids.select("bkt").distinct().collect())
+    kept_ids = spark.read.schema(
+        "doc_id long, band int, bucket string, sh array<string>, bkt int"
+    ).parquet(f"{index_dir}/kept").where(
+        F.col("bkt").isin(bkts)).select("doc_id")
+    return batch.select("doc_id").join(
+        kept_ids, "doc_id", "left_semi").unionByName(
+        batch.select("doc_id").join(ids, "doc_id", "left_anti"))
 
 
 def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
@@ -830,7 +891,9 @@ def semantic_dedup_incremental(
     layout, float never read), (b) assign via the saved centroid codes (one
     narrow mapInPandas), (c) probe ONLY the cells the batch routed to -
     ``kept/`` is partitioned by bkt = cell_id % 1024, so the bucket isin
-    dir-prunes and the cell isin rides row-group stats (test-pinned), (d) the
+    dir-prunes at ANY breadth; cell row-pruning is a literal isin when
+    sparse (rides row-group stats, test-pinned) and a broadcast semi-join
+    when the batch routes to most of C (r16: never a whole scan), (d) the
     kernel sorts seen rows first and reuses the lower-triangle gram; admitted
     survivors' codes append to the index. Ids globally unique across batches
     (monotone ingest = the one-shot min-id rule, equality pinned).
@@ -845,6 +908,7 @@ def semantic_dedup_incremental(
     from .similarity import _q8_mat, assign_cells, sq8_encode
 
     spark = batch.sparkSession
+    _heal_kept_swap(index_dir)  # a torn compaction swap repairs before the read
     cents = spark.read.parquet(f"{index_dir}/centroids")
     meta = _read_meta(spark, index_dir)  # defaults below; contradiction raises
     p = _resolve_meta(meta, {"threshold": threshold, "id_col": id_col},
@@ -866,10 +930,17 @@ def semantic_dedup_incremental(
     kept = spark.read.schema(  # fixed layout: no footer read at planning
         f"{id_col} long, cell_id int, __q8 binary, __amax double, bkt int"
     ).parquet(f"{index_dir}/kept")
-    if len(cells) * 2 <= num_cells:  # sparse batch: dir- + row-pruned probe
-        kept = kept.where(F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells}))
-                          & F.col("cell_id").isin(cells))
-    # else adaptivity (r13): batch routed to most of C - scan whole
+    kept = kept.where(  # dir-prune at ANY breadth (partition-column isin)
+        F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells})))
+    if len(cells) * 2 <= num_cells:  # sparse batch: literal isin also rides
+        kept = kept.where(F.col("cell_id").isin(cells))  # row-group stats
+    else:  # dense batch (r16, replacing the r13 whole-scan fallback): a
+        # broadcast-hash semi-join row-prunes untouched cells at the scan
+        # for any |cells| - before this, every resident of every cell
+        # shuffled into the kernel groupBy only to be dropped by its
+        # untouched-cell guard (the r15 65.2 s outlier's O(index) batch)
+        kept = kept.join(F.broadcast(spark.createDataFrame(
+            [(int(c),) for c in cells], "cell_id int")), "cell_id", "left_semi")
     both = kept.select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
                        "__q8", "__amax", F.lit(1).alias("__seen")).unionByName(
         assigned.select(id_col, "cell_id", "__q8", "__amax",

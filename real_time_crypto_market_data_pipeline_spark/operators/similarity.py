@@ -256,6 +256,7 @@ def assign_cells(
     keep_vec: bool = False, transport: str = "float",
     broadcast_threshold_bytes: int = 128 << 20,
     codes_col: str | None = None, amax_col: str = "__amax",
+    routing_sizes=None,
 ) -> DataFrame:
     """Three-level coarse-quantized nearest-centroid assignment,
     scored by Arrow-batched BLAS.
@@ -311,7 +312,11 @@ def assign_cells(
                       for r in rows])
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)  # zero-norm -> cos 0
     g1 = _cbrt_ceil(num_cells)
-    sizes = sorted({g1, min(num_cells, g1 * g1), num_cells})
+    # routing_sizes (r16, A/B knob): override the level-size ladder (always
+    # topped by C; levels are id prefixes, so any ascending sizes work).
+    # Default ladder = the cbrt 3-level descent the oracle replays.
+    sizes = (sorted({*routing_sizes, num_cells}) if routing_sizes is not None
+             else sorted({g1, min(num_cells, g1 * g1), num_cells}))
     depth = len(sizes)
     payload, bv = (ids, C, Cn, _routing_tree(C, Cn, sizes)), None
     if C.nbytes > broadcast_threshold_bytes:
@@ -541,6 +546,38 @@ def ann_recall(exact_topk: DataFrame, approx_topk: DataFrame, k: int,
     return exact_topk.select(id_col).join(
         F.broadcast(approx_topk.select(id_col)), id_col, "left_semi").agg(
         (F.count(F.lit(1)).cast("double") / F.lit(float(k))).alias("recall"))
+
+
+def ivf_recall_sweep(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10, num_cells: int = 8,
+    n_probes=(1, 2, 4), id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 (measurement, r16): recall@k at each probe width over ONE
+    persisted assignment - the production sweep shape ``ivf_topk``'s
+    docstring prescribes. Three per-width ``ivf_topk`` calls would each
+    re-run the full three-level assign pass (the r15 EXPLAIN finding);
+    here ``ivf_assign`` runs once, the exact ground truth scans the SAME
+    persisted table, the centroid ranking collects once at the widest
+    width (ties -> lowest id, the flat probe rule), and each width only
+    varies the probe filter over its ranking prefix. The result is
+    len(n_probes) rows; collecting it releases the persisted corpus
+    blocks (``_collect_release``, the codes-probe discipline)."""
+    e = ivf_assign(embeddings, num_cells, id_col, vec_col,
+                   keep_vec=True).persist()
+    q = _query_row(embeddings, query_vec_id, id_col, vec_col)
+    exact = _broadcast_query_topk(e, q, k, id_col, vec_col)
+    ranked = _broadcast_query_topk(
+        embeddings.where(F.col(id_col) < num_cells), q, max(n_probes),
+        id_col, vec_col).collect()
+    cells = [int(r[id_col]) for r in ranked]
+    out = None
+    for n_probe in n_probes:
+        leg = ann_recall(exact, _broadcast_query_topk(
+            e, q, k, id_col, vec_col,
+            pred=F.col("cell_id").isin(cells[:n_probe])), k, id_col).select(
+            F.lit(int(n_probe)).cast("int").alias("n_probe"), "recall")
+        out = leg if out is None else out.unionByName(leg)
+    return _collect_release(out.orderBy("n_probe"), e)
 
 
 def _deq_row(r):

@@ -684,16 +684,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the docstrings' "usual recall trade". The kmeans-trained
     curve is model-dependent (MLlib is not SQL-expressible) and is
     pytest-pinned instead: monotone in n_probe, 1.0 at full probe.
-    Production sweeps n_probe over ONE persisted ``ivf_assign``."""
-    emb = load(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, query_vec_id=0, k=10)
-    out = None
-    for n_probe in (1, 2, 4):
-        r = S.ann_recall(exact, S.ivf_topk(
-            emb, query_vec_id=0, k=10, num_cells=8, n_probe=n_probe),
-            10).select(F.lit(n_probe).cast("int").alias("n_probe"), "recall")
-        out = r if out is None else out.unionByName(r)
-    return out.orderBy("n_probe")
+    r16: the sweep rides ONE persisted ``ivf_assign`` (ground truth,
+    centroid ranking, and every width share it - ``ivf_recall_sweep``),
+    not one full assign pass per width as in r15."""
+    return S.ivf_recall_sweep(
+        load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
+        num_cells=8, n_probes=(1, 2, 4))
 
 
 # ---------------------------------------------------------------- X4 (token stats)

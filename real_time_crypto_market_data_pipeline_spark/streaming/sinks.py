@@ -665,3 +665,64 @@ def read_ohlc_rollup(
         "bucket", F.col("bucket").cast("long")
     )
     return merge_ohlc(partials, keys, coarse_factor)
+
+
+def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
+                           text_col: str = "text"):
+    """The foreachBatch body of :func:`start_lsh_dedup_sink`, exposed for
+    direct testing of its crash/replay discipline (the exact-layout JSONL
+    sink precedent).
+
+    Replay contract (X2 streaming twin, r16): the INDEX is the state a
+    replayed microbatch would corrupt, so the checkpoint-bound
+    ``_last_epoch`` marker lives beside it and an epoch at or below the
+    marker skips the probe - no double-advance (the rollup-sink
+    discipline). The per-epoch admitted output is then derived from
+    ``lsh_index_member`` - batch ids resident in the advanced index - NOT
+    from the probe's return value: a crash between index append and
+    marker write makes the replayed probe re-see its own survivors (each
+    self-matches at Jaccard 1.0), which a naive write would persist as a
+    silently EMPTY epoch. Membership is identical before and after the
+    marker lands, so the ``epoch=N`` overwrite is deterministic at any
+    crash point."""
+    import os
+
+    from ..operators.dedup import lsh_dedup_incremental, lsh_index_member
+
+    marker = os.path.join(index_dir, "_last_epoch")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied = False
+        try:
+            with open(marker, encoding="utf-8") as f:
+                stored_ckpt, stored_epoch = f.read().split("\n", 1)
+            applied = stored_ckpt == checkpoint and epoch_id <= int(stored_epoch)
+        except (FileNotFoundError, ValueError):
+            pass
+        if not applied:  # advance the seen-set exactly once per epoch
+            lsh_dedup_incremental(batch_df, index_dir, text_col=text_col)
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(f"{checkpoint}\n{epoch_id}")
+            os.replace(tmp, marker)
+        lsh_index_member(batch_df, index_dir, text_col).write.mode(
+            "overwrite").parquet(os.path.join(admitted_dir, f"epoch={epoch_id}"))
+
+    return write_batch
+
+
+def start_lsh_dedup_sink(
+    docs: DataFrame, index_dir: str, admitted_dir: str, checkpoint: str,
+    text_col: str = "text", trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """X2 (streaming twin of ``lsh_dedup_incremental``, r16): near-dup
+    text dedup as a microbatch sink over a persisted ``lsh_index_build``
+    index. Each microbatch probes + advances the index; admitted ids land
+    under ``{admitted_dir}/epoch=N/``. Streaming==batch admit parity and
+    replay idempotence are pytest-pinned."""
+    return (docs.writeStream.outputMode("append")
+            .foreachBatch(lsh_dedup_batch_writer(
+                index_dir, admitted_dir, checkpoint, text_col))
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())

@@ -1124,12 +1124,12 @@ def test_lsh_dedup_incremental_random_cluster_corpora(spark, tmp_path, seed):
     assert incr == oneshot and 6 <= len(incr) <= 30
 
 
-def test_semantic_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_path):
-    """Pin (r13 adaptivity): a batch routing to MORE than half of C
-    drops the cells/bkt isin filters and scans the index whole -
-    behaviorally: with ANY bucket poisoned, the dense-batch run fails
-    on the poison (a pruned probe would have skipped it; the sparse
-    case is pinned by test_semantic_dedup_incremental_probes_only_batch_cells)."""
+def test_semantic_dedup_incremental_dense_batch_still_prunes(spark, tmp_path):
+    """r16 (verdict item 2), INVERTING the r13 adaptivity pin: a batch
+    routing to MORE than half of C used to scan the index whole; now the
+    bkt dir-prune holds at any breadth (with the cell row-prune becoming
+    a broadcast semi-join) - behaviorally: poison in an UNTOUCHED bucket
+    is never read, and the dense-path admits stay exact."""
     import glob
 
     idx = str(tmp_path / "idx")
@@ -1139,17 +1139,23 @@ def test_semantic_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_pat
     for f in glob.glob(f"{idx}/kept/bkt=7/*.parquet"):
         with open(f, "wb") as fh:
             fh.write(b"not parquet at all")
-    dense = spark.createDataFrame(  # routes to cells 0..5: 6 of 8 > half
-        [(20 + i, _unit(i, scale=2.0)) for i in range(6)],
+    dense = spark.createDataFrame(  # routes to cells 0..5: 6 of 8 > half,
+        [(20 + i, _unit(i, scale=2.0)) for i in range(6)]  # bkt=7 untouched
+        + [(30, _mix(0, 1))],  # genuinely new direction: must admit
         "vec_id LONG, embedding ARRAY<DOUBLE>")
-    with pytest.raises(Exception):
-        D.semantic_dedup_incremental(dense, idx, update_index=False).count()
+    adm = {r.vec_id for r in D.semantic_dedup_incremental(
+        dense, idx, threshold=0.9, update_index=False).collect()}
+    assert adm == {30}  # 20-25 dup the seen axes through the pruned probe
 
 
-def test_lsh_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_path):
-    """Pin (r13 adaptivity, LSH side): a batch whose bands cover more
-    than half the bkt universe scans the index whole - poison of a dir
-    OUTSIDE the batch's own bkt set still kills the run."""
+def test_lsh_dedup_incremental_dense_batch_still_prunes(spark, tmp_path):
+    """r16 (verdict item 2), INVERTING the r13 adaptivity pin (LSH side):
+    a batch whose bands cover more than half the bkt universe used to
+    scan the index whole; the bkt isin is a PARTITION filter (resolved
+    per-dir at listing, never per row), so it now applies at any breadth
+    - poison of a dir OUTSIDE the batch's bkt set is never read, and the
+    dense probe admits exactly the novel docs (dense-path dup rejection
+    is pinned by the random-cluster stress + compaction parity tests)."""
     import glob
 
     idx = str(tmp_path / "idx")
@@ -1167,8 +1173,9 @@ def test_lsh_dedup_incremental_dense_batch_scans_whole_index(spark, tmp_path):
                     fh.write(b"not parquet at all")
                 poisoned += 1
     assert poisoned  # an un-probed dir exists and is poisoned
-    with pytest.raises(Exception):
-        D.lsh_dedup_incremental(dense, idx, update_index=False).count()
+    adm = {r.doc_id for r in D.lsh_dedup_incremental(
+        dense, idx, update_index=False).collect()}
+    assert adm == {100 + i for i in range(300)}
 
 
 def test_index_compaction_composes_with_incremental_appends(spark, tmp_path):
@@ -1269,9 +1276,10 @@ def test_lsh_incremental_empty_index_and_meta_bucket_modulus(spark, tmp_path):
 
 def test_semantic_dedup_incremental_dense_batch_correct_results(spark, tmp_path):
     """Functional twin of the dense-path poison pin: a batch routing to
-    6 of 8 cells takes the whole-scan path and must admit exactly the
-    genuinely-new vectors (dups of seen rows rejected), with untouched
-    cells skipped by the kernel guard rather than re-grammed."""
+    6 of 8 cells takes the dense branch (r16: broadcast semi-join row
+    prune, formerly whole-scan) and must admit exactly the genuinely-new
+    vectors (dups of seen rows rejected), with untouched cells pruned at
+    the scan rather than shuffled into the kernel guard."""
     idx = str(tmp_path / "idx")
     seed = spark.createDataFrame(
         [(i, _unit(i)) for i in range(8)] + [(8, _mix(6, 7))],
@@ -1413,3 +1421,172 @@ def test_semantic_incremental_auto_compaction_policy(spark, tmp_path):
     adm = {r.vec_id for r in D.semantic_dedup_incremental(
         probe, idx, update_index=False).collect()}
     assert adm == {51}  # 50 dups appended survivor 21 through the compacted index
+
+
+# ---------------------------------------------------------------- r16:
+# crash-safe compaction swap (verdict item 4 / ADVICE self-heal)
+
+
+def _die_on_kept_old_rename(monkeypatch):
+    """os.rename that performs the kept -> kept__old rename, then raises -
+    simulating death BETWEEN the compaction swap's two renames (the
+    window with no readable kept/)."""
+    import os
+
+    real_rename = os.rename
+
+    def dying(src, dst, *a, **kw):
+        real_rename(src, dst, *a, **kw)
+        if str(dst).endswith("kept__old"):
+            raise RuntimeError("simulated crash between swap renames")
+
+    monkeypatch.setattr(os, "rename", dying)
+    return real_rename
+
+
+def test_lsh_compaction_crash_between_renames_self_heals(
+        spark, tmp_path, monkeypatch):
+    """r16 (verdict item 4): death between the swap's two renames leaves
+    kept/ missing (index under kept__old, compacted tree under
+    kept__compact); the NEXT probe must roll the swap forward and answer
+    correctly - no manual repair, no lost survivors."""
+    import glob
+    import os
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0)), (1, _ctext(1))]), idx)
+    restore = _die_on_kept_old_rename(monkeypatch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.lsh_dedup_incremental(  # fragmenting append fires the compactor
+            _docs(spark, [(10, _ctext(10))]), idx, compact_files_per_bucket=1)
+    assert not os.path.isdir(f"{idx}/kept")  # the torn state is real
+    assert os.path.isdir(f"{idx}/kept__compact")
+    monkeypatch.setattr(os, "rename", restore)
+    probe = _docs(spark, [(50, _ctext(10)), (51, _ctext(99))])
+    adm = {r.doc_id for r in D.lsh_dedup_incremental(
+        probe, idx, update_index=False).collect()}
+    assert adm == {51}  # 50 dups survivor 10, appended BEFORE the crash
+    assert os.path.isdir(f"{idx}/kept")  # swap rolled forward...
+    assert not glob.glob(f"{idx}/kept__*")  # ...and leftovers cleaned
+    files, dirs = (glob.glob(f"{idx}/kept/bkt=*/*.parquet"),
+                   glob.glob(f"{idx}/kept/bkt=*"))
+    assert len(files) == len(dirs)  # the COMPACTED tree won the swap
+
+
+def test_semantic_compaction_crash_between_renames_self_heals(
+        spark, tmp_path, monkeypatch):
+    """r16 symmetry: the semantic index self-heals the same torn swap."""
+    import glob
+    import os
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, idx, num_cells=8, threshold=0.9)
+    restore = _die_on_kept_old_rename(monkeypatch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.semantic_dedup_incremental(
+            spark.createDataFrame([(21, _mix(0, 1))],
+                                  "vec_id LONG, embedding ARRAY<DOUBLE>"),
+            idx, threshold=0.9, compact_files_per_bucket=1)
+    assert not os.path.isdir(f"{idx}/kept")
+    monkeypatch.setattr(os, "rename", restore)
+    probe = spark.createDataFrame(
+        [(50, _mix(0, 1, scale=3.0)), (51, _mix(6, 7))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    adm = {r.vec_id for r in D.semantic_dedup_incremental(
+        probe, idx, update_index=False).collect()}
+    assert adm == {51}  # 50 dups pre-crash survivor 21 through the healed index
+    assert not glob.glob(f"{idx}/kept__*")
+
+
+def test_heal_rolls_back_without_compacted_tree(tmp_path):
+    """If only kept__old exists (no complete compacted tree), the heal
+    rolls BACK to the pre-compaction index instead of leaving nothing."""
+    import os
+
+    idx = tmp_path / "idx"
+    (idx / "kept__old" / "bkt=0").mkdir(parents=True)
+    (idx / "kept__old" / "bkt=0" / "f.parquet").write_bytes(b"x")
+    D._heal_kept_swap(str(idx))
+    assert (idx / "kept" / "bkt=0" / "f.parquet").read_bytes() == b"x"
+    assert not os.path.isdir(idx / "kept__old")
+
+
+# ---------------------------------------------------------------- r16:
+# streaming twin of incremental LSH dedup (verdict item 5)
+
+
+def test_streaming_lsh_dedup_sink_matches_batch(spark, tmp_path):
+    """Streaming==batch admit parity: documents replayed as a real
+    microbatch stream (maxFilesPerTrigger=1, id-ordered files) through
+    start_lsh_dedup_sink admit EXACTLY the one-shot survivor set of
+    seed+stream (id-order arrival: incremental == one-shot min-id)."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    rows = [(i, _ctext(i)) for i in range(4)]          # seed: 4 clusters
+    rows += [(i, _ctext(i % 6)) for i in range(4, 16)]  # dups + 2 new clusters
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, rows[:4]), idx, min_jaccard=0.5)
+    src = str(tmp_path / "src")
+    _docs(spark, rows[4:10]).coalesce(1).write.mode("append").parquet(src)
+    _docs(spark, rows[10:]).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "admitted")
+    q = K.start_lsh_dedup_sink(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        idx, out, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_b for r in D.lsh_jaccard_dedup(
+        _docs(spark, rows), min_jaccard=0.5).collect()}
+    assert streamed == {i for i, _ in rows[4:]} - dropped
+    kept = {r.doc_id for r in spark.read.parquet(f"{idx}/kept")
+            .select("doc_id").distinct().collect()}
+    assert kept == {i for i, _ in rows} - dropped  # index advanced in lockstep
+
+
+def test_lsh_dedup_sink_replayed_epoch_is_idempotent(spark, tmp_path):
+    """A replayed epoch (foreachBatch redelivery after restart) must not
+    double-advance the index or change the epoch's admitted output."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    out = str(tmp_path / "admitted")
+    write = K.lsh_dedup_batch_writer(idx, out, checkpoint="ckpt-a")
+    batch = _docs(spark, [(10, _ctext(0)), (11, _ctext(1)), (12, "short")])
+    write(batch, 0)
+    admitted = {r.doc_id for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert admitted == {11, 12}  # 10 dups seed 0; 12 is band-less (admits)
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    write(batch, 0)  # redelivery: same epoch, same checkpoint
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {11, 12}
+
+
+def test_lsh_dedup_sink_crash_before_marker_keeps_admitted_output(spark, tmp_path):
+    """The money pin: a crash AFTER the index append but BEFORE the
+    marker write (simulated by advancing the index directly, marker
+    absent) makes the replayed probe re-see its own survivors - its
+    return value collapses to band-less docs only. The sink's
+    membership-derived output must still record the TRUE survivors,
+    and the index must not double-append."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    batch = _docs(spark, [(10, _ctext(0)), (11, _ctext(1)), (12, "short")])
+    # the "crashed" first attempt: index advanced, no marker, no output
+    assert {r.doc_id for r in
+            D.lsh_dedup_incremental(batch, idx).collect()} == {11, 12}
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    out = str(tmp_path / "admitted")
+    K.lsh_dedup_batch_writer(idx, out, checkpoint="ckpt-a")(batch, 0)  # replay
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {11, 12}
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows  # no double rows

@@ -912,3 +912,39 @@ def test_ivf_topk_nprobe_rejects_rings_and_codes(emb):
     with pytest.raises(ValueError, match="n_probe"):
         S.ivf_topk(codes, query_vec_id=5, k=3, num_cells=8, n_probe=2,
                    codes_col="__q8")
+
+
+def test_ivf_recall_sweep_matches_per_width_ivf_topk(emb):
+    """r16 (verdict item 3): the single-assignment sweep returns, width
+    for width, EXACTLY the recall the three-pass per-width form
+    (ann_recall over an independent ivf_topk call) computes - plus the
+    monotone/full-probe invariants - while running ivf_assign once."""
+    out = {r.n_probe: r.recall for r in S.ivf_recall_sweep(
+        emb, query_vec_id=5, k=10, num_cells=8, n_probes=(1, 2, 4, 8)).collect()}
+    exact = S.cosine_topk(emb, query_vec_id=5, k=10)
+    for n_probe in (1, 2, 4, 8):
+        slow = S.ann_recall(exact, S.ivf_topk(
+            emb, query_vec_id=5, k=10, num_cells=8, n_probe=n_probe),
+            10).first()["recall"]
+        assert out[n_probe] == slow, (n_probe, out)
+    rs = [out[n] for n in (1, 2, 4, 8)]
+    assert rs == sorted(rs) and rs[-1] == 1.0
+
+
+def test_ivf_recall_sweep_releases_persisted_assignment(emb, monkeypatch):
+    """The sweep's persisted assignment must release when the
+    len(n_probes)-row result materializes (the codes-probe discipline):
+    no corpus-sized blocks accumulate across repeated sweeps."""
+    released = []
+    orig = S.ivf_assign
+
+    def tracking(*a, **kw):
+        out = orig(*a, **kw)
+        real = out.unpersist
+        out.unpersist = lambda *ar, **kws: (released.append(True),
+                                            real(*ar, **kws))[1]
+        return out
+
+    monkeypatch.setattr(S, "ivf_assign", tracking)
+    assert S.ivf_recall_sweep(emb, query_vec_id=0, k=5, num_cells=8).count() == 3
+    assert released == [True]
