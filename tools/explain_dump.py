@@ -26,7 +26,7 @@ COMMENTARY = {
     "q_token_stats": "Vocabulary census: explode -> partial-aggregated groupBy(token), shuffle O(vocab) not O(corpus); the pre-explode spread is size-gated (8 MB) because for this cheap per-row fan-out the exchange's stage barrier costs more than single-stage tokenization below that (SCALING.md r6 A/B) - a compact-but-large single file still spreads.",
     "q_dedup_jaccard": "Pair generation via shingle equi-join (disjoint pairs pruned by the join); never a cartesian product.",
     "q_dedup_jaccard_pruned": "df-capped Jaccard (the benched form): the hot-shingle census comes back as a broadcast LEFT-ANTI prune on both self-join sides, bounding the equi-join at max_df*n rows where the exact form carries sum(df^2); the distinct shingle table materializes once (lazy localCheckpoint) because the census, the sizes, and BOTH join sides consume it - without that the explode+distinct subtree executes four times (5.6 -> 3.5 s at x10, SCALING.md r15).",
-    "q_ann_recall": "Recall@10 sweep: each n_probe variant prunes the shared three-level assignment with a centroid-ranked isin (an n_probe-row driver collect, bounded by num_cells); recall itself is a k-row broadcast semi-join + count, so the whole measurement costs one assignment pass per probe width - production amortizes by sweeping over ONE persisted ivf_assign table.",
+    "q_ann_recall": "Recall@10 sweep over ONE persisted assignment (r16): the three-level Arrow-BLAS quantizer runs once into an InMemoryRelation; exact ground truth, the centroid ranking (a max(n_probes)-row driver collect), and every probe width read that same cache - the plan's probe legs are InMemoryTableScans of one relation, so the sweep costs ONE corpus assign pass where r15 paid one per width; recall legs stay k-row broadcast semi-joins. The registered form materializes eagerly and releases the cache (the codes-probe discipline); the dump no-ops the release to show the lazy plan.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
     "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
     "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
@@ -66,6 +66,10 @@ COMMENTARY = {
 
 def main() -> None:
     spark = get_spark("explain-dump")
+    # q_ann_recall materializes eagerly (k-row result, cache released);
+    # no-op the release so its LAZY plan (one shared assign pass) dumps
+    import real_time_crypto_market_data_pipeline_spark.operators.similarity as S
+    S._collect_release = lambda out, handle: out
     out = [
         "# EXPLAIN — physical plans of the headline queries",
         "",
