@@ -260,9 +260,8 @@ def jaccard_pairs(
         jac = jac.where(F.col("jaccard") >= min_jaccard)
     if top_k is not None:
         jac = jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_k)
-    # release handle (r16 ADVICE): ContextCleaner frees the checkpoint
-    # blocks on driver GC; a long-lived session that is done with the
-    # result can drop them eagerly via jac.shingle_table.rdd.unpersist()
+    # release handle (r16 ADVICE): ContextCleaner frees the blocks on GC;
+    # long-lived sessions drop them via jac.shingle_table.rdd.unpersist()
     jac.shingle_table = sh
     return jac
 
@@ -513,11 +512,10 @@ def lsh_dedup_incremental(
     seen = spark.read.schema(  # fixed layout: no footer read at planning
         "doc_id long, band int, bucket string, sh array<string>, bkt int"
     ).parquet(f"{index_dir}/kept").where(F.col("bkt").isin(bkts))
-    # ^ ALWAYS dir-prune (r16): bkt is the partition column, so the isin
-    # (<= num_buckets <= 1024 literals) resolves per-DIRECTORY at file
-    # listing, never per row - the r15 ">half the universe -> scan whole"
-    # fallback priced it as a row filter and read the entire index for
-    # dense batches. Lossless: an equal (band, bucket) implies equal bkt.
+    # ^ ALWAYS dir-prune (r16): bkt is the partition column - the isin
+    # (<= 1024 literals) resolves per-DIRECTORY at listing, never per
+    # row; the r15 ">half -> scan whole" fallback priced it as a row
+    # filter. Lossless: equal (band, bucket) implies equal bkt.
     hit_seen = (  # seen survivors drop batch docs regardless of id order
         seen.select("band", "bucket", F.col("sh").alias("sh_s"))
         .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])

@@ -66,8 +66,7 @@ COMMENTARY = {
 
 def main() -> None:
     spark = get_spark("explain-dump")
-    # q_ann_recall materializes eagerly (k-row result, cache released);
-    # no-op the release so its LAZY plan (one shared assign pass) dumps
+    # no-op q_ann_recall's eager cache release so its LAZY plan dumps
     import real_time_crypto_market_data_pipeline_spark.operators.similarity as S
     S._collect_release = lambda out, handle: out
     out = [
