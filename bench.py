@@ -132,9 +132,8 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
     compact = {"metric": metric, "value": total, "unit": "sec",
                "queries": timings, "sf": sf_dir}
     if metric == "headline_total":  # r16 ADVICE: set-composition caveat
-        compact["note"] = out["note"] = (
-            "headline set r1-pinned except one sanctioned swap (r15): "
-            "q_dedup_jaccard -> q_dedup_jaccard_pruned")
+        compact["note"] = out["note"] = ("headline set r1-pinned except one "
+            "sanctioned swap (r15): q_dedup_jaccard -> q_dedup_jaccard_pruned")
     print(json.dumps(compact), flush=True)
 
 

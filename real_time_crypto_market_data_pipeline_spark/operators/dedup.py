@@ -260,8 +260,8 @@ def jaccard_pairs(
         jac = jac.where(F.col("jaccard") >= min_jaccard)
     if top_k is not None:
         jac = jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_k)
-    # release handle (r16 ADVICE): ContextCleaner frees the blocks on GC;
-    # long-lived sessions drop them via jac.shingle_table.rdd.unpersist()
+    # release handle (r16 ADVICE): ContextCleaner frees the blocks on
+    # GC; eager path: jac.shingle_table.rdd.unpersist()
     jac.shingle_table = sh
     return jac
 
@@ -906,7 +906,7 @@ def semantic_dedup_incremental(
     from .similarity import _q8_mat, assign_cells, sq8_encode
 
     spark = batch.sparkSession
-    _heal_kept_swap(index_dir)  # a torn compaction swap repairs before the read
+    _heal_kept_swap(index_dir)  # torn compaction swap repairs pre-read
     cents = spark.read.parquet(f"{index_dir}/centroids")
     meta = _read_meta(spark, index_dir)  # defaults below; contradiction raises
     p = _resolve_meta(meta, {"threshold": threshold, "id_col": id_col},
