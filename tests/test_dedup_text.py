@@ -1590,3 +1590,57 @@ def test_lsh_dedup_sink_crash_before_marker_keeps_admitted_output(spark, tmp_pat
     assert {r.doc_id for r in
             spark.read.parquet(f"{out}/epoch=0").collect()} == {11, 12}
     assert spark.read.parquet(f"{idx}/kept").count() == n_rows  # no double rows
+
+
+@pytest.mark.parametrize("state", ["old_only", "tmp_only", "kept_and_tmp",
+                                   "kept_and_old", "tmp_and_old"])
+def test_heal_kept_swap_full_state_matrix(tmp_path, state):
+    """Every reachable torn state heals to a readable kept/ holding the
+    RIGHT tree: the compacted tree wins whenever it exists (it is
+    complete before the first rename fires), the pre-compaction tree
+    restores when it does not, and an intact kept/ only sheds leftovers."""
+    import os
+
+    idx = tmp_path / "idx"
+
+    def mk(name, payload):
+        (idx / name / "bkt=0").mkdir(parents=True)
+        (idx / name / "bkt=0" / "f.parquet").write_bytes(payload)
+
+    trees = {"old_only": [("kept__old", b"pre")],
+             "tmp_only": [("kept__compact", b"compacted")],
+             "kept_and_tmp": [("kept", b"live"), ("kept__compact", b"partial")],
+             "kept_and_old": [("kept", b"live"), ("kept__old", b"stale")],
+             "tmp_and_old": [("kept__compact", b"compacted"),
+                             ("kept__old", b"pre")]}[state]
+    for name, payload in trees:
+        mk(name, payload)
+    D._heal_kept_swap(str(idx))
+    expect = {"old_only": b"pre", "tmp_only": b"compacted",
+              "kept_and_tmp": b"live", "kept_and_old": b"live",
+              "tmp_and_old": b"compacted"}[state]
+    assert (idx / "kept" / "bkt=0" / "f.parquet").read_bytes() == expect
+    assert not os.path.isdir(idx / "kept__old")
+    assert not os.path.isdir(idx / "kept__compact")
+
+
+def test_lsh_dedup_sink_checkpoint_relocation_not_silently_dropped(spark, tmp_path):
+    """A marker bound to a DIFFERENT checkpoint must not suppress the new
+    stream's epochs (the rollup-sink contract): the probe re-runs (the
+    advanced index makes that a no-op), the marker rebinds, and the
+    membership-derived output still records the true survivors."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    out = str(tmp_path / "admitted")
+    batch = _docs(spark, [(10, _ctext(0)), (11, _ctext(1))])
+    K.lsh_dedup_batch_writer(idx, out, checkpoint="ckpt-a")(batch, 3)
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    # relocated checkpoint: epoch ids restart at 0; marker says (ckpt-a, 3)
+    K.lsh_dedup_batch_writer(idx, out, checkpoint="ckpt-b")(batch, 0)
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {11}
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows  # no double rows
+    with open(f"{idx}/_last_epoch", encoding="utf-8") as f:
+        assert f.read().split("\n", 1)[0] == "ckpt-b"  # marker rebound
