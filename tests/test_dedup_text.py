@@ -1644,3 +1644,30 @@ def test_lsh_dedup_sink_checkpoint_relocation_not_silently_dropped(spark, tmp_pa
     assert spark.read.parquet(f"{idx}/kept").count() == n_rows  # no double rows
     with open(f"{idx}/_last_epoch", encoding="utf-8") as f:
         assert f.read().split("\n", 1)[0] == "ckpt-b"  # marker rebound
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_streaming_lsh_sink_random_corpora_with_replay(spark, tmp_path, seed):
+    """Randomized stress of the sink's batch==stream pin WITH replay:
+    every epoch is delivered twice (foreachBatch redelivery), and the
+    union of per-epoch outputs must still equal the one-shot survivor
+    set (id-order arrival) restricted to streamed docs."""
+    import random
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    rnd = random.Random(seed)
+    rows = [(i, _ctext(i)) for i in range(6)]
+    rows += [(i, _ctext(rnd.randrange(12))) for i in range(6, 30)]
+    cut1, cut2 = sorted(rnd.sample(range(7, 29), 2))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "admitted")
+    D.lsh_index_build(_docs(spark, rows[:cut1]), idx, min_jaccard=0.5)
+    write = K.lsh_dedup_batch_writer(idx, out, checkpoint="ck")
+    for e, (lo, hi) in enumerate([(cut1, cut2), (cut2, 30)]):
+        batch = _docs(spark, rows[lo:hi])
+        write(batch, e)
+        write(batch, e)  # redelivery of the just-committed epoch
+    streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    dropped = {r.doc_b for r in D.lsh_jaccard_dedup(
+        _docs(spark, rows), min_jaccard=0.5).collect()}
+    assert streamed == {i for i, _ in rows[cut1:]} - dropped

@@ -948,3 +948,24 @@ def test_ivf_recall_sweep_releases_persisted_assignment(emb, monkeypatch):
     monkeypatch.setattr(S, "ivf_assign", tracking)
     assert S.ivf_recall_sweep(emb, query_vec_id=0, k=5, num_cells=8).count() == 3
     assert released == [True]
+
+
+def test_assign_cells_routing_sizes_knob(emb):
+    """r16 A/B knob: an explicit ladder equal to the default derivation
+    routes identically; a coarser 2-level ladder still assigns every
+    vector a valid cell id in [0, C)."""
+    from pyspark.sql import functions as F
+
+    C = 8
+    cents = emb.where(F.col("vec_id") < C).select(
+        F.col("vec_id").cast("long").alias("cell_id"),
+        F.col("embedding").alias("cvec"))
+    dflt = {(r.vec_id, r.cell_id) for r in
+            S.assign_cells(emb, cents, C).collect()}
+    g1 = S._cbrt_ceil(C)
+    same = {(r.vec_id, r.cell_id) for r in S.assign_cells(
+        emb, cents, C, routing_sizes=[g1, min(C, g1 * g1)]).collect()}
+    assert same == dflt
+    two = S.assign_cells(emb, cents, C, routing_sizes=[3]).collect()
+    assert len(two) == emb.count()
+    assert all(0 <= r.cell_id < C for r in two)
