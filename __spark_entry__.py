@@ -24,12 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-15 allocation: (1) the 28 r12-evidence queries (oldest, age 2;
-# tools/selfcheck.py --evidence-age pins the set); (2) round-15
-# changed-code re-checks: NEW q_ann_recall + re-registered
-# q_dedup_jaccard_pruned, the raw-int8-routed semantic/IVF queries,
-# the auto-compacting LSH incremental; (3) r13-evidence fill in
-# registry order to 50 - the remaining 16 lead round 16's prefix.
+# Round-16 allocation: (1) the 30 r13-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set); (2) round-16
+# changed-code re-checks: the single-assign q_ann_recall, both
+# jaccard forms (shingle-table handle), both incremental dedup
+# probes (always-on pruning + crash-safe swap); (3) r14-evidence
+# fill in registry order to 50 - the rest leads round 17's prefix.
 _PRIORITY = [
     # --- 1: r13-evidence cohort (30; age-2 per the ledger, registry order) ---
     "q_spread", "q_date_partition", "q_to_json", "q_format_string",

@@ -113,6 +113,9 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         "load_start": load_start,
         "load_end": load_snapshot(),
     }
+    if metric == "headline_total":  # r16 ADVICE: caveat precedes the mirror write
+        out["note"] = ("headline set r1-pinned except one sanctioned "
+                       "swap (r15): q_dedup_jaccard -> q_dedup_jaccard_pruned")
     if extra:
         out["extra_queries"] = extra
         out["extra_runs"] = extra_runs
@@ -131,9 +134,8 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         pass
     compact = {"metric": metric, "value": total, "unit": "sec",
                "queries": timings, "sf": sf_dir}
-    if metric == "headline_total":  # r16 ADVICE: set-composition caveat
-        compact["note"] = out["note"] = ("headline set r1-pinned except one "
-            "sanctioned swap (r15): q_dedup_jaccard -> q_dedup_jaccard_pruned")
+    if metric == "headline_total":
+        compact["note"] = out["note"]
     print(json.dumps(compact), flush=True)
 
 

@@ -513,9 +513,8 @@ def lsh_dedup_incremental(
         "doc_id long, band int, bucket string, sh array<string>, bkt int"
     ).parquet(f"{index_dir}/kept").where(F.col("bkt").isin(bkts))
     # ^ ALWAYS dir-prune (r16): bkt is the partition column - the isin
-    # (<= 1024 literals) resolves per-DIRECTORY at listing, never per
-    # row; the r15 ">half -> scan whole" fallback priced it as a row
-    # filter. Lossless: equal (band, bucket) implies equal bkt.
+    # resolves per-DIRECTORY at listing, never per row (the r15 fallback
+    # priced it as a row filter). Lossless: equal (band,bucket) => equal bkt.
     hit_seen = (  # seen survivors drop batch docs regardless of id order
         seen.select("band", "bucket", F.col("sh").alias("sh_s"))
         .join(bt.select("band", "bucket", "doc_id", "sh"), ["band", "bucket"])
@@ -553,6 +552,7 @@ def lsh_index_member(batch: DataFrame, index_dir: str,
     meta = _read_meta(spark, index_dir)
     if meta is None:
         raise ValueError(f"{index_dir}/meta is missing: not a built index")
+    _heal_kept_swap(index_dir)  # like every kept/ reader (r16 review)
     ids = _lsh_rows(batch, text_col, int(meta["shingle_n"]),
                     int(meta["num_buckets"])).select(
         "doc_id", "bkt").localCheckpoint()
@@ -934,9 +934,7 @@ def semantic_dedup_incremental(
         kept = kept.where(F.col("cell_id").isin(cells))  # row-group stats
     else:  # dense batch (r16, replacing the r13 whole-scan fallback): a
         # broadcast-hash semi-join row-prunes untouched cells at the scan
-        # for any |cells| - before this, every resident of every cell
-        # shuffled into the kernel groupBy only to be dropped by its
-        # untouched-cell guard (the r15 65.2 s outlier's O(index) batch)
+        # for any |cells| - the old path read AND shuffled O(index) rows
         kept = kept.join(F.broadcast(spark.createDataFrame(
             [(int(c),) for c in cells], "cell_id int")), "cell_id", "left_semi")
     both = kept.select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
@@ -945,8 +943,7 @@ def semantic_dedup_incremental(
                         F.lit(0).alias("__seen")))
 
     def keep_new_in_cell(pdf):
-        if not (pdf["__seen"] == 0).any():  # untouched cell (whole-scan
-            return pdf.iloc[:0][[id_col, "cell_id"]]  # path): skip the gram
+        # every group holds >=1 batch row: kept is pruned to batch cells
         pdf = pdf.sort_values(["__seen", id_col], ascending=[False, True],
                               ignore_index=True)
         V = _q8_mat(pdf)

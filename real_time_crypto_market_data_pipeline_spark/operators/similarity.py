@@ -313,8 +313,10 @@ def assign_cells(
     Cn = np.maximum(np.linalg.norm(C, axis=1), 1e-12)  # zero-norm -> cos 0
     g1 = _cbrt_ceil(num_cells)
     # routing_sizes (r16, A/B knob): override the level-size ladder (always
-    # topped by C; levels are id prefixes, so any ascending sizes work).
-    # Default ladder = the cbrt 3-level descent the oracle replays.
+    # topped by C; levels are id prefixes; default = the oracle's cbrt descent)
+    if routing_sizes is not None and not all(
+            0 < s <= num_cells for s in routing_sizes):
+        raise ValueError(f"routing_sizes must lie in (0, {num_cells}]")
     sizes = (sorted({*routing_sizes, num_cells}) if routing_sizes is not None
              else sorted({g1, min(num_cells, g1 * g1), num_cells}))
     depth = len(sizes)

@@ -684,9 +684,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of the docstrings' "usual recall trade". The kmeans-trained
     curve is model-dependent (MLlib is not SQL-expressible) and is
     pytest-pinned instead: monotone in n_probe, 1.0 at full probe.
-    r16: the sweep rides ONE persisted ``ivf_assign`` (ground truth,
-    centroid ranking, and every width share it - ``ivf_recall_sweep``),
-    not one full assign pass per width as in r15."""
+    r16: the sweep rides ONE persisted ``ivf_assign`` shared by ground
+    truth, centroid ranking, and every width (``ivf_recall_sweep``)."""
     return S.ivf_recall_sweep(
         load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10,
         num_cells=8, n_probes=(1, 2, 4))

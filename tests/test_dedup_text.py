@@ -1671,3 +1671,20 @@ def test_streaming_lsh_sink_random_corpora_with_replay(spark, tmp_path, seed):
     dropped = {r.doc_b for r in D.lsh_jaccard_dedup(
         _docs(spark, rows), min_jaccard=0.5).collect()}
     assert streamed == {i for i, _ in rows[cut1:]} - dropped
+
+
+def test_jaccard_pairs_shingle_table_release_handle(spark):
+    """r16 ADVICE: the checkpointed distinct-shingle table is exposed as
+    jac.shingle_table so long-lived sessions can free its blocks before
+    driver GC; the handle is the live checkpoint frame (same schema) and
+    unpersisting it leaves the already-collected result intact. Like
+    assign_broadcast, the attribute lives on the RETURNED frame only -
+    derived frames lose it (carry_broadcast documents the pitfall)."""
+    docs = _docs(spark, [(i, _ctext(i % 3)) for i in range(6)])
+    jac = D.jaccard_pairs(docs, top_k=5)
+    rows = jac.collect()
+    sh = jac.shingle_table
+    assert set(sh.columns) == {"doc_id", "shingle"}
+    sh.rdd.unpersist()  # the documented eager-release path
+    assert jac.collect() == rows  # result frame unaffected
+    assert not hasattr(jac.limit(3), "shingle_table")  # derived frame loses it
