@@ -1688,3 +1688,30 @@ def test_jaccard_pairs_shingle_table_release_handle(spark):
     sh.rdd.unpersist()  # the documented eager-release path
     assert jac.collect() == rows  # result frame unaffected
     assert not hasattr(jac.limit(3), "shingle_table")  # derived frame loses it
+
+
+def test_incremental_probes_and_sink_accept_empty_batches(spark, tmp_path):
+    """Streaming sinks routinely deliver EMPTY microbatches (idle
+    trigger fires): both incremental probes and the sink writer must
+    no-op cleanly - zero admits, index unchanged, epoch still recorded
+    (so a later replay of the empty epoch skips like any other)."""
+    import os
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    idx = str(tmp_path / "idx")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.lsh_dedup_incremental(empty, idx).count() == 0
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    out = str(tmp_path / "admitted")
+    K.lsh_dedup_batch_writer(idx, out, checkpoint="ck")(empty, 0)
+    assert spark.read.parquet(f"{out}/epoch=0").count() == 0
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows
+    assert os.path.exists(f"{idx}/_last_epoch")  # the empty epoch committed
+    sidx = str(tmp_path / "sidx")
+    seed = spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    D.semantic_index_build(seed, sidx, num_cells=8, threshold=0.9)
+    sempty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert D.semantic_dedup_incremental(sempty, sidx).count() == 0
