@@ -260,9 +260,14 @@ def jaccard_pairs(
         jac = jac.where(F.col("jaccard") >= min_jaccard)
     if top_k is not None:
         jac = jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_k)
-    # release handle (r16 ADVICE): ContextCleaner frees the blocks on
-    # GC; eager path: jac.shingle_table.rdd.unpersist()
+    # release handle (r16 ADVICE; r17: verified via getRDDStorageInfo that
+    # DataFrame.rdd.unpersist() is a NO-OP - it wraps a fresh javaToPython
+    # RDD, not the checkpoint - so the eager path unpersists the plan's
+    # LogicalRDD. ContextCleaner still frees on GC; after an eager release
+    # the table cannot be recomputed (truncated lineage): fails loud.
     jac.shingle_table = sh
+    jac.release_shingles = (lambda: sh._jdf.queryExecution()
+                            .analyzed().rdd().unpersist(False))
     return jac
 
 
@@ -426,7 +431,13 @@ def _heal_kept_swap(index_dir: str) -> None:
     rolls FORWARD (finish the swap) when it exists, else rolls BACK to
     the pre-compaction tree. Runs at probe/compact entry (two isdir
     stats), so a torn swap self-heals on the next call. No-op off local
-    FS (the lakehouse form swaps via metastore, which is atomic)."""
+    FS (the lakehouse form swaps via metastore, which is atomic).
+    CONTRACT (r17 ADVICE): one driver process per index_dir at a time -
+    heal unconditionally rmtree's the __compact/__old trees, so a probe
+    racing a LIVE compactor in another process could delete its tmp tree
+    mid-write. The streaming sink is serial by construction; multi-writer
+    deployments must serialize externally (the metastore swap needs no
+    such care)."""
     import os
     import shutil
 
@@ -450,7 +461,8 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> boo
     the compactor itself (the 100 TB form is metastore OPTIMIZE).
     A torn swap is recoverable at every point: the compacted tree is
     complete before the first rename, and ``_heal_kept_swap`` (called
-    here and at probe entry) finishes or unwinds it.
+    here and at probe entry) finishes or unwinds it - under that
+    function's one-process-per-index_dir contract.
     Returns True iff a compaction ran."""
     import os
     import shutil

@@ -314,9 +314,11 @@ def assign_cells(
     g1 = _cbrt_ceil(num_cells)
     # routing_sizes (r16, A/B knob): override the level-size ladder (always
     # topped by C; levels are id prefixes; default = the oracle's cbrt descent)
-    if routing_sizes is not None and not all(
-            0 < s <= num_cells for s in routing_sizes):
-        raise ValueError(f"routing_sizes must lie in (0, {num_cells}]")
+    if routing_sizes is not None and (not routing_sizes or not all(
+            type(s) is int and 0 < s <= num_cells for s in routing_sizes)):
+        # non-empty + strictly int (r17 ADVICE): a float/bool passes a bare
+        # range check then breaks numpy slicing; [] silently routes flat
+        raise ValueError(f"routing_sizes must be non-empty ints in (0, {num_cells}]")
     sizes = (sorted({*routing_sizes, num_cells}) if routing_sizes is not None
              else sorted({g1, min(num_cells, g1 * g1), num_cells}))
     depth = len(sizes)

@@ -1278,27 +1278,36 @@ def _hyperplane_oracle(num_bits: int = 16, dims: int = 64) -> str:
     """Generate the DuckDB oracle with the same md5-derived hyperplane
     coefficients the Spark operator uses - the oracle is built from the
     identical Python constants, so both engines fold identical doubles
-    in identical order."""
+    in identical order. The planes travel as a (bit, dim, coeff) VALUES
+    relation, re-listed per bit, NOT as nested expression constants: the
+    inline form made DuckDB re-evaluate a 1,024-constant tree per row
+    (20.9 of the sweep's 22 s, r16 VERDICT); this form is ~300x faster
+    with the identical per-plane list_sum fold order, A/B-verified
+    value-equal at sf0.01 and sf0.1."""
     import hashlib
 
     def coeff(bit: int, dim: int) -> float:
         h = hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()
         return int(h[:8], 16) / 2**31 - 1.0
 
-    planes = [
-        "[" + ", ".join(repr(coeff(b, d)) for d in range(dims)) + "]"
-        for b in range(num_bits)
-    ]
-    bit_terms = [
-        f"CASE WHEN list_sum(list_transform(generate_series(1, {dims}),"
-        f" i -> CAST(embedding[i] AS DOUBLE) * ({plane})[i])) > 0"
-        " THEN 1 ELSE 0 END"
-        for plane in planes
-    ]
-    acc = "CAST(0 AS BIGINT)"
-    for term in bit_terms:
-        acc = f"({acc}) * 2 + ({term})"
-    return f"SELECT vec_id, CAST({acc} AS BIGINT) AS bucket FROM embeddings"
+    vals = ", ".join(f"({b}, {d}, {coeff(b, d)!r})"
+                     for b in range(num_bits) for d in range(dims))
+    return f"""
+    WITH planes(bit, dim, coeff) AS (VALUES {vals}),
+    pvec AS (SELECT bit, list(coeff ORDER BY dim) AS cv
+             FROM planes GROUP BY bit),
+    bits AS (
+      SELECT e.vec_id, p.bit,
+             CASE WHEN list_sum(list_transform(generate_series(1, {dims}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.cv[i])) > 0
+                  THEN 1 ELSE 0 END AS b
+      FROM embeddings e CROSS JOIN pvec p)
+    SELECT vec_id,
+           CAST(SUM(CAST(b AS BIGINT)
+                    * (CAST(1 AS BIGINT) << ({num_bits - 1} - bit)))
+                AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id
+    """
 
 
 @query("q_ann_lsh_buckets", oracle=_hyperplane_oracle())

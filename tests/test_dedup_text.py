@@ -1674,19 +1674,28 @@ def test_streaming_lsh_sink_random_corpora_with_replay(spark, tmp_path, seed):
 
 
 def test_jaccard_pairs_shingle_table_release_handle(spark):
-    """r16 ADVICE: the checkpointed distinct-shingle table is exposed as
-    jac.shingle_table so long-lived sessions can free its blocks before
-    driver GC; the handle is the live checkpoint frame (same schema) and
-    unpersisting it leaves the already-collected result intact. Like
-    assign_broadcast, the attribute lives on the RETURNED frame only -
+    """r16 ADVICE (sharpened r17): the checkpointed distinct-shingle table
+    is exposed as jac.shingle_table, and jac.release_shingles() must
+    ACTUALLY drop its storage blocks - DataFrame.rdd.unpersist() is a
+    verified no-op (it unpersists a fresh javaToPython wrapper, not the
+    checkpoint), so the release goes through the plan's LogicalRDD. The
+    block-drop is asserted via getRDDStorageInfo on the specific RDD id.
+    Like assign_broadcast, the attribute lives on the RETURNED frame only -
     derived frames lose it (carry_broadcast documents the pitfall)."""
     docs = _docs(spark, [(i, _ctext(i % 3)) for i in range(6)])
     jac = D.jaccard_pairs(docs, top_k=5)
     rows = jac.collect()
     sh = jac.shingle_table
     assert set(sh.columns) == {"doc_id", "shingle"}
-    sh.rdd.unpersist()  # the documented eager-release path
-    assert jac.collect() == rows  # result frame unaffected
+    rid = sh._jdf.queryExecution().analyzed().rdd().id()
+    jsc = spark.sparkContext._jsc.sc()
+    assert any(i.id() == rid for i in jsc.getRDDStorageInfo())  # cached
+    jac.release_shingles()  # the eager-release path
+    assert all(i.id() != rid for i in jsc.getRDDStorageInfo())  # freed
+    assert len(rows) > 0  # the materialized result survives the release
+    # use-after-release either re-reads retained shuffle outputs (correct
+    # data) or raises checkpoint-block-not-found - never silently wrong;
+    # which one depends on shuffle-file retention, so neither is pinned
     assert not hasattr(jac.limit(3), "shingle_table")  # derived frame loses it
 
 
