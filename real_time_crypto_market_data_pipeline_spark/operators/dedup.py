@@ -545,11 +545,13 @@ def lsh_dedup_incremental(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
         if compact_files_per_bucket is not None:
             _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
-    return admitted
+    admitted.lsh_rows = bt  # share the materialized batch pass (r17): the
+    return admitted  # sink's lsh_index_member reuses it - one pass per epoch
 
 
 def lsh_index_member(batch: DataFrame, index_dir: str,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     lsh_rows: DataFrame | None = None) -> DataFrame:
     """Replay-deterministic admitted set for a batch ALREADY applied to the
     index: batch ids RESIDENT in ``kept/`` plus band-less docs (too short to
     shingle - they always admit but never enter the index). Equals
@@ -557,17 +559,21 @@ def lsh_index_member(batch: DataFrame, index_dir: str,
     crash/replay point - the streaming sink derives its per-epoch output from
     this, never from the probe's return value, which collapses to
     band-less-only when a replayed batch re-probes the index it has already
-    advanced (every survivor then self-matches at Jaccard 1.0). Cost: one
-    batch LSH pass + a dir-pruned id scan; ids globally unique across
-    batches (the incremental contract)."""
+    advanced (every survivor then self-matches at Jaccard 1.0). Cost: a
+    dir-pruned id scan, plus one batch LSH pass UNLESS ``lsh_rows`` hands in
+    the probe's already-materialized pass (r17: ``lsh_dedup_incremental``
+    exposes it as ``admitted.lsh_rows``, so a fresh sink epoch pays the
+    pass once; a replayed epoch has no live probe and recomputes). Ids
+    globally unique across batches (the incremental contract)."""
     spark = batch.sparkSession
     meta = _read_meta(spark, index_dir)
     if meta is None:
         raise ValueError(f"{index_dir}/meta is missing: not a built index")
     _heal_kept_swap(index_dir)  # like every kept/ reader (r16 review)
-    ids = _lsh_rows(batch, text_col, int(meta["shingle_n"]),
-                    int(meta["num_buckets"])).select(
-        "doc_id", "bkt").localCheckpoint()
+    ids = (lsh_rows if lsh_rows is not None  # shared pass is checkpointed
+           else _lsh_rows(batch, text_col, int(meta["shingle_n"]),
+                          int(meta["num_buckets"])).localCheckpoint()
+           ).select("doc_id", "bkt")
     bkts = sorted(r[0] for r in ids.select("bkt").distinct().collect())
     kept_ids = spark.read.schema(
         "doc_id long, band int, bucket string, sh array<string>, bkt int"
@@ -974,4 +980,44 @@ def semantic_dedup_incremental(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
         if compact_files_per_bucket is not None:
             _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
-    return admitted
+    admitted.assigned_cells = assigned  # share the materialized assign pass
+    return admitted  # (r17): the sink's semantic_index_member reuses it
+
+
+def semantic_index_member(batch: DataFrame, index_dir: str,
+                          id_col: str | None = None,
+                          vec_col: str = "embedding",
+                          codes_col: str | None = None,
+                          assigned: DataFrame | None = None) -> DataFrame:
+    """Replay-deterministic admitted set for a batch ALREADY applied to the
+    semantic index (the ``lsh_index_member`` analog): batch ids RESIDENT in
+    ``kept/``, found via a bkt-dir-pruned scan of only the cells the batch
+    routed to. Every vector is assignable - there is no band-less analog -
+    so residency IS the whole set. Equals ``semantic_dedup_incremental``'s
+    return once the batch's append landed, at ANY crash/replay point: a
+    replayed probe re-sees its own survivors (each self-matches at cosine
+    1.0) and collapses to empty, which membership rescues. ``assigned``
+    reuses the probe's materialized assignment (``admitted.assigned_cells``
+    - one encode+assign pass per fresh sink epoch); without it (a replayed
+    epoch has no live probe) the pass recomputes from the saved centroids."""
+    from .similarity import assign_cells, sq8_encode
+
+    spark = batch.sparkSession
+    meta = _read_meta(spark, index_dir)
+    id_col = _resolve_meta(meta, {"id_col": id_col},
+                           {"id_col": "vec_id"})["id_col"]
+    _heal_kept_swap(index_dir)  # like every kept/ reader
+    if assigned is None:
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+        num_cells = meta["num_cells"] if meta is not None else cents.count()
+        codes = (batch.select(id_col, F.col(codes_col).alias("__q8"), "__amax")
+                 if codes_col is not None else sq8_encode(batch, id_col, vec_col))
+        assigned = assign_cells(codes, cents, num_cells, id_col=id_col,
+                                codes_col="__q8").localCheckpoint()
+    cells = sorted(r[0] for r in assigned.select("cell_id").distinct().collect())
+    kept_ids = spark.read.schema(  # fixed layout: no footer read at planning
+        f"{id_col} long, cell_id int, __q8 binary, __amax double, bkt int"
+    ).parquet(f"{index_dir}/kept").where(
+        F.col("bkt").isin(sorted({c % IDX_BUCKETS for c in cells}))
+    ).select(id_col)
+    return batch.select(id_col).join(kept_ids, id_col, "left_semi")

@@ -684,7 +684,9 @@ def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
     self-matches at Jaccard 1.0), which a naive write would persist as a
     silently EMPTY epoch. Membership is identical before and after the
     marker lands, so the ``epoch=N`` overwrite is deterministic at any
-    crash point."""
+    crash point. A fresh epoch hands the probe's materialized LSH rows to
+    the membership scan (r17): one batch LSH pass per epoch, not two -
+    only torn-epoch REPLAYS (applied marker, no live probe) recompute."""
     import os
 
     from ..operators.dedup import lsh_dedup_incremental, lsh_index_member
@@ -692,7 +694,7 @@ def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
     marker = os.path.join(index_dir, "_last_epoch")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        applied = False
+        applied, rows = False, None
         try:
             with open(marker, encoding="utf-8") as f:
                 stored_ckpt, stored_epoch = f.read().split("\n", 1)
@@ -700,12 +702,13 @@ def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
         except (FileNotFoundError, ValueError):
             pass
         if not applied:  # advance the seen-set exactly once per epoch
-            lsh_dedup_incremental(batch_df, index_dir, text_col=text_col)
+            rows = lsh_dedup_incremental(
+                batch_df, index_dir, text_col=text_col).lsh_rows
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(f"{checkpoint}\n{epoch_id}")
             os.replace(tmp, marker)
-        lsh_index_member(batch_df, index_dir, text_col).write.mode(
+        lsh_index_member(batch_df, index_dir, text_col, lsh_rows=rows).write.mode(
             "overwrite").parquet(os.path.join(admitted_dir, f"epoch={epoch_id}"))
 
     return write_batch
@@ -723,6 +726,69 @@ def start_lsh_dedup_sink(
     return (docs.writeStream.outputMode("append")
             .foreachBatch(lsh_dedup_batch_writer(
                 index_dir, admitted_dir, checkpoint, text_col))
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
+
+
+def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
+                                checkpoint: str, vec_col: str = "embedding",
+                                codes_col: str | None = None):
+    """The foreachBatch body of :func:`start_semantic_dedup_sink` - the
+    LSH writer's discipline verbatim (r17, completing the X2 twin
+    family): the checkpoint-bound ``_last_epoch`` marker gates the
+    index-advancing probe (no double-append on redelivery), and the
+    per-epoch admitted output derives from ``semantic_index_member`` -
+    a replayed probe re-sees its own survivors at cosine 1.0 and
+    collapses to EMPTY, which membership rescues. A fresh epoch hands
+    the probe's materialized assignment to the membership scan: one
+    encode+assign pass per epoch. ``codes_col`` takes the ingest wire
+    (float never read), mirroring the batch probe."""
+    import os
+
+    from ..operators.dedup import (semantic_dedup_incremental,
+                                   semantic_index_member)
+
+    marker = os.path.join(index_dir, "_last_epoch")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        applied, assigned = False, None
+        try:
+            with open(marker, encoding="utf-8") as f:
+                stored_ckpt, stored_epoch = f.read().split("\n", 1)
+            applied = stored_ckpt == checkpoint and epoch_id <= int(stored_epoch)
+        except (FileNotFoundError, ValueError):
+            pass
+        if not applied:  # advance the seen-set exactly once per epoch
+            assigned = semantic_dedup_incremental(
+                batch_df, index_dir, vec_col=vec_col,
+                codes_col=codes_col).assigned_cells
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(f"{checkpoint}\n{epoch_id}")
+            os.replace(tmp, marker)
+        semantic_index_member(
+            batch_df, index_dir, vec_col=vec_col, codes_col=codes_col,
+            assigned=assigned).write.mode("overwrite").parquet(
+            os.path.join(admitted_dir, f"epoch={epoch_id}"))
+
+    return write_batch
+
+
+def start_semantic_dedup_sink(
+    embs: DataFrame, index_dir: str, admitted_dir: str, checkpoint: str,
+    vec_col: str = "embedding", codes_col: str | None = None,
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """X2 (streaming twin of ``semantic_dedup_incremental``, r17):
+    continuous embedding dedup as a microbatch sink over a persisted
+    ``semantic_index_build`` index. Each microbatch probes + advances the
+    index; admitted ids land under ``{admitted_dir}/epoch=N/``.
+    Streaming==batch admit parity and replay idempotence are pytest-pinned
+    (the LSH twin's battery, mirrored)."""
+    return (embs.writeStream.outputMode("append")
+            .foreachBatch(semantic_dedup_batch_writer(
+                index_dir, admitted_dir, checkpoint, vec_col, codes_col))
             .option("checkpointLocation", checkpoint)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start())

@@ -1673,6 +1673,32 @@ def test_streaming_lsh_sink_random_corpora_with_replay(spark, tmp_path, seed):
     assert streamed == {i for i, _ in rows[cut1:]} - dropped
 
 
+def test_lsh_dedup_sink_single_lsh_pass_per_fresh_epoch(
+        spark, tmp_path, monkeypatch):
+    """r17 (verdict item 4): a FRESH sink epoch pays exactly one _lsh_rows
+    batch pass - the probe's materialized rows ride admitted.lsh_rows into
+    lsh_index_member instead of being recomputed. A replayed epoch has no
+    live probe, so membership recomputes: one pass either way, never two."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    calls, real = [], D._lsh_rows
+    monkeypatch.setattr(
+        D, "_lsh_rows", lambda *a, **k: calls.append(1) or real(*a, **k))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "admitted")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    base = len(calls)  # the build spends its own passes
+    write = K.lsh_dedup_batch_writer(idx, out, checkpoint="ck")
+    batch = _docs(spark, [(10, _ctext(0)), (11, _ctext(1))])
+    write(batch, 0)  # fresh epoch: probe + membership share ONE pass
+    assert len(calls) - base == 1
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {11}
+    write(batch, 0)  # replay: no live probe - membership's own single pass
+    assert len(calls) - base == 2
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {11}
+
+
 def test_jaccard_pairs_shingle_table_release_handle(spark):
     """r16 ADVICE (sharpened r17): the checkpointed distinct-shingle table
     is exposed as jac.shingle_table, and jac.release_shingles() must
@@ -1724,3 +1750,158 @@ def test_incremental_probes_and_sink_accept_empty_batches(spark, tmp_path):
     D.semantic_index_build(seed, sidx, num_cells=8, threshold=0.9)
     sempty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert D.semantic_dedup_incremental(sempty, sidx).count() == 0
+    sout = str(tmp_path / "sadmitted")  # r17: the semantic writer, same pin
+    n_rows = spark.read.parquet(f"{sidx}/kept").count()
+    K.semantic_dedup_batch_writer(sidx, sout, checkpoint="ck")(sempty, 0)
+    assert spark.read.parquet(f"{sout}/epoch=0").count() == 0
+    assert spark.read.parquet(f"{sidx}/kept").count() == n_rows
+    assert os.path.exists(f"{sidx}/_last_epoch")
+
+
+# ---------------------------------------------------------------- r17:
+# streaming twin of incremental SEMANTIC dedup (verdict item 3) - the
+# LSH twin's battery, mirrored
+
+
+def test_streaming_semantic_dedup_sink_matches_batch(spark, tmp_path):
+    """Streaming==batch admit parity: embeddings replayed as a real
+    microbatch stream (maxFilesPerTrigger=1, id-ordered files) through
+    start_semantic_dedup_sink admit EXACTLY the one-shot semantic_dedup
+    survivor set of seed+stream (id-order arrival: incremental ==
+    one-shot min-id; parallel-vector clusters make it provable)."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    seed_rows = ([(i, _unit(i)) for i in range(8)]
+                 + [(8, _unit(0, scale=2.0)), (9, _mix(3, 4))])
+    b2 = [(20, _unit(0, scale=4.0)), (21, _mix(3, 4, scale=2.0)),
+          (22, _mix(6, 7))]
+    b3 = [(40, _mix(6, 7, scale=3.0)), (41, _unit(2, scale=7.0)),
+          (42, _mix(0, 2))]
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(spark.createDataFrame(seed_rows, ddl), idx,
+                           num_cells=8, threshold=0.9)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b2, ddl).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b3, ddl).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "admitted")
+    q = K.start_semantic_dedup_sink(
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src),
+        idx, out, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r.vec_id for r in spark.read.parquet(out).collect()}
+    oneshot = {r.vec_id for r in D.semantic_dedup(
+        spark.createDataFrame(seed_rows + b2 + b3, ddl), num_cells=8,
+        threshold=0.9, transport="int8").collect()}
+    assert streamed == oneshot & {v for v, _ in b2 + b3}
+    kept = {r.vec_id for r in spark.read.parquet(f"{idx}/kept")
+            .select("vec_id").distinct().collect()}
+    assert kept == oneshot  # index advanced in lockstep
+
+
+def test_semantic_dedup_sink_replayed_epoch_is_idempotent(spark, tmp_path):
+    """A replayed epoch (foreachBatch redelivery after restart) must not
+    double-advance the semantic index or change the epoch's output."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], ddl), idx, num_cells=8, threshold=0.9)
+    out = str(tmp_path / "admitted")
+    write = K.semantic_dedup_batch_writer(idx, out, checkpoint="ckpt-a")
+    batch = spark.createDataFrame(
+        [(20, _unit(0, scale=4.0)), (21, _mix(3, 4))], ddl)
+    write(batch, 0)
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {21}  # 20 dups 0
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    write(batch, 0)  # redelivery: same epoch, same checkpoint
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {21}
+
+
+def test_semantic_dedup_sink_crash_before_marker_keeps_admitted_output(
+        spark, tmp_path):
+    """The money pin, semantic form: a crash AFTER the index append but
+    BEFORE the marker write makes the replayed probe re-see its own
+    survivors at cosine 1.0 - its return collapses to EMPTY. The sink's
+    membership-derived output must still record the TRUE survivors, and
+    the index must not double-append."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], ddl), idx, num_cells=8, threshold=0.9)
+    batch = spark.createDataFrame(
+        [(20, _unit(0, scale=4.0)), (21, _mix(3, 4))], ddl)
+    # the "crashed" first attempt: index advanced, no marker, no output
+    assert {r.vec_id for r in
+            D.semantic_dedup_incremental(batch, idx).collect()} == {21}
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    out = str(tmp_path / "admitted")
+    K.semantic_dedup_batch_writer(idx, out, checkpoint="ckpt-a")(batch, 0)
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {21}
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows  # no double rows
+
+
+def test_semantic_dedup_sink_checkpoint_relocation_not_silently_dropped(
+        spark, tmp_path):
+    """A marker bound to a DIFFERENT checkpoint must not suppress the new
+    stream's epochs: the probe re-runs (the advanced index makes that a
+    no-op), the marker rebinds, and the membership-derived output still
+    records the true survivors."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], ddl), idx, num_cells=8, threshold=0.9)
+    out = str(tmp_path / "admitted")
+    batch = spark.createDataFrame(
+        [(20, _unit(0, scale=4.0)), (21, _mix(3, 4))], ddl)
+    K.semantic_dedup_batch_writer(idx, out, checkpoint="ckpt-a")(batch, 3)
+    n_rows = spark.read.parquet(f"{idx}/kept").count()
+    # relocated checkpoint: epoch ids restart at 0; marker says (ckpt-a, 3)
+    K.semantic_dedup_batch_writer(idx, out, checkpoint="ckpt-b")(batch, 0)
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {21}
+    assert spark.read.parquet(f"{idx}/kept").count() == n_rows
+    with open(f"{idx}/_last_epoch", encoding="utf-8") as f:
+        assert f.read().split("\n", 1)[0] == "ckpt-b"  # marker rebound
+
+
+def test_semantic_dedup_sink_single_assign_pass_per_fresh_epoch(
+        spark, tmp_path, monkeypatch):
+    """r17 symmetry with the LSH twin: a FRESH epoch pays exactly one
+    assign_cells pass - the probe's materialized assignment rides
+    admitted.assigned_cells into semantic_index_member. A replayed epoch
+    has no live probe and recomputes: one pass either way, never two."""
+    from real_time_crypto_market_data_pipeline_spark.operators import similarity as S
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    idx = str(tmp_path / "idx")
+    D.semantic_index_build(spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], ddl), idx, num_cells=8, threshold=0.9)
+    calls, real = [], S.assign_cells
+    monkeypatch.setattr(
+        S, "assign_cells", lambda *a, **k: calls.append(1) or real(*a, **k))
+    out = str(tmp_path / "admitted")
+    write = K.semantic_dedup_batch_writer(idx, out, checkpoint="ck")
+    batch = spark.createDataFrame(
+        [(20, _unit(0, scale=4.0)), (21, _mix(3, 4))], ddl)
+    write(batch, 0)  # fresh epoch: probe + membership share ONE pass
+    assert len(calls) == 1
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {21}
+    write(batch, 0)  # replay: no live probe - membership's own single pass
+    assert len(calls) == 2
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {21}
