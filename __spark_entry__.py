@@ -24,30 +24,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-16 allocation: (1) the 30 r13-evidence queries (oldest, age 2;
-# tools/selfcheck.py --evidence-age pins the set); (2) round-16
-# changed-code re-checks: the single-assign q_ann_recall, both
-# jaccard forms (shingle-table handle), both incremental dedup
-# probes (always-on pruning + crash-safe swap); (3) r14-evidence
-# fill in registry order to 50 - the rest leads round 17's prefix.
+# Round-17 allocation: (1) the 30 r14-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set); (2) round-17
+# changed-code re-checks: both jaccard forms (working eager
+# release_shingles), both incremental probes (shared-pass member
+# attrs), q_semdedup + the ANN trio (assign_cells routing_sizes
+# validation), q_ann_lsh_buckets (VALUES-relation oracle); (3)
+# r15-evidence fill in registry order to 50 - the rest leads round 18.
 _PRIORITY = [
-    # --- 1: r13-evidence cohort (30; age-2 per the ledger, registry order) ---
-    "q_spread", "q_date_partition", "q_to_json", "q_format_string",
-    "q_having_gate", "q_csv_snapshot", "q_dedup_exact", "q_dedup_near_pairs",
-    "q_dedup_simhash_pairs", "q_corpus_prep", "q_decontaminate",
-    "q_decontaminate_bloom", "q_dedup_lsh_jaccard", "q_dedup_retention",
-    "q_boilerplate", "q_dedup_incremental", "q_filter_funnel", "q_join_enrich",
-    "q_order_revenue_topk", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22", "q_tpch_q11",
-    "q_tpch_q20", "q_tpch_q21", "q_window_variety",
-    # --- 2: code changed in round 16 (probe pruning, recall sweep, jaccard) ---
-    "q_ann_recall", "q_dedup_jaccard", "q_dedup_jaccard_pruned",
-    "q_dedup_near_incremental", "q_semdedup_incremental",
-    # --- 3: r14-evidence fill to 50, registry order ---
-    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
-    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
-    "q_invariant_check", "q_filter_isin", "q_channel_split", "q_element_at",
-    "q_explode", "q_array_transform", "q_best_levels",
+    # --- 1: r14-evidence cohort (30; age-2 per the ledger, registry order) ---
+    "q_latency_cols", "q_percentiles", "q_zero_rate", "q_count_by_key",
+    "q_grouped_stats", "q_dedup_near", "q_token_count_bpe", "q_lang_id",
+    "q_repetition_stats", "q_fingerprint", "q_media_summary",
+    "q_media_features", "q_chunk_documents", "q_pack_sequences",
+    "q_corpus_split", "q_corpus_sample", "q_mix_temperature",
+    "q_shuffle_shard", "q_quality_topp", "q_quantize_int8", "q_tpch_q13",
+    "q_tpch_q16", "q_first_last_value", "q_interval_count", "q_ohlc_bars",
+    "q_ohlc_rollup", "q_salted_stats", "q_merge_upsert", "q_scd2_history",
+    "q_pit_read",
+    # --- 2: code changed in round 17 (release handle, member sharing,
+    #        routing_sizes validation, oracle rewrite) ---
+    "q_dedup_jaccard", "q_dedup_jaccard_pruned", "q_dedup_near_incremental",
+    "q_semdedup_incremental", "q_semdedup", "q_ann_lsh_buckets", "q_ann_ivf",
+    "q_ann_ivf_kmeans", "q_ann_recall",
+    # --- 3: r15-evidence fill to 50, registry order ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
+    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
+    "q_drawdown", "q_interval_join",
 ]
 
 
