@@ -434,10 +434,9 @@ def _heal_kept_swap(index_dir: str) -> None:
     FS (the lakehouse form swaps via metastore, which is atomic).
     CONTRACT (r17 ADVICE): one driver process per index_dir at a time -
     heal unconditionally rmtree's the __compact/__old trees, so a probe
-    racing a LIVE compactor in another process could delete its tmp tree
-    mid-write. The streaming sink is serial by construction; multi-writer
-    deployments must serialize externally (the metastore swap needs no
-    such care)."""
+    racing a LIVE compactor in another process could tear its swap. The
+    streaming sink is serial by construction; multi-writer deployments
+    must serialize externally (the metastore swap needs no such care)."""
     import os
     import shutil
 
@@ -995,11 +994,10 @@ def semantic_index_member(batch: DataFrame, index_dir: str,
     routed to. Every vector is assignable - there is no band-less analog -
     so residency IS the whole set. Equals ``semantic_dedup_incremental``'s
     return once the batch's append landed, at ANY crash/replay point: a
-    replayed probe re-sees its own survivors (each self-matches at cosine
-    1.0) and collapses to empty, which membership rescues. ``assigned``
-    reuses the probe's materialized assignment (``admitted.assigned_cells``
-    - one encode+assign pass per fresh sink epoch); without it (a replayed
-    epoch has no live probe) the pass recomputes from the saved centroids."""
+    replayed probe re-sees its own survivors at cosine 1.0 and collapses
+    to empty, which membership rescues. ``assigned`` reuses the probe's
+    materialized assignment (``admitted.assigned_cells`` - one assign pass
+    per fresh sink epoch); a replayed epoch recomputes from the centroids."""
     from .similarity import assign_cells, sq8_encode
 
     spark = batch.sparkSession

@@ -737,13 +737,12 @@ def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
     """The foreachBatch body of :func:`start_semantic_dedup_sink` - the
     LSH writer's discipline verbatim (r17, completing the X2 twin
     family): the checkpoint-bound ``_last_epoch`` marker gates the
-    index-advancing probe (no double-append on redelivery), and the
-    per-epoch admitted output derives from ``semantic_index_member`` -
-    a replayed probe re-sees its own survivors at cosine 1.0 and
-    collapses to EMPTY, which membership rescues. A fresh epoch hands
-    the probe's materialized assignment to the membership scan: one
-    encode+assign pass per epoch. ``codes_col`` takes the ingest wire
-    (float never read), mirroring the batch probe."""
+    index-advancing probe (no double-append on redelivery); the per-epoch
+    output derives from ``semantic_index_member`` (a replayed probe
+    collapses to EMPTY at cosine 1.0, membership rescues); a fresh epoch
+    hands the probe's materialized assignment to the membership scan (one
+    assign pass per epoch). ``codes_col`` takes the ingest wire (float
+    never read), mirroring the batch probe."""
     import os
 
     from ..operators.dedup import (semantic_dedup_incremental,
@@ -783,9 +782,8 @@ def start_semantic_dedup_sink(
     """X2 (streaming twin of ``semantic_dedup_incremental``, r17):
     continuous embedding dedup as a microbatch sink over a persisted
     ``semantic_index_build`` index. Each microbatch probes + advances the
-    index; admitted ids land under ``{admitted_dir}/epoch=N/``.
-    Streaming==batch admit parity and replay idempotence are pytest-pinned
-    (the LSH twin's battery, mirrored)."""
+    index; admitted ids land under ``{admitted_dir}/epoch=N/``. Parity,
+    replay idempotence: pytest-pinned (the LSH twin's battery, mirrored)."""
     return (embs.writeStream.outputMode("append")
             .foreachBatch(semantic_dedup_batch_writer(
                 index_dir, admitted_dir, checkpoint, vec_col, codes_col))

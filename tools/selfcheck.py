@@ -208,6 +208,20 @@ def evidence_age(max_age: int = 2) -> int:
     return 1 if (stale or never or failing) else 0
 
 
+def load_line(tag: str) -> None:
+    """Machine-load evidence inside the sweep artifact itself (r17: the
+    r16 255s sweep needed forensics; bench.py's snapshot shape)."""
+    running = 0
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                running += f.read().rsplit(")", 1)[1].split()[0] == "R"
+        except OSError:
+            continue
+    la = ", ".join(f"{v:.2f}" for v in os.getloadavg())
+    print(f"load  [{tag}] loadavg=({la}) procs_running={running}")
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     if "--evidence-age" in args:
@@ -217,6 +231,7 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
+    load_line("start")
     spark = get_spark("selfcheck")
     drift = check_schema(spark, sf_dir)
     if drift:
@@ -260,6 +275,7 @@ def main() -> int:
             print(f"PASS  {name:24s} rows={len(s_rows):7d} {dt:6.1f}s")
 
     print()
+    load_line("end")
     if failed:
         print(f"{len(failed)}/{len(names)} FAILED: {failed}")
         return 1
