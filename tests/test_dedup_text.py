@@ -1877,6 +1877,39 @@ def test_semantic_dedup_sink_checkpoint_relocation_not_silently_dropped(
         assert f.read().split("\n", 1)[0] == "ckpt-b"  # marker rebound
 
 
+@pytest.mark.parametrize("seed", [5, 23])
+def test_streaming_semantic_sink_random_corpora_with_replay(
+        spark, tmp_path, seed):
+    """Randomized stress of the semantic sink's batch==stream pin WITH
+    replay (the LSH twin's test, mirrored): every epoch is delivered
+    twice (foreachBatch redelivery), and the union of per-epoch outputs
+    must still equal the one-shot survivor set (id-order arrival,
+    parallel-vector clusters) restricted to streamed ids."""
+    import random
+
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    rnd = random.Random(seed)
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    rows = [(i, _unit(i)) for i in range(8)]  # dense centroid seed
+    rows += [(i, _unit(rnd.randrange(8), scale=rnd.uniform(0.5, 4.0)))
+             for i in range(8, 30)]  # parallel clusters: cos exactly 1
+    cut1, cut2 = sorted(rnd.sample(range(9, 29), 2))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "admitted")
+    D.semantic_index_build(spark.createDataFrame(rows[:cut1], ddl), idx,
+                           num_cells=8, threshold=0.9)
+    write = K.semantic_dedup_batch_writer(idx, out, checkpoint="ck")
+    for e, (lo, hi) in enumerate([(cut1, cut2), (cut2, 30)]):
+        batch = spark.createDataFrame(rows[lo:hi], ddl)
+        write(batch, e)
+        write(batch, e)  # redelivery of the just-committed epoch
+    streamed = {r.vec_id for r in spark.read.parquet(out).collect()}
+    oneshot = {r.vec_id for r in D.semantic_dedup(
+        spark.createDataFrame(rows, ddl), num_cells=8, threshold=0.9,
+        transport="int8").collect()}
+    assert streamed == oneshot & {i for i, _ in rows[cut1:]}
+
+
 def test_semantic_dedup_sink_single_assign_pass_per_fresh_epoch(
         spark, tmp_path, monkeypatch):
     """r17 symmetry with the LSH twin: a FRESH epoch pays exactly one
