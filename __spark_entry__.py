@@ -24,33 +24,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-17 allocation: (1) the 30 r14-evidence queries (oldest, age 2;
-# tools/selfcheck.py --evidence-age pins the set); (2) round-17
-# changed-code re-checks: both jaccard forms (working eager
-# release_shingles), both incremental probes (shared-pass member
-# attrs), q_semdedup + the ANN trio (assign_cells routing_sizes
-# validation), q_ann_lsh_buckets (VALUES-relation oracle); (3)
-# r15-evidence fill in registry order to 50 - the rest leads round 18.
+# Round-18 allocation: (1) the 31 r15-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set); (2) round-18
+# changed-code re-checks: both jaccard forms (release handle now
+# targets the checkpointed base frame, not the max_df Join rebinding),
+# both incremental probes (bounded per-bucket compaction firing;
+# amax_col parity through member + sink), q_semdedup + the ANN trio
+# (assign_cells routing_sizes now admits numpy integers); (3)
+# r16-evidence fill in registry order to 50 - the rest leads round 19.
 _PRIORITY = [
-    # --- 1: r14-evidence cohort (30; age-2 per the ledger, registry order) ---
-    "q_latency_cols", "q_percentiles", "q_zero_rate", "q_count_by_key",
-    "q_grouped_stats", "q_dedup_near", "q_token_count_bpe", "q_lang_id",
-    "q_repetition_stats", "q_fingerprint", "q_media_summary",
-    "q_media_features", "q_chunk_documents", "q_pack_sequences",
-    "q_corpus_split", "q_corpus_sample", "q_mix_temperature",
-    "q_shuffle_shard", "q_quality_topp", "q_quantize_int8", "q_tpch_q13",
-    "q_tpch_q16", "q_first_last_value", "q_interval_count", "q_ohlc_bars",
-    "q_ohlc_rollup", "q_salted_stats", "q_merge_upsert", "q_scd2_history",
-    "q_pit_read",
-    # --- 2: code changed in round 17 (release handle, member sharing,
-    #        routing_sizes validation, oracle rewrite) ---
+    # --- 1: r15-evidence cohort (31; age-2 per the ledger, registry order) ---
+    "q_correlation", "q_null_guard", "q_try_cast", "q_struct_project",
+    "q_lag_diff", "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
+    "q_dedup_embed", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
+    "q_token_stats", "q_quality_score", "q_tfidf", "q_scrub_text",
+    "q_dedup_clusters", "q_sketch_distinct", "q_tpch_q1", "q_topk_per_group",
+    "q_tpch_q6", "q_supplier_region", "q_part_brand_stats", "q_tpch_q5",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q2", "q_tpch_q3",
+    "q_tpch_q4", "q_tpch_q9", "q_profile_columns",
+    # --- 2: code changed in round 18 (df-capped release handle, bounded
+    #        compactor, amax_col threading, numpy routing_sizes) ---
     "q_dedup_jaccard", "q_dedup_jaccard_pruned", "q_dedup_near_incremental",
-    "q_semdedup_incremental", "q_semdedup", "q_ann_lsh_buckets", "q_ann_ivf",
-    "q_ann_ivf_kmeans", "q_ann_recall",
-    # --- 3: r15-evidence fill to 50, registry order ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
-    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
-    "q_drawdown", "q_interval_join",
+    "q_semdedup_incremental", "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans",
+    "q_ann_recall",
+    # --- 3: r16-evidence fill to 50, registry order ---
+    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
+    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
+    "q_invariant_check", "q_filter_isin", "q_channel_split",
 ]
 
 

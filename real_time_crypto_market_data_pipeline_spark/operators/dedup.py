@@ -231,6 +231,8 @@ def jaccard_pairs(
         # reuse does not cover the post-prune branches - 5.6 -> 3.5 s
         # at x10 (SCALING.md r15); ContextCleaner frees the blocks.
         .localCheckpoint(eager=False))
+    ckpt = sh  # the checkpointed frame itself: the release lambda must
+    # target THIS plan's LogicalRDD - max_df rebinds sh to a Join below
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         # df-pruning: a shingle appearing in >max_df docs contributes
@@ -266,7 +268,7 @@ def jaccard_pairs(
     # LogicalRDD. ContextCleaner still frees on GC; after an eager release
     # the table cannot be recomputed (truncated lineage): fails loud.
     jac.shingle_table = sh
-    jac.release_shingles = (lambda: sh._jdf.queryExecution()
+    jac.release_shingles = (lambda: ckpt._jdf.queryExecution()
                             .analyzed().rdd().unpersist(False))
     return jac
 
@@ -451,17 +453,25 @@ def _heal_kept_swap(index_dir: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> bool:
-    """Append-path auto-compaction (r15): past an average of
-    ``max_files_per_bucket`` parquet files per ``kept/`` bucket dir
-    (appends grow one file per touched dir - 86 -> 516 over five in
-    SCALING.md), rewrite one-file-per-bucket via ``compact_partitions``
-    and swap it in; admit parity pytest-pinned. Local-FS policy like
-    the compactor itself (the 100 TB form is metastore OPTIMIZE).
-    A torn swap is recoverable at every point: the compacted tree is
-    complete before the first rename, and ``_heal_kept_swap`` (called
-    here and at probe entry) finishes or unwinds it - under that
-    function's one-process-per-index_dir contract.
+def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
+                        max_buckets_per_firing: int = 128) -> bool:
+    """Append-path auto-compaction (r15; pause BOUNDED r18): every
+    ``kept/`` bucket dir past ``max_files_per_bucket`` parquet files
+    (appends grow one file per touched dir) rewrites to one file - but
+    at most ``max_buckets_per_firing`` buckets per firing, worst
+    (most-fragmented) first, so the in-line pause is capped at
+    ~cap/num_buckets of a full rewrite. The r17-measured unbounded form
+    paid O(residents) in-line - 210.9 s vs a 41-45 s flat band at 2.8M
+    residents, growing with the index - while this form's amortized cost
+    is identical: overflow buckets keep their files and lead the next
+    firing. Buckets NOT selected hardlink into the replacement tree
+    (O(1) metadata per file, zero byte copy - tmp is a same-FS sibling),
+    preserving the whole-tree two-rename swap and ``_heal_kept_swap``'s
+    exact state machine: the replacement tree is COMPLETE before the
+    first rename, every torn state rolls forward or back, admit parity
+    pytest-pinned. Local-FS policy under that function's
+    one-process-per-index_dir contract (the 100 TB form is metastore
+    OPTIMIZE, which bounds the same way: per-file-group rewrite).
     Returns True iff a compaction ran."""
     import os
     import shutil
@@ -470,15 +480,23 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int) -> boo
     kept = os.path.join(index_dir, "kept")
     if not os.path.isdir(kept):  # non-local index dir: policy no-ops
         return False
-    counts = [sum(f.endswith(".parquet") for f in fs)
-              for _, _, fs in os.walk(kept)]
-    nfiles, ndirs = sum(counts), sum(c > 0 for c in counts)
-    if not ndirs or nfiles <= max_files_per_bucket * ndirs:
+    buckets = {os.path.relpath(r, kept): pq for r, _, fs in os.walk(kept)
+               if (pq := [f for f in fs if f.endswith(".parquet")])}
+    over = sorted((b for b in buckets if len(buckets[b]) > max_files_per_bucket),
+                  key=lambda b: -len(buckets[b]))
+    if not over:
         return False
-    from ..streaming.sinks import compact_partitions
-
+    rewrite = set(over[:max_buckets_per_firing])
     tmp, old = kept + "__compact", kept + "__old"
-    compact_partitions(spark, kept, tmp)
+    for b, fs in buckets.items():
+        src, dst = os.path.join(kept, b), os.path.join(tmp, b)
+        if b in rewrite:
+            spark.read.parquet(src).coalesce(1).write.mode(
+                "overwrite").parquet(dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+            for f in fs:
+                os.link(os.path.join(src, f), os.path.join(dst, f))
     os.rename(kept, old)  # swap; a real lakehouse swaps via metastore
     os.rename(tmp, kept)
     shutil.rmtree(old)
@@ -502,9 +520,9 @@ def lsh_dedup_incremental(
     at file listing, so dense batches pay touched dirs, never a whole scan),
     (c) candidates = band-bucket equi-join, verified by exact Jaccard on the
     inline shingle sets (never all-pairs), (d) admitted survivors' rows
-    append, and the layout self-heals: past an average of
-    ``compact_files_per_bucket`` files per bucket dir the append path
-    auto-compacts (``_maybe_compact_kept``; None disables).
+    append, and the layout self-heals: any bucket dir past
+    ``compact_files_per_bucket`` files auto-compacts, pause bounded
+    (``_maybe_compact_kept``; None disables).
     ``min_jaccard``/``shingle_n`` default from the build meta; a
     contradiction raises."""
     spark = batch.sparkSession
@@ -569,10 +587,11 @@ def lsh_index_member(batch: DataFrame, index_dir: str,
     if meta is None:
         raise ValueError(f"{index_dir}/meta is missing: not a built index")
     _heal_kept_swap(index_dir)  # like every kept/ reader (r16 review)
-    ids = (lsh_rows if lsh_rows is not None  # shared pass is checkpointed
-           else _lsh_rows(batch, text_col, int(meta["shingle_n"]),
-                          int(meta["num_buckets"])).localCheckpoint()
-           ).select("doc_id", "bkt")
+    ids = (lsh_rows.select("doc_id", "bkt")  # shared pass: already pinned
+           if lsh_rows is not None  # r17 ADVICE: recompute pins the NARROW
+           else _lsh_rows(batch, text_col, int(meta["shingle_n"]),  # form -
+           int(meta["num_buckets"]))  # never the wide shingle-set arrays
+           .select("doc_id", "bkt").localCheckpoint())
     bkts = sorted(r[0] for r in ids.select("bkt").distinct().collect())
     kept_ids = spark.read.schema(
         "doc_id long, band int, bucket string, sh array<string>, bkt int"
@@ -987,6 +1006,7 @@ def semantic_index_member(batch: DataFrame, index_dir: str,
                           id_col: str | None = None,
                           vec_col: str = "embedding",
                           codes_col: str | None = None,
+                          amax_col: str = "__amax",
                           assigned: DataFrame | None = None) -> DataFrame:
     """Replay-deterministic admitted set for a batch ALREADY applied to the
     semantic index (the ``lsh_index_member`` analog): batch ids RESIDENT in
@@ -1008,7 +1028,9 @@ def semantic_index_member(batch: DataFrame, index_dir: str,
     if assigned is None:
         cents = spark.read.parquet(f"{index_dir}/centroids")
         num_cells = meta["num_cells"] if meta is not None else cents.count()
-        codes = (batch.select(id_col, F.col(codes_col).alias("__q8"), "__amax")
+        codes = (batch.select(id_col, F.col(codes_col).alias("__q8"),
+                              F.col(amax_col).alias("__amax"))  # r17 ADVICE:
+                 # amax_col threads like codes_col (was a '__amax' hardcode)
                  if codes_col is not None else sq8_encode(batch, id_col, vec_col))
         assigned = assign_cells(codes, cents, num_cells, id_col=id_col,
                                 codes_col="__q8").localCheckpoint()

@@ -315,9 +315,11 @@ def assign_cells(
     # routing_sizes (r16, A/B knob): override the level-size ladder (always
     # topped by C; levels are id prefixes; default = the oracle's cbrt descent)
     if routing_sizes is not None and (not routing_sizes or not all(
-            type(s) is int and 0 < s <= num_cells for s in routing_sizes)):
-        # non-empty + strictly int (r17 ADVICE): a float/bool passes a bare
-        # range check then breaks numpy slicing; [] silently routes flat
+            isinstance(s, (int, np.integer)) and not isinstance(s, bool)
+            and 0 < s <= num_cells for s in routing_sizes)):
+        # non-empty + integral-not-bool (r17 ADVICE, widened r18): floats/
+        # bools break numpy slicing / silently misroute, but np.int64 - a
+        # numpy-computed ladder's natural dtype - slices fine and must pass
         raise ValueError(f"routing_sizes must be non-empty ints in (0, {num_cells}]")
     sizes = (sorted({*routing_sizes, num_cells}) if routing_sizes is not None
              else sorted({g1, min(num_cells, g1 * g1), num_cells}))

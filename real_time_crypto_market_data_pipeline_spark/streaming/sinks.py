@@ -733,7 +733,8 @@ def start_lsh_dedup_sink(
 
 def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
                                 checkpoint: str, vec_col: str = "embedding",
-                                codes_col: str | None = None):
+                                codes_col: str | None = None,
+                                amax_col: str = "__amax"):
     """The foreachBatch body of :func:`start_semantic_dedup_sink` - the
     LSH writer's discipline verbatim (r17, completing the X2 twin
     family): the checkpoint-bound ``_last_epoch`` marker gates the
@@ -741,8 +742,8 @@ def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
     output derives from ``semantic_index_member`` (a replayed probe
     collapses to EMPTY at cosine 1.0, membership rescues); a fresh epoch
     hands the probe's materialized assignment to the membership scan (one
-    assign pass per epoch). ``codes_col`` takes the ingest wire (float
-    never read), mirroring the batch probe."""
+    assign pass per epoch). ``codes_col``/``amax_col`` take the ingest
+    wire (float never read), mirroring the batch probe."""
     import os
 
     from ..operators.dedup import (semantic_dedup_incremental,
@@ -761,15 +762,15 @@ def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
         if not applied:  # advance the seen-set exactly once per epoch
             assigned = semantic_dedup_incremental(
                 batch_df, index_dir, vec_col=vec_col,
-                codes_col=codes_col).assigned_cells
+                codes_col=codes_col, amax_col=amax_col).assigned_cells
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(f"{checkpoint}\n{epoch_id}")
             os.replace(tmp, marker)
         semantic_index_member(
             batch_df, index_dir, vec_col=vec_col, codes_col=codes_col,
-            assigned=assigned).write.mode("overwrite").parquet(
-            os.path.join(admitted_dir, f"epoch={epoch_id}"))
+            amax_col=amax_col, assigned=assigned).write.mode(
+            "overwrite").parquet(os.path.join(admitted_dir, f"epoch={epoch_id}"))
 
     return write_batch
 
@@ -777,7 +778,7 @@ def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
 def start_semantic_dedup_sink(
     embs: DataFrame, index_dir: str, admitted_dir: str, checkpoint: str,
     vec_col: str = "embedding", codes_col: str | None = None,
-    trigger_seconds: float = 1.0,
+    amax_col: str = "__amax", trigger_seconds: float = 1.0,
 ) -> StreamingQuery:
     """X2 (streaming twin of ``semantic_dedup_incremental``, r17):
     continuous embedding dedup as a microbatch sink over a persisted
@@ -786,7 +787,8 @@ def start_semantic_dedup_sink(
     replay idempotence: pytest-pinned (the LSH twin's battery, mirrored)."""
     return (embs.writeStream.outputMode("append")
             .foreachBatch(semantic_dedup_batch_writer(
-                index_dir, admitted_dir, checkpoint, vec_col, codes_col))
+                index_dir, admitted_dir, checkpoint, vec_col, codes_col,
+                amax_col))
             .option("checkpointLocation", checkpoint)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start())

@@ -969,3 +969,12 @@ def test_assign_cells_routing_sizes_knob(emb):
     two = S.assign_cells(emb, cents, C, routing_sizes=[3]).collect()
     assert len(two) == emb.count()
     assert all(0 <= r.cell_id < C for r in two)
+    import numpy as np
+
+    npl = {(r.vec_id, r.cell_id) for r in S.assign_cells(  # r17 ADVICE: a
+        emb, cents, C,  # numpy-computed ladder (np.int64) must validate
+        routing_sizes=list(np.array([g1, min(C, g1 * g1)]))).collect()}
+    assert npl == dflt
+    for bad in ([], [0], [C + 1], [True], [2.0], [np.float64(2.0)]):
+        with pytest.raises(ValueError, match="routing_sizes"):
+            S.assign_cells(emb, cents, C, routing_sizes=bad)
