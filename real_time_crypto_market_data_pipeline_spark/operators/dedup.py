@@ -507,6 +507,7 @@ def lsh_dedup_incremental(
     batch: DataFrame, index_dir: str, text_col: str = "text",
     min_jaccard: float | None = None, update_index: bool = True,
     compact_files_per_bucket: int | None = 8,
+    compact_buckets_per_firing: int = 128,
 ) -> DataFrame:
     """Batch-over-time near-dup text dedup (the r13 mirror of
     ``semantic_dedup_incremental``): admit only batch docs that verify as
@@ -521,7 +522,8 @@ def lsh_dedup_incremental(
     (c) candidates = band-bucket equi-join, verified by exact Jaccard on the
     inline shingle sets (never all-pairs), (d) admitted survivors' rows
     append, and the layout self-heals: any bucket dir past
-    ``compact_files_per_bucket`` files auto-compacts, pause bounded
+    ``compact_files_per_bucket`` files auto-compacts, pause bounded to
+    ``compact_buckets_per_firing`` worst-first bucket rewrites
     (``_maybe_compact_kept``; None disables).
     ``min_jaccard``/``shingle_n`` default from the build meta; a
     contradiction raises."""
@@ -561,7 +563,8 @@ def lsh_dedup_incremental(
         bt.join(admitted, "doc_id", "left_semi").repartition("bkt").write.mode(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
         if compact_files_per_bucket is not None:
-            _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
+            _maybe_compact_kept(spark, index_dir, compact_files_per_bucket,
+                                compact_buckets_per_firing)
     admitted.lsh_rows = bt  # share the materialized batch pass (r17): the
     return admitted  # sink's lsh_index_member reuses it - one pass per epoch
 
@@ -915,6 +918,7 @@ def semantic_dedup_incremental(
     update_index: bool = True, checkpoint_dir: str | None = None,
     codes_col: str | None = None, amax_col: str = "__amax",
     compact_files_per_bucket: int | None = 8,
+    compact_buckets_per_firing: int = 128,
 ) -> DataFrame:
     """Batch-over-time SemDeDup: admit only batch vectors NOT within
     ``threshold`` of a kept (index) vector or an earlier (lower-id) vector of
@@ -936,7 +940,8 @@ def semantic_dedup_incremental(
     the meta raises - incl. an explicit 'vec_id' vs a differently-keyed index
     (r14: None is the from-meta sentinel, not the string default). The
     append path self-heals its layout like the LSH twin (r15):
-    ``compact_files_per_bucket`` gates ``_maybe_compact_kept``."""
+    ``compact_files_per_bucket`` gates ``_maybe_compact_kept``,
+    ``compact_buckets_per_firing`` caps each firing's rewrite slice."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
@@ -997,7 +1002,8 @@ def semantic_dedup_incremental(
         ).repartition("bkt").write.mode(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
         if compact_files_per_bucket is not None:
-            _maybe_compact_kept(spark, index_dir, compact_files_per_bucket)
+            _maybe_compact_kept(spark, index_dir, compact_files_per_bucket,
+                                compact_buckets_per_firing)
     admitted.assigned_cells = assigned  # share the materialized assign pass
     return admitted  # (r17): the sink's semantic_index_member reuses it
 

@@ -2024,3 +2024,29 @@ def test_compaction_firing_pause_bounded_per_bucket(spark, tmp_path):
     assert rows() == before
     # nothing over threshold left: the policy no-ops
     assert not D._maybe_compact_kept(spark, str(idx), 1, max_buckets_per_firing=1)
+
+
+def test_incremental_probes_thread_firing_cap(spark, tmp_path, monkeypatch):
+    """r18: the per-firing rewrite cap is a PUBLIC knob on both
+    incremental probes (pause-vs-frequency tuning must not require
+    reaching into the private compactor), and it arrives intact."""
+    seen = []
+    real = D._maybe_compact_kept
+    monkeypatch.setattr(
+        D, "_maybe_compact_kept",
+        lambda sp, d, m, cap=128: seen.append(cap) or real(sp, d, m, cap))
+    idx = str(tmp_path / "lsh")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    D.lsh_dedup_incremental(_docs(spark, [(10, _ctext(10))]), idx,
+                            compact_files_per_bucket=1,
+                            compact_buckets_per_firing=7).count()
+    sidx = str(tmp_path / "sem")
+    D.semantic_index_build(spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        sidx, num_cells=8, threshold=0.9)
+    D.semantic_dedup_incremental(
+        spark.createDataFrame([(20, _mix(0, 1))],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        sidx, threshold=0.9, compact_files_per_bucket=1,
+        compact_buckets_per_firing=9).count()
+    assert seen == [7, 9]
