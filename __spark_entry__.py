@@ -24,33 +24,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-18 allocation: (1) the 31 r15-evidence queries (oldest, age 2;
-# tools/selfcheck.py --evidence-age pins the set); (2) round-18
-# changed-code re-checks: both jaccard forms (release handle now
-# targets the checkpointed base frame, not the max_df Join rebinding),
-# both incremental probes (bounded per-bucket compaction firing;
-# amax_col parity through member + sink), q_semdedup + the ANN trio
-# (assign_cells routing_sizes now admits numpy integers); (3)
-# r16-evidence fill in registry order to 50 - the rest leads round 19.
+# Round-19 allocation: (1) the 34 r16-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set); (2) round-19
+# changed-code re-checks: both incremental probes (byte-budgeted
+# compaction firing slice - _maybe_compact_kept gains
+# max_bytes_per_firing, both probes thread compact_bytes_per_firing);
+# (3) r17-evidence fill in registry order to 50 - the rest leads
+# round 20.
 _PRIORITY = [
-    # --- 1: r15-evidence cohort (31; age-2 per the ledger, registry order) ---
-    "q_correlation", "q_null_guard", "q_try_cast", "q_struct_project",
-    "q_lag_diff", "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
-    "q_dedup_embed", "q_cosine_topk", "q_cosine_topk_arrow_highdim",
-    "q_token_stats", "q_quality_score", "q_tfidf", "q_scrub_text",
-    "q_dedup_clusters", "q_sketch_distinct", "q_tpch_q1", "q_topk_per_group",
-    "q_tpch_q6", "q_supplier_region", "q_part_brand_stats", "q_tpch_q5",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q2", "q_tpch_q3",
-    "q_tpch_q4", "q_tpch_q9", "q_profile_columns",
-    # --- 2: code changed in round 18 (df-capped release handle, bounded
-    #        compactor, amax_col threading, numpy routing_sizes) ---
-    "q_dedup_jaccard", "q_dedup_jaccard_pruned", "q_dedup_near_incremental",
-    "q_semdedup_incremental", "q_semdedup", "q_ann_ivf", "q_ann_ivf_kmeans",
-    "q_ann_recall",
-    # --- 3: r16-evidence fill to 50, registry order ---
-    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
-    "q_funnel", "q_retention_cohort", "q_session_stats", "q_json_decode",
-    "q_invariant_check", "q_filter_isin", "q_channel_split",
+    # --- 1: r16-evidence cohort (34; age-2 per the ledger, registry order) ---
+    "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
+    "q_spread", "q_date_partition", "q_to_json", "q_format_string",
+    "q_having_gate", "q_csv_snapshot", "q_dedup_exact", "q_dedup_near_pairs",
+    "q_dedup_simhash_pairs", "q_corpus_prep", "q_decontaminate",
+    "q_decontaminate_bloom", "q_dedup_lsh_jaccard", "q_dedup_retention",
+    "q_boilerplate", "q_dedup_incremental", "q_filter_funnel",
+    "q_join_enrich", "q_order_revenue_topk", "q_tpch_q12", "q_tpch_q14",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_window_variety",
+    # --- 2: code changed in round 19 (byte-budgeted compaction slice) ---
+    "q_dedup_near_incremental", "q_semdedup_incremental",
+    # --- 3: r17-evidence fill to 50, registry order ---
+    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
+    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
+    "q_drawdown", "q_interval_join", "q_latency_cols", "q_percentiles",
+    "q_zero_rate",
 ]
 
 

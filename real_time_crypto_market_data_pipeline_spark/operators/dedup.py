@@ -454,28 +454,42 @@ def _heal_kept_swap(index_dir: str) -> None:
 
 
 def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
-                        max_buckets_per_firing: int = 128) -> bool:
-    """Append-path auto-compaction (r15; pause BOUNDED r18): every
-    ``kept/`` bucket dir past ``max_files_per_bucket`` parquet files
-    (appends grow one file per touched dir) rewrites to one file - but
-    at most ``max_buckets_per_firing`` buckets per firing, worst
-    (most-fragmented) first, so the in-line pause is capped at
-    ~cap/num_buckets of a full rewrite. The r17-measured unbounded form
-    paid O(residents) in-line - 210.9 s vs a 41-45 s flat band at 2.8M
-    residents, growing with the index - while this form's amortized cost
-    is identical: overflow buckets keep their files and lead the next
-    firing. Buckets NOT selected hardlink into the replacement tree
+                        max_buckets_per_firing: int = 128,
+                        max_bytes_per_firing: int | None = 256 << 20) -> bool:
+    """Append-path auto-compaction (r15; pause BOUNDED r18,
+    index-size-INDEPENDENT r19): every ``kept/`` bucket dir past
+    ``max_files_per_bucket`` parquet files (appends grow one file per
+    touched dir) qualifies; worst (most-fragmented) first, a firing
+    selects buckets to rewrite until ``max_bytes_per_firing`` input
+    bytes are reached (the worst bucket ALWAYS rewrites, so progress is
+    guaranteed even when it alone exceeds the budget) or
+    ``max_buckets_per_firing`` buckets, whichever binds first. The byte
+    budget is the true pause bound: a bucket-count cap alone prices a
+    firing at ~cap x residents/num_buckets - still linear in index size
+    at fixed fan-out (the r18 form) - while the byte budget holds the
+    slice flat at ANY resident count; overflow buckets keep their files
+    and lead the next firing, so the amortized cost is unchanged (a
+    budget below the append rate just carries fragmentation debt
+    forward - SCALING.md r19 sizing note). The r17-measured unbounded
+    form paid O(residents) in-line: 210.9 s vs a 41-45 s flat band at
+    2.8M residents. Buckets NOT selected hardlink into the replacement tree
     (O(1) metadata per file, zero byte copy - tmp is a same-FS sibling),
     preserving the whole-tree two-rename swap and ``_heal_kept_swap``'s
     exact state machine: the replacement tree is COMPLETE before the
     first rename, every torn state rolls forward or back, admit parity
     pytest-pinned. Local-FS policy under that function's
     one-process-per-index_dir contract (the 100 TB form is metastore
-    OPTIMIZE, which bounds the same way: per-file-group rewrite).
-    Returns True iff a compaction ran."""
+    OPTIMIZE, which bounds the same way: byte-budgeted file-group
+    rewrite). Returns True iff a compaction ran."""
     import os
     import shutil
 
+    if max_buckets_per_firing < 1:  # r18 ADVICE: <= 0 degenerated into a
+        raise ValueError(  # whole-tree hardlink churn that compacted nothing
+            f"max_buckets_per_firing must be >= 1, got {max_buckets_per_firing}")
+    if max_bytes_per_firing is not None and max_bytes_per_firing < 1:
+        raise ValueError("max_bytes_per_firing must be >= 1 or None, "
+                         f"got {max_bytes_per_firing}")
     _heal_kept_swap(index_dir)
     kept = os.path.join(index_dir, "kept")
     if not os.path.isdir(kept):  # non-local index dir: policy no-ops
@@ -483,10 +497,17 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
     buckets = {os.path.relpath(r, kept): pq for r, _, fs in os.walk(kept)
                if (pq := [f for f in fs if f.endswith(".parquet")])}
     over = sorted((b for b in buckets if len(buckets[b]) > max_files_per_bucket),
-                  key=lambda b: -len(buckets[b]))
+                  key=lambda b: (-len(buckets[b]), b))
     if not over:
         return False
-    rewrite = set(over[:max_buckets_per_firing])
+    rewrite, spent = set(), 0
+    for b in over[:max_buckets_per_firing]:
+        if rewrite and max_bytes_per_firing is not None \
+                and spent >= max_bytes_per_firing:
+            break  # budget spent: the rest keep their files, lead next firing
+        rewrite.add(b)
+        spent += sum(os.path.getsize(os.path.join(kept, b, f))
+                     for f in buckets[b])
     tmp, old = kept + "__compact", kept + "__old"
     for b, fs in buckets.items():
         src, dst = os.path.join(kept, b), os.path.join(tmp, b)
@@ -508,6 +529,7 @@ def lsh_dedup_incremental(
     min_jaccard: float | None = None, update_index: bool = True,
     compact_files_per_bucket: int | None = 8,
     compact_buckets_per_firing: int = 128,
+    compact_bytes_per_firing: int | None = 256 << 20,
 ) -> DataFrame:
     """Batch-over-time near-dup text dedup (the r13 mirror of
     ``semantic_dedup_incremental``): admit only batch docs that verify as
@@ -523,7 +545,8 @@ def lsh_dedup_incremental(
     inline shingle sets (never all-pairs), (d) admitted survivors' rows
     append, and the layout self-heals: any bucket dir past
     ``compact_files_per_bucket`` files auto-compacts, pause bounded to
-    ``compact_buckets_per_firing`` worst-first bucket rewrites
+    ``compact_bytes_per_firing`` input bytes of worst-first bucket
+    rewrites, at most ``compact_buckets_per_firing`` buckets
     (``_maybe_compact_kept``; None disables).
     ``min_jaccard``/``shingle_n`` default from the build meta; a
     contradiction raises."""
@@ -564,7 +587,8 @@ def lsh_dedup_incremental(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
         if compact_files_per_bucket is not None:
             _maybe_compact_kept(spark, index_dir, compact_files_per_bucket,
-                                compact_buckets_per_firing)
+                                compact_buckets_per_firing,
+                                compact_bytes_per_firing)
     admitted.lsh_rows = bt  # share the materialized batch pass (r17): the
     return admitted  # sink's lsh_index_member reuses it - one pass per epoch
 
@@ -919,6 +943,7 @@ def semantic_dedup_incremental(
     codes_col: str | None = None, amax_col: str = "__amax",
     compact_files_per_bucket: int | None = 8,
     compact_buckets_per_firing: int = 128,
+    compact_bytes_per_firing: int | None = 256 << 20,
 ) -> DataFrame:
     """Batch-over-time SemDeDup: admit only batch vectors NOT within
     ``threshold`` of a kept (index) vector or an earlier (lower-id) vector of
@@ -940,8 +965,9 @@ def semantic_dedup_incremental(
     the meta raises - incl. an explicit 'vec_id' vs a differently-keyed index
     (r14: None is the from-meta sentinel, not the string default). The
     append path self-heals its layout like the LSH twin (r15):
-    ``compact_files_per_bucket`` gates ``_maybe_compact_kept``,
-    ``compact_buckets_per_firing`` caps each firing's rewrite slice."""
+    ``compact_files_per_bucket`` gates ``_maybe_compact_kept``;
+    ``compact_bytes_per_firing``/``compact_buckets_per_firing`` bound
+    each firing's rewrite slice."""
     import numpy as np
 
     from .similarity import _q8_mat, assign_cells, sq8_encode
@@ -1003,7 +1029,8 @@ def semantic_dedup_incremental(
             "append").partitionBy("bkt").parquet(f"{index_dir}/kept")
         if compact_files_per_bucket is not None:
             _maybe_compact_kept(spark, index_dir, compact_files_per_bucket,
-                                compact_buckets_per_firing)
+                                compact_buckets_per_firing,
+                                compact_bytes_per_firing)
     admitted.assigned_cells = assigned  # share the materialized assign pass
     return admitted  # (r17): the sink's semantic_index_member reuses it
 

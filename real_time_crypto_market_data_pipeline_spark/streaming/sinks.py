@@ -668,7 +668,10 @@ def read_ohlc_rollup(
 
 
 def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
-                           text_col: str = "text"):
+                           text_col: str = "text",
+                           compact_files_per_bucket: int | None = 8,
+                           compact_buckets_per_firing: int = 128,
+                           compact_bytes_per_firing: int | None = 256 << 20):
     """The foreachBatch body of :func:`start_lsh_dedup_sink`, exposed for
     direct testing of its crash/replay discipline (the exact-layout JSONL
     sink precedent).
@@ -703,7 +706,10 @@ def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
             pass
         if not applied:  # advance the seen-set exactly once per epoch
             rows = lsh_dedup_incremental(
-                batch_df, index_dir, text_col=text_col).lsh_rows
+                batch_df, index_dir, text_col=text_col,
+                compact_files_per_bucket=compact_files_per_bucket,
+                compact_buckets_per_firing=compact_buckets_per_firing,
+                compact_bytes_per_firing=compact_bytes_per_firing).lsh_rows
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(f"{checkpoint}\n{epoch_id}")
@@ -717,15 +723,22 @@ def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
 def start_lsh_dedup_sink(
     docs: DataFrame, index_dir: str, admitted_dir: str, checkpoint: str,
     text_col: str = "text", trigger_seconds: float = 1.0,
+    compact_files_per_bucket: int | None = 8,
+    compact_buckets_per_firing: int = 128,
+    compact_bytes_per_firing: int | None = 256 << 20,
 ) -> StreamingQuery:
     """X2 (streaming twin of ``lsh_dedup_incremental``, r16): near-dup
     text dedup as a microbatch sink over a persisted ``lsh_index_build``
     index. Each microbatch probes + advances the index; admitted ids land
     under ``{admitted_dir}/epoch=N/``. Streaming==batch admit parity and
-    replay idempotence are pytest-pinned."""
+    replay idempotence are pytest-pinned. The ``compact_*`` knobs reach
+    the probe verbatim (r19: firing cadence/slice/disable are tunable
+    from the sink API, not only by bypassing it)."""
     return (docs.writeStream.outputMode("append")
             .foreachBatch(lsh_dedup_batch_writer(
-                index_dir, admitted_dir, checkpoint, text_col))
+                index_dir, admitted_dir, checkpoint, text_col,
+                compact_files_per_bucket, compact_buckets_per_firing,
+                compact_bytes_per_firing))
             .option("checkpointLocation", checkpoint)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start())
@@ -734,7 +747,10 @@ def start_lsh_dedup_sink(
 def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
                                 checkpoint: str, vec_col: str = "embedding",
                                 codes_col: str | None = None,
-                                amax_col: str = "__amax"):
+                                amax_col: str = "__amax",
+                                compact_files_per_bucket: int | None = 8,
+                                compact_buckets_per_firing: int = 128,
+                                compact_bytes_per_firing: int | None = 256 << 20):
     """The foreachBatch body of :func:`start_semantic_dedup_sink` - the
     LSH writer's discipline verbatim (r17, completing the X2 twin
     family): the checkpoint-bound ``_last_epoch`` marker gates the
@@ -762,7 +778,10 @@ def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
         if not applied:  # advance the seen-set exactly once per epoch
             assigned = semantic_dedup_incremental(
                 batch_df, index_dir, vec_col=vec_col,
-                codes_col=codes_col, amax_col=amax_col).assigned_cells
+                codes_col=codes_col, amax_col=amax_col,
+                compact_files_per_bucket=compact_files_per_bucket,
+                compact_buckets_per_firing=compact_buckets_per_firing,
+                compact_bytes_per_firing=compact_bytes_per_firing).assigned_cells
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(f"{checkpoint}\n{epoch_id}")
@@ -779,16 +798,21 @@ def start_semantic_dedup_sink(
     embs: DataFrame, index_dir: str, admitted_dir: str, checkpoint: str,
     vec_col: str = "embedding", codes_col: str | None = None,
     amax_col: str = "__amax", trigger_seconds: float = 1.0,
+    compact_files_per_bucket: int | None = 8,
+    compact_buckets_per_firing: int = 128,
+    compact_bytes_per_firing: int | None = 256 << 20,
 ) -> StreamingQuery:
     """X2 (streaming twin of ``semantic_dedup_incremental``, r17):
     continuous embedding dedup as a microbatch sink over a persisted
     ``semantic_index_build`` index. Each microbatch probes + advances the
     index; admitted ids land under ``{admitted_dir}/epoch=N/``. Parity,
-    replay idempotence: pytest-pinned (the LSH twin's battery, mirrored)."""
+    replay idempotence: pytest-pinned (the LSH twin's battery, mirrored).
+    The ``compact_*`` knobs reach the probe verbatim (r19)."""
     return (embs.writeStream.outputMode("append")
             .foreachBatch(semantic_dedup_batch_writer(
                 index_dir, admitted_dir, checkpoint, vec_col, codes_col,
-                amax_col))
+                amax_col, compact_files_per_bucket,
+                compact_buckets_per_firing, compact_bytes_per_firing))
             .option("checkpointLocation", checkpoint)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start())

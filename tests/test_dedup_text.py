@@ -2027,19 +2027,21 @@ def test_compaction_firing_pause_bounded_per_bucket(spark, tmp_path):
 
 
 def test_incremental_probes_thread_firing_cap(spark, tmp_path, monkeypatch):
-    """r18: the per-firing rewrite cap is a PUBLIC knob on both
-    incremental probes (pause-vs-frequency tuning must not require
-    reaching into the private compactor), and it arrives intact."""
+    """r18/r19: the per-firing rewrite cap AND byte budget are PUBLIC
+    knobs on both incremental probes (pause-vs-frequency tuning must not
+    require reaching into the private compactor), arriving intact."""
     seen = []
     real = D._maybe_compact_kept
     monkeypatch.setattr(
         D, "_maybe_compact_kept",
-        lambda sp, d, m, cap=128: seen.append(cap) or real(sp, d, m, cap))
+        lambda sp, d, m, cap=128, budget=256 << 20:
+        seen.append((cap, budget)) or real(sp, d, m, cap, budget))
     idx = str(tmp_path / "lsh")
     D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
     D.lsh_dedup_incremental(_docs(spark, [(10, _ctext(10))]), idx,
                             compact_files_per_bucket=1,
-                            compact_buckets_per_firing=7).count()
+                            compact_buckets_per_firing=7,
+                            compact_bytes_per_firing=70_000).count()
     sidx = str(tmp_path / "sem")
     D.semantic_index_build(spark.createDataFrame(
         [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>"),
@@ -2048,5 +2050,108 @@ def test_incremental_probes_thread_firing_cap(spark, tmp_path, monkeypatch):
         spark.createDataFrame([(20, _mix(0, 1))],
                               "vec_id LONG, embedding ARRAY<DOUBLE>"),
         sidx, threshold=0.9, compact_files_per_bucket=1,
-        compact_buckets_per_firing=9).count()
-    assert seen == [7, 9]
+        compact_buckets_per_firing=9, compact_bytes_per_firing=None).count()
+    assert seen == [(7, 70_000), (9, None)]
+
+
+def test_compact_rejects_nonpositive_firing_bounds(spark, tmp_path):
+    """r18 ADVICE: max_buckets_per_firing <= 0 used to hardlink the
+    whole tree and swap it on EVERY firing while compacting nothing -
+    permanent no-progress churn. Both firing bounds now validate before
+    any tree is built (byte budget: None disables, 0/-1 are config
+    errors)."""
+    idx = tmp_path / "idx"
+    (idx / "kept").mkdir(parents=True)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_buckets_per_firing"):
+            D._maybe_compact_kept(spark, str(idx), 1,
+                                  max_buckets_per_firing=bad)
+        with pytest.raises(ValueError, match="max_bytes_per_firing"):
+            D._maybe_compact_kept(spark, str(idx), 1,
+                                  max_bytes_per_firing=bad)
+
+
+def test_compaction_firing_byte_budget_bounds_slice(spark, tmp_path):
+    """r19 (verdict item 2): the firing slice is bounded by INPUT BYTES -
+    index-size-independent, unlike a bucket-count cap (~cap x
+    residents/num_buckets at fixed fan-out). Worst-first buckets rewrite
+    until the budget is spent; the worst bucket ALWAYS rewrites
+    (progress even when it alone exceeds the budget); the rest keep
+    their files and lead the next firing. Rows byte-identical."""
+    import glob
+    import os
+
+    idx = tmp_path / "idx"
+    kept = idx / "kept"
+    for b, nf in [(0, 4), (1, 3), (2, 2)]:
+        for j in range(nf):
+            spark.createDataFrame([(b * 10 + j,)], "doc_id long").coalesce(
+                1).write.mode("append").parquet(str(kept / f"bkt={b}"))
+    rows = lambda: {(r.doc_id, r.bkt) for r in  # noqa: E731
+                    spark.read.parquet(str(kept)).collect()}
+    nfiles = lambda b: len(glob.glob(str(kept / f"bkt={b}" / "*.parquet")))  # noqa: E731
+    before = rows()
+    b0 = sum(os.path.getsize(f)
+             for f in glob.glob(str(kept / "bkt=0" / "*.parquet")))
+    # budget == worst-bucket bytes: bkt=0 rewrites, spent >= budget stops bkt=1
+    assert D._maybe_compact_kept(spark, str(idx), 1, max_bytes_per_firing=b0)
+    assert (nfiles(0), nfiles(1), nfiles(2)) == (1, 3, 2)
+    assert rows() == before
+    # sub-bucket budget: the carried-over worst (bkt=1) still rewrites
+    assert D._maybe_compact_kept(spark, str(idx), 1, max_bytes_per_firing=1)
+    assert (nfiles(0), nfiles(1), nfiles(2)) == (1, 1, 2)
+    # None disables the budget: the remainder compacts in one firing
+    assert D._maybe_compact_kept(spark, str(idx), 1, max_bytes_per_firing=None)
+    assert (nfiles(0), nfiles(1), nfiles(2)) == (1, 1, 1)
+    assert rows() == before
+    assert not D._maybe_compact_kept(spark, str(idx), 1)  # steady state
+
+
+def test_dedup_sinks_thread_compaction_knobs(spark, tmp_path, monkeypatch):
+    """r19 (verdict item 3): the compaction knobs are PUBLIC on both
+    streaming twins - compact_files_per_bucket=None disables compaction
+    through the sink API (the compactor never fires) with admit parity
+    intact, and a custom cap/budget reaches the compactor verbatim."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    seen = []
+    real = D._maybe_compact_kept
+    monkeypatch.setattr(
+        D, "_maybe_compact_kept",
+        lambda sp, d, m, cap=128, budget=256 << 20:
+        seen.append((m, cap, budget)) or real(sp, d, m, cap, budget))
+    idx = str(tmp_path / "lsh")
+    D.lsh_index_build(_docs(spark, [(0, _ctext(0))]), idx)
+    out = str(tmp_path / "adm")
+    K.lsh_dedup_batch_writer(idx, out, checkpoint="ck",
+                             compact_files_per_bucket=None)(
+        _docs(spark, [(10, _ctext(0)), (11, _ctext(1))]), 0)
+    assert seen == []  # None: disabled end-to-end, not defaulted back on
+    assert {r.doc_id for r in  # parity: 10 dups seed 0, 11 admits
+            spark.read.parquet(f"{out}/epoch=0").collect()} == {11}
+    K.lsh_dedup_batch_writer(idx, out, checkpoint="ck",
+                             compact_files_per_bucket=1,
+                             compact_buckets_per_firing=5,
+                             compact_bytes_per_firing=555)(
+        _docs(spark, [(12, _ctext(2))]), 1)
+    assert seen == [(1, 5, 555)]
+    sidx = str(tmp_path / "sem")
+    D.semantic_index_build(spark.createDataFrame(
+        [(i, _unit(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        sidx, num_cells=8, threshold=0.9)
+    sout = str(tmp_path / "sadm")
+    seen.clear()
+    vecs = spark.createDataFrame([(20, _unit(0)), (21, _mix(3, 4))],
+                                 "vec_id LONG, embedding ARRAY<DOUBLE>")
+    K.semantic_dedup_batch_writer(sidx, sout, checkpoint="ck",
+                                  compact_files_per_bucket=None)(vecs, 0)
+    assert seen == []
+    assert {r.vec_id for r in  # parity: 20 dups seed 0, 21 is a new mix
+            spark.read.parquet(f"{sout}/epoch=0").collect()} == {21}
+    K.semantic_dedup_batch_writer(sidx, sout, checkpoint="ck",
+                                  compact_files_per_bucket=1,
+                                  compact_buckets_per_firing=6,
+                                  compact_bytes_per_firing=666)(
+        spark.createDataFrame([(22, _mix(5, 6))],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>"), 1)
+    assert seen == [(1, 6, 666)]
