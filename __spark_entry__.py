@@ -24,32 +24,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-19 allocation: (1) the 34 r16-evidence queries (oldest, age 2;
-# tools/selfcheck.py --evidence-age pins the set); (2) round-19
-# changed-code re-checks: both incremental probes (byte-budgeted
-# compaction firing slice - _maybe_compact_kept gains
-# max_bytes_per_firing, both probes thread compact_bytes_per_firing);
-# (3) r17-evidence fill in registry order to 50 - the rest leads
-# round 20.
+# Round-20 allocation: (1) the 28 r17-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set); (2) round-20
+# changed-code re-checks: both incremental probes (compaction firing's
+# per-bucket sequential rewrites collapsed into one
+# repartition/partitionBy job); (3) r18-evidence fill in registry
+# order to 50.
 _PRIORITY = [
-    # --- 1: r16-evidence cohort (34; age-2 per the ledger, registry order) ---
-    "q_element_at", "q_explode", "q_array_transform", "q_best_levels",
-    "q_spread", "q_date_partition", "q_to_json", "q_format_string",
-    "q_having_gate", "q_csv_snapshot", "q_dedup_exact", "q_dedup_near_pairs",
-    "q_dedup_simhash_pairs", "q_corpus_prep", "q_decontaminate",
-    "q_decontaminate_bloom", "q_dedup_lsh_jaccard", "q_dedup_retention",
-    "q_boilerplate", "q_dedup_incremental", "q_filter_funnel",
-    "q_join_enrich", "q_order_revenue_topk", "q_tpch_q12", "q_tpch_q14",
-    "q_tpch_q15", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22",
-    "q_tpch_q11", "q_tpch_q20", "q_tpch_q21", "q_window_variety",
-    # --- 2: code changed in round 19 (byte-budgeted compaction slice) ---
+    # --- 1: r17-evidence cohort (28; age-2 per the ledger, registry order) ---
+    "q_count_by_key", "q_grouped_stats", "q_dedup_near",
+    "q_token_count_bpe", "q_lang_id", "q_repetition_stats",
+    "q_fingerprint", "q_media_summary", "q_media_features",
+    "q_chunk_documents", "q_pack_sequences", "q_corpus_split",
+    "q_corpus_sample", "q_ann_lsh_buckets", "q_mix_temperature",
+    "q_shuffle_shard", "q_quality_topp", "q_quantize_int8",
+    "q_tpch_q13", "q_tpch_q16", "q_first_last_value", "q_interval_count",
+    "q_ohlc_bars", "q_ohlc_rollup", "q_salted_stats", "q_merge_upsert",
+    "q_scd2_history", "q_pit_read",
+    # --- 2: code changed in round 20 (single-job compaction rewrite) ---
     "q_dedup_near_incremental", "q_semdedup_incremental",
-    # --- 3: r17-evidence fill to 50, registry order ---
-    "q_asof_join", "q_pivot", "q_rollup", "q_set_ops", "q_cube",
-    "q_semi_anti", "q_above_customer_avg", "q_twap", "q_rollup_merge",
-    "q_drawdown", "q_interval_join", "q_latency_cols", "q_percentiles",
-    "q_zero_rate",
+    # --- 3: r18-evidence fill to 50, registry order ---
+    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
+    "q_correlation", "q_funnel", "q_retention_cohort", "q_session_stats",
+    "q_json_decode", "q_invariant_check", "q_filter_isin", "q_null_guard",
+    "q_channel_split", "q_try_cast", "q_struct_project", "q_lag_diff",
+    "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
+    "q_dedup_jaccard",
 ]
+
+# A typo here would silently shift the driver-verified prefix (the
+# 'if k in QUERIES' guard below would drop it) — fail loud instead.
+_UNKNOWN = set(_PRIORITY) - set(QUERIES)
+if _UNKNOWN:
+    raise AssertionError(f"_PRIORITY names not in QUERIES: {sorted(_UNKNOWN)}")
+if len(_PRIORITY) != len(set(_PRIORITY)):
+    raise AssertionError("_PRIORITY contains duplicates")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -453,6 +453,20 @@ def _heal_kept_swap(index_dir: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def validate_compact_knobs(max_buckets_per_firing: int,
+                           max_bytes_per_firing: int | None) -> None:
+    """Firing bounds must be positive (r18 ADVICE: <= 0 degenerated into
+    whole-tree hardlink churn that compacted nothing). The dedup sink
+    factories call this too, so a bad knob raises at sink CONSTRUCTION
+    instead of as a repeated foreachBatch failure mid-stream (r19 ADVICE)."""
+    if max_buckets_per_firing < 1:
+        raise ValueError(
+            f"max_buckets_per_firing must be >= 1, got {max_buckets_per_firing}")
+    if max_bytes_per_firing is not None and max_bytes_per_firing < 1:
+        raise ValueError("max_bytes_per_firing must be >= 1 or None, "
+                         f"got {max_bytes_per_firing}")
+
+
 def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
                         max_buckets_per_firing: int = 128,
                         max_bytes_per_firing: int | None = 256 << 20) -> bool:
@@ -472,7 +486,18 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
     budget below the append rate just carries fragmentation debt
     forward - SCALING.md r19 sizing note). The r17-measured unbounded
     form paid O(residents) in-line: 210.9 s vs a 41-45 s flat band at
-    2.8M residents. Buckets NOT selected hardlink into the replacement tree
+    2.8M residents. REWRITE bytes are what the budget bounds; the
+    walk/hardlink/swap metadata overhead still scales with TOTAL file
+    count (carried fragmentation debt), so size the budget >= the
+    append rate per trigger to keep that term flat too (r19 ADVICE).
+    All selected buckets rewrite in ONE Spark job (r20): read the
+    selected ``bkt=`` dirs under a shared basePath, shuffle once on the
+    partition column, ``partitionBy`` into the replacement tree - one
+    file per bucket falls out of hash-partitioning on ``bkt``, and the
+    per-firing fixed cost stops scaling with the bucket cap (the r19
+    form submitted up to ``max_buckets_per_firing`` sequential
+    coalesce(1) jobs, ~3 s of scheduler overhead at 16 buckets).
+    Buckets NOT selected hardlink into the replacement tree
     (O(1) metadata per file, zero byte copy - tmp is a same-FS sibling),
     preserving the whole-tree two-rename swap and ``_heal_kept_swap``'s
     exact state machine: the replacement tree is COMPLETE before the
@@ -484,12 +509,7 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
     import os
     import shutil
 
-    if max_buckets_per_firing < 1:  # r18 ADVICE: <= 0 degenerated into a
-        raise ValueError(  # whole-tree hardlink churn that compacted nothing
-            f"max_buckets_per_firing must be >= 1, got {max_buckets_per_firing}")
-    if max_bytes_per_firing is not None and max_bytes_per_firing < 1:
-        raise ValueError("max_bytes_per_firing must be >= 1 or None, "
-                         f"got {max_bytes_per_firing}")
+    validate_compact_knobs(max_buckets_per_firing, max_bytes_per_firing)
     _heal_kept_swap(index_dir)
     kept = os.path.join(index_dir, "kept")
     if not os.path.isdir(kept):  # non-local index dir: policy no-ops
@@ -509,15 +529,21 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
         spent += sum(os.path.getsize(os.path.join(kept, b, f))
                      for f in buckets[b])
     tmp, old = kept + "__compact", kept + "__old"
+    # ONE job for every selected bucket (both kept/ writers guarantee the
+    # single-level bkt= Hive layout): basePath recovers bkt as a partition
+    # column, the hash shuffle on it puts each bucket in one task, and
+    # partitionBy re-emits the same bkt= dirs - one file per bucket.
+    spark.read.option("basePath", kept).parquet(
+        *(os.path.join(kept, b) for b in sorted(rewrite))
+    ).repartition("bkt").write.mode("overwrite").partitionBy(
+        "bkt").parquet(tmp)
     for b, fs in buckets.items():
-        src, dst = os.path.join(kept, b), os.path.join(tmp, b)
         if b in rewrite:
-            spark.read.parquet(src).coalesce(1).write.mode(
-                "overwrite").parquet(dst)
-        else:
-            os.makedirs(dst, exist_ok=True)
-            for f in fs:
-                os.link(os.path.join(src, f), os.path.join(dst, f))
+            continue
+        src, dst = os.path.join(kept, b), os.path.join(tmp, b)
+        os.makedirs(dst, exist_ok=True)
+        for f in fs:
+            os.link(os.path.join(src, f), os.path.join(dst, f))
     os.rename(kept, old)  # swap; a real lakehouse swaps via metastore
     os.rename(tmp, kept)
     shutil.rmtree(old)

@@ -692,8 +692,12 @@ def lsh_dedup_batch_writer(index_dir: str, admitted_dir: str, checkpoint: str,
     only torn-epoch REPLAYS (applied marker, no live probe) recompute."""
     import os
 
-    from ..operators.dedup import lsh_dedup_incremental, lsh_index_member
+    from ..operators.dedup import (lsh_dedup_incremental, lsh_index_member,
+                                   validate_compact_knobs)
 
+    # r19 ADVICE: a bad firing bound raises here (sink construction),
+    # not as a repeated foreachBatch failure after the stream starts.
+    validate_compact_knobs(compact_buckets_per_firing, compact_bytes_per_firing)
     marker = os.path.join(index_dir, "_last_epoch")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -763,8 +767,10 @@ def semantic_dedup_batch_writer(index_dir: str, admitted_dir: str,
     import os
 
     from ..operators.dedup import (semantic_dedup_incremental,
-                                   semantic_index_member)
+                                   semantic_index_member,
+                                   validate_compact_knobs)
 
+    validate_compact_knobs(compact_buckets_per_firing, compact_bytes_per_firing)
     marker = os.path.join(index_dir, "_last_epoch")
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:

