@@ -478,10 +478,12 @@ def _maybe_compact_kept(spark, index_dir: str, max_files_per_bucket: int,
     bytes are reached (the worst bucket ALWAYS rewrites, so progress is
     guaranteed even when it alone exceeds the budget) or
     ``max_buckets_per_firing`` buckets, whichever binds first. The byte
-    budget is the true pause bound: a bucket-count cap alone prices a
+    budget is the true I/O bound: a bucket-count cap alone prices a
     firing at ~cap x residents/num_buckets - still linear in index size
     at fixed fan-out (the r18 form) - while the byte budget holds the
-    slice flat at ANY resident count; overflow buckets keep their files
+    firing's REWRITE BYTES flat at ANY resident count (the wall, with
+    the r20 parallel rewrite, tracks the largest selected bucket's
+    bytes over cores - SCALING.md r20); overflow buckets keep their files
     and lead the next firing, so the amortized cost is unchanged (a
     budget below the append rate just carries fragmentation debt
     forward - SCALING.md r19 sizing note). The r17-measured unbounded
