@@ -77,6 +77,9 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         timings: dict[str, float] = {}
         runs: dict[str, list] = {}
         for name in names:
+            # label jobs so the Spark UI / event logs map back to the
+            # query being timed (guide §1.5); thread-local, cheap
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             # one untimed run at the target SF: C2-compile the hot
             # loops on real data volume before the clock starts
             run_to_completion(QUERIES[name](spark, sf_dir))
@@ -87,6 +90,7 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
                 samples.append(round(time.perf_counter() - t0, 3))
             timings[name] = min(samples)
             runs[name] = samples
+        spark.sparkContext.setJobDescription(None)
         return timings, runs
 
     timings, runs = time_keys(keys)

@@ -794,10 +794,16 @@ def scalar_quantize_int8(
     (exact BIGINT checksum the oracle reproduces bit-for-bit), ``mse``.
     floor(x + 0.5), not round(): both engines lower to the same IEEE
     floor, sidestepping round-half-to-even divergence. Pure per-row
-    HOFs - no shuffle, no Python; at 100 TB this maps over the scan.
-    Shares the ``sq8_wire`` quantizer (tinyint codes; the bigint
-    ``code_sum`` accumulator widens them).
+    HOFs - no Python; at 100 TB this maps over the (naturally wide)
+    scan. Shares the ``sq8_wire`` quantizer (tinyint codes; the bigint
+    ``code_sum`` accumulator widens them). A compact single-file
+    input spreads first (r20): the interpreted HOF chain (quantize +
+    reconstruct + two folds per row) otherwise runs on the scan's one
+    partition (measured 2.41 -> 0.55 s at sf0.1; wide inputs skip).
     """
+    from .text import spread_for_fanout
+
+    embeddings = spread_for_fanout(embeddings, key=id_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes, amax = sq8_wire(vec_col)
     recon_err = F.zip_with(

