@@ -26,10 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-20 allocation: (1) the 28 r17-evidence queries (oldest, age 2;
 # tools/selfcheck.py --evidence-age pins the set); (2) round-20
-# changed-code re-checks: both incremental probes (compaction firing's
-# per-bucket sequential rewrites collapsed into one
-# repartition/partitionBy job); (3) r18-evidence fill in registry
-# order to 50.
+# changed-code re-checks - the single-job compaction rewrite (both
+# incremental probes) plus the optimization round's plan rewrites
+# (q_tpch_q21, q_asof_join, q_scrub_text, q_boilerplate; the also-
+# changed q_fingerprint / q_quantize_int8 already sit in cohort 1);
+# (3) r18-evidence fill to 50 (the four fill keys displaced by the
+# re-checks stay at age 2, in-bound, and lead the r21 rotation).
 _PRIORITY = [
     # --- 1: r17-evidence cohort (28; age-2 per the ledger, registry order) ---
     "q_count_by_key", "q_grouped_stats", "q_dedup_near",
@@ -41,15 +43,14 @@ _PRIORITY = [
     "q_tpch_q13", "q_tpch_q16", "q_first_last_value", "q_interval_count",
     "q_ohlc_bars", "q_ohlc_rollup", "q_salted_stats", "q_merge_upsert",
     "q_scd2_history", "q_pit_read",
-    # --- 2: code changed in round 20 (single-job compaction rewrite) ---
+    # --- 2: code changed in round 20 (compaction rewrite + optimization) ---
     "q_dedup_near_incremental", "q_semdedup_incremental",
+    "q_tpch_q21", "q_asof_join", "q_scrub_text", "q_boilerplate",
     # --- 3: r18-evidence fill to 50, registry order ---
     "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
     "q_correlation", "q_funnel", "q_retention_cohort", "q_session_stats",
     "q_json_decode", "q_invariant_check", "q_filter_isin", "q_null_guard",
     "q_channel_split", "q_try_cast", "q_struct_project", "q_lag_diff",
-    "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
-    "q_dedup_jaccard",
 ]
 
 # A typo here would silently shift the driver-verified prefix (the

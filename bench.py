@@ -77,8 +77,7 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         timings: dict[str, float] = {}
         runs: dict[str, list] = {}
         for name in names:
-            # label jobs so the Spark UI / event logs map back to the
-            # query being timed (guide §1.5); thread-local, cheap
+            # label jobs: UI/event logs map back to the timed query
             spark.sparkContext.setJobDescription(f"bench:{name}")
             # one untimed run at the target SF: C2-compile the hot
             # loops on real data volume before the clock starts

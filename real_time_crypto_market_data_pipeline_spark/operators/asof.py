@@ -67,6 +67,43 @@ def asof_join(
     return carried.where(F.col("_side") == 1).drop("_side")
 
 
+def asof_join_same_source(
+    events: DataFrame, keys: Sequence[str], ts_col: str,
+    left_pred, right_pred, left_cols: Sequence[str],
+    right_payload: Sequence[str], left_tiebreak: str, right_tiebreak: str,
+) -> DataFrame:
+    """As-of join where BOTH sides are disjoint predicates over ONE
+    source - the common market-data case (trades and quotes arrive in
+    the same event stream).
+
+    Fuses :func:`asof_join`'s union into the scan (r20): one scan, one
+    exchange, one sort, where the two-input form pays two scans plus a
+    right-side pre-aggregation exchange when right ties need resolving.
+    Tie resolution moves into the WINDOW ORDER: right rows at equal
+    (keys, ts) sort by ``right_tiebreak`` and the carried ``last_value``
+    picks the greatest - deterministic iff each tied row's
+    ``right_payload`` is a function of (keys, ts, right_tiebreak).
+    ``left_tiebreak`` orders left rows (cast to double with the right
+    tiebreak; left-left order never affects the carry). Predicates must
+    be disjoint (left wins). Row-identical to the two-input form
+    (test_metrics; A/B numbers: OPTIMIZATION_r20.md).
+    """
+    tb = F.when(left_pred, F.col(left_tiebreak).cast("double")).otherwise(
+        F.col(right_tiebreak).cast("double"))
+    both = events.where(left_pred | right_pred).select(
+        *keys, *left_cols, F.col(ts_col),
+        left_pred.cast("int").alias("_side"), tb.alias("_tb"),
+        *[F.when(right_pred, F.col(c)).alias(f"_r_{c}") for c in right_payload])
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(ts_col), F.col("_side"), F.col("_tb"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = both.select(
+        *keys, *left_cols, F.col(ts_col), F.col("_side"),
+        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in right_payload])
+    return carried.where(F.col("_side") == 1).drop("_side")
+
+
 def banded_interval_count(
     left: DataFrame, right: DataFrame, key_cols: list[str], left_ts: str,
     right_ts: str, range_ms: int, left_id: str, out_col: str = "n_in_range",

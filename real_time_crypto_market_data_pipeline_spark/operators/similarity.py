@@ -796,10 +796,8 @@ def scalar_quantize_int8(
     floor, sidestepping round-half-to-even divergence. Pure per-row
     HOFs - no Python; at 100 TB this maps over the (naturally wide)
     scan. Shares the ``sq8_wire`` quantizer (tinyint codes; the bigint
-    ``code_sum`` accumulator widens them). A compact single-file
-    input spreads first (r20): the interpreted HOF chain (quantize +
-    reconstruct + two folds per row) otherwise runs on the scan's one
-    partition (measured 2.41 -> 0.55 s at sf0.1; wide inputs skip).
+    ``code_sum`` accumulator widens them). A compact input spreads
+    first (r20): 4.4x at sf0.1, 12x at x10 (OPTIMIZATION_r20.md).
     """
     from .text import spread_for_fanout
 

@@ -244,13 +244,10 @@ def fingerprint(docs: DataFrame, text_col: str = "text", shingle_n: int = 3) -> 
     ``fp_text`` is the exact-dup fingerprint (md5 of the
     whitespace-normalized lowercased text); ``fp_min_shingle`` is a
     1-permutation MinHash (the winnowing-style representative shingle),
-    stable under content reordering-free edits.
-
-    The input spreads first (r20): the per-row work - two regex/md5
-    passes plus ~|tokens| shingle md5s - is the heaviest projection in
-    the text family, and a compact single-file corpus otherwise runs it
-    all on the scan's one partition (measured 2.99 -> 0.51 s at sf0.1;
-    a wide scan skips the spread, so at 100 TB this is a no-op).
+    stable under content reordering-free edits. A compact input
+    spreads first (r20): the text family's heaviest projection must
+    not run one-partition (5.8x at sf0.1, 15x at x10 - see
+    OPTIMIZATION_r20.md; wide scans skip, so at 100 TB it is a no-op).
     """
     docs = spread_for_fanout(docs)
     norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
@@ -415,10 +412,7 @@ def scrub_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Standard pretraining hygiene pass as pure regexp_replace chains
     (codegen'd, zero Python). Patterns are deliberately simple and
     portable; production would extend the list, not the mechanism.
-    The input spreads first (r20): three full-text regex passes per row
-    are compute-dense enough that a compact single-file corpus should
-    not run them on one scan partition (0.41 -> 0.32 s median at
-    sf0.1; wide scans skip the spread).
+    A compact input spreads first (r20; numbers: OPTIMIZATION_r20.md).
     """
     docs = spread_for_fanout(docs)
     t = F.col(text_col)
@@ -533,9 +527,8 @@ def boilerplate_ngrams(
     # null-shingle row, so they flow through the doc-keyed aggregate
     # with zero counts instead of needing a third corpus scan to
     # restore them via a left join (lineage duplication re-executes
-    # the source per use - same lesson as q_semdedup/q_interval_join)
-    # spread first (r20): this was the one shingle fan-out still
-    # running on the scan's single partition (3.78 -> 1.32 s at sf0.1)
+    # the source per use - same lesson as q_semdedup/q_interval_join).
+    # spread first (r20): 2.9x at sf0.1, 7x at x10 (OPTIMIZATION_r20.md)
     docs = spread_for_fanout(docs)
     dsh = (
         docs.select(

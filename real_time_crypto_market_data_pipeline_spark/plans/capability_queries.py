@@ -39,33 +39,32 @@ _events = load_events
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest at-or-before view.
 
-    The trade->prevailing-quote operation. Union+window implementation
-    (operators/asof.py): one shuffle+sort per key, no range-join blowup;
-    verified against DuckDB's native ASOF JOIN.
+    Both sides live in the SAME event stream, so the fused
+    single-source form applies (asof.asof_join_same_source, r20): one
+    scan, one shuffle+sort per key, no range-join blowup; the previous
+    right-side MAX pre-aggregation exchange folds into the window order
+    (ties sort by value, the carried last_value IS the max). Row-
+    identical to the two-input form (test_metrics) and verified against
+    DuckDB's native ASOF JOIN over the pre-aggregated quotes.
     """
-    ev = _events(spark, sf_dir)
-    left = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ms", "value"
+    from ..operators.asof import asof_join_same_source
+
+    ev = _events(spark, sf_dir).withColumns(
+        {"qms": F.col("ms"), "qvalue": F.col("value")}
     )
-    right = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ms")
-        .agg(F.max("value").alias("qvalue"))
-        .select(
-            "user_id",
-            "ms",
-            F.col("ms").alias("qms"),
-            "qvalue",
-            F.lit(-1).cast("long").alias("event_id"),
-        )
-    )
-    return asof_join(
-        left,
-        right,
+    fused = asof_join_same_source(
+        ev,
         keys=["user_id"],
         ts_col="ms",
-        right_cols=["qms", "qvalue"],
-        tiebreak_col="event_id",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "view",
+        left_cols=["event_id", "value"],
+        right_payload=["qms", "qvalue"],
+        left_tiebreak="event_id",
+        right_tiebreak="value",
+    )
+    return fused.select(
+        "user_id", "event_id", "ms", "value", "asof_qms", "asof_qvalue"
     )
 
 

@@ -1163,44 +1163,29 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole blamable supplier per problem order.
 
     Lateness (receipt > commit date) is proxied by returnflag='R'. Both
-    correlated subqueries are per-ORDER set predicates, so they resolve
-    from two distinct-supplier counts over ONE l_orderkey window instead
-    of the classic semi+anti self-joins (r20 optimization round):
-
-    - EXISTS another supplier on the order  <=>  |distinct suppkeys| >= 2
-      (this row's supplier is always in the set);
-    - NOT EXISTS another supplier who ALSO returned  <=>  |distinct
-      suppkeys among returnflag='R' rows| == 1 (this row is 'R', so its
-      own supplier is that one element).
-
-    That collapses three lineitem scans + two self-joins into ONE scan
-    and ONE exchange; the per-order collect_sets are bounded by
-    suppliers-per-order (single-digit in TPC-H-shape data), and the
-    orders status semi-join co-partitions on the window's l_orderkey
-    exchange at scale. orders is O(fact): no broadcast hint. Verified
-    row-identical to the join form and the oracle; local A/B won every
-    interleaved rep (min 0.843 -> 0.796 s, median 1.028 -> 0.962 s).
+    correlated subqueries are per-ORDER set predicates, resolved from
+    two distinct-supplier counts over ONE l_orderkey window (r20):
+    EXISTS another supplier <=> |distinct suppkeys| >= 2 (this row's is
+    always in the set); NOT EXISTS another R-supplier <=> |distinct
+    R-suppkeys| == 1 (this row is 'R'). Three lineitem scans + two
+    self-joins collapse to ONE scan + ONE exchange; per-order
+    collect_sets are bounded by suppliers-per-order, and the hint-free
+    orders semi-join co-partitions on the window's exchange at scale.
+    Row-identical to the join form (evidence: OPTIMIZATION_r20.md).
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")
     w = Window.partitionBy("l_orderkey")
     flagged = li.select(
-        "l_orderkey",
-        "l_suppkey",
-        "l_returnflag",
+        "l_orderkey", "l_suppkey", "l_returnflag",
         F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
-        F.size(
-            F.collect_set(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).over(w)
-        ).alias("_n_supp_r"),
-    )
+        F.size(F.collect_set(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).over(w)).alias("_n_supp_r"))
     l1 = flagged.where(
-        (F.col("l_returnflag") == "R")
-        & (F.col("_n_supp") >= 2)
-        & (F.col("_n_supp_r") == 1)
-    )
+        (F.col("l_returnflag") == "R") & (F.col("_n_supp") >= 2)
+        & (F.col("_n_supp_r") == 1))
     return (
         l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
         .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)

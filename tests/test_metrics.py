@@ -190,6 +190,54 @@ def test_asof_join_semantics(spark):
     assert out[4] is None  # B's only quote is later; A's quotes invisible
 
 
+def test_asof_same_source_matches_two_input_form(spark):
+    """r20: the fused single-source as-of (one scan, tie resolution in
+    the window order) must reproduce the two-input form's rows exactly,
+    including right ties at equal (key, ts) resolving to the greatest
+    right tiebreak and its payload."""
+    from pyspark.sql import functions as F
+
+    from real_time_crypto_market_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_same_source,
+    )
+
+    events = spark.createDataFrame(
+        [  # kind L=left/trade, R=right/quote; two R ties at (A, 100)
+            ("A", "L", 1, 100, 9.0), ("A", "R", -1, 100, 99.0),
+            ("A", "R", -2, 100, 97.0), ("A", "L", 2, 200, 9.5),
+            ("A", "R", -3, 150, 98.0), ("A", "L", 3, 50, 8.0),
+            ("B", "L", 4, 100, 1.0), ("B", "R", -5, 500, 7.0),
+        ],
+        "key STRING, kind STRING, event_id LONG, ms LONG, px DOUBLE",
+    )
+    ev = events.withColumns({"qms": F.col("ms"), "qvalue": F.col("px")})
+    fused = asof_join_same_source(
+        ev, keys=["key"], ts_col="ms",
+        left_pred=F.col("kind") == "L", right_pred=F.col("kind") == "R",
+        left_cols=["event_id", "px"], right_payload=["qms", "qvalue"],
+        left_tiebreak="event_id", right_tiebreak="px",
+    ).select("key", "event_id", "ms", "px", "asof_qms", "asof_qvalue")
+    left = ev.where(F.col("kind") == "L").select("key", "event_id", "ms", "px")
+    right = (
+        ev.where(F.col("kind") == "R")
+        .groupBy("key", "ms")
+        .agg(F.max("px").alias("qvalue"))
+        .select("key", "ms", F.col("ms").alias("qms"), "qvalue",
+                F.lit(-1).cast("long").alias("event_id"))
+    )
+    two_input = asof_join(
+        left, right, keys=["key"], ts_col="ms",
+        right_cols=["qms", "qvalue"], tiebreak_col="event_id",
+    ).select("key", "event_id", "ms", "px", "asof_qms", "asof_qvalue")
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, two_input.collect())
+    )
+    # the tie at (A, 100): same-ts quotes visible, max px (99.0) wins
+    tied = {r.event_id: r.asof_qvalue for r in fused.collect()}
+    assert tied[1] == 99.0
+
+
 def test_rollup_merge_is_lossless(spark):
     """Hour partials merged to day == day stats computed from raw rows."""
     from pyspark.sql import functions as F

@@ -28,12 +28,12 @@ COMMENTARY = {
     "q_dedup_jaccard_pruned": "df-capped Jaccard (the benched form): the hot-shingle census comes back as a broadcast LEFT-ANTI prune on both self-join sides, bounding the equi-join at max_df*n rows where the exact form carries sum(df^2); the distinct shingle table materializes once (lazy localCheckpoint) because the census, the sizes, and BOTH join sides consume it - without that the explode+distinct subtree executes four times (5.6 -> 3.5 s at x10, SCALING.md r15).",
     "q_ann_recall": "Recall@10 sweep over ONE persisted assignment (r16): the three-level Arrow-BLAS quantizer runs once into an InMemoryRelation; exact ground truth, the centroid ranking (a max(n_probes)-row driver collect), and every probe width read that same cache - the plan's probe legs are InMemoryTableScans of one relation, so the sweep costs ONE corpus assign pass where r15 paid one per width; recall legs stay k-row broadcast semi-joins. The registered form materializes eagerly and releases the cache (the codes-probe discipline); the dump no-ops the release to show the lazy plan.",
     "q_media_summary": "Metadata rollup: ReadSchema excludes the binary payload column entirely.",
-    "q_asof_join": "As-of join via union+window: ONE shuffle+sort per key carries both sides; no range-join explosion, no nested loop.",
+    "q_asof_join": "As-of join fused into ONE scan (r20): both sides are predicates over the same event stream, so the union collapses into the scan, right-tie resolution moves into the window order (ties sort by value; the carried last_value IS the max), and the previous right-side pre-aggregation exchange disappears - one scan, one shuffle+sort per key, no range-join explosion, no nested loop.",
     "q_sessionize": "Both window passes (lag marking + running sum) share a single exchange+sort on the key.",
     "q_tpch_q5": "Six-table star: supplier/nation/region broadcast (region filter prunes the build sides first); the lineitem-orders and orders-customer fact edges shuffle on their equi-keys hint-free, so AQE picks broadcast at small SF and SMJ at scale.",
     "q_tpch_q2": "Decorrelated min-cost-per-part: the fact reduces to narrow (partkey, suppkey, cost) rows first; repartition(l_partkey) satisfies BOTH the group-by and the window, so the rows shuffle exactly once, and supplier strings broadcast in only after the min-filter.",
     "q_tpch_q9": "Five-table profit rollup: part/supplier/nation broadcast (the %gear% LIKE prunes the part build side pre-join); the lineitem-orders spine is hint-free - one l_orderkey shuffle AQE sizes, safe at any scale.",
-    "q_tpch_q21": "Correlated EXISTS / NOT EXISTS as semi + anti hash joins on l_orderkey with the supplier-inequality as join residual - no cartesian, no BroadcastNestedLoopJoin; the orders status semi-join is hint-free, so all four legs co-partition on the one l_orderkey shuffle at scale.",
+    "q_tpch_q21": "Correlated EXISTS / NOT EXISTS resolve from two distinct-supplier counts over ONE l_orderkey window (r20): lineitem is scanned once instead of three times, the per-order collect_sets are bounded by suppliers-per-order, and the hint-free orders status semi-join co-partitions on the window's exchange at scale - no cartesian, no BroadcastNestedLoopJoin.",
     "q_interval_count": "Time-banded interval join: floor(ts/range) joins as part of the key (each left row explodes into two adjacent band probes), so a hot user's pairwise work is bounded by band co-residency; the range predicate rides the join as a residual so zero-match rows still count 0 through the left join.",
     "q_corpus_prep": "The composed pretraining funnel (quality gate -> exact dedup -> hash split) resolves to ONE FileScan and ONE exchange: scoring and gating fuse into the scan stage, the dedup window on md5(text) is the only shuffle, the split is a projection.",
     "q_decontaminate": "Eval-leakage scan: the eval shingle set broadcasts; the training corpus streams through the inner join map-side, so the only exchange carries flagged (doc_id, count) rows - a 100 TB corpus scan that shuffles kilobytes.",
