@@ -81,9 +81,16 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
             spark.sparkContext.setJobDescription(f"bench:{name}")
             # one untimed run at the target SF: C2-compile the hot
             # loops on real data volume before the clock starts
+            spark.catalog.clearCache()
             run_to_completion(QUERIES[name](spark, sf_dir))
             samples = []
             for _ in range(n_runs):
+                # r20 VERDICT: drop persisted blocks a previous run left
+                # behind - CacheManager plan-matches the next identical
+                # run onto them (the "Asked to cache already cached
+                # data" warnings), silently making min-of-N partially
+                # warm-cache. Outside the clock: hygiene, not workload.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 run_to_completion(QUERIES[name](spark, sf_dir))
                 samples.append(round(time.perf_counter() - t0, 3))
@@ -111,7 +118,8 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
         "sf": sf_dir,
         "method": (
             "warm@sf0.001 + 1 untimed target-SF run/query; queries=min "
-            f"of {n_runs_env} timed, all runs recorded"
+            f"of {n_runs_env} timed, all runs recorded; session cache "
+            "cleared before every run (r21: honest cold-cache timing)"
         ),
         "load_start": load_start,
         "load_end": load_snapshot(),

@@ -70,7 +70,7 @@ def asof_join(
 def asof_join_same_source(
     events: DataFrame, keys: Sequence[str], ts_col: str,
     left_pred, right_pred, left_cols: Sequence[str],
-    right_payload: Sequence[str], left_tiebreak: str, right_tiebreak: str,
+    right_payload: Sequence[str], right_tiebreak: str,
 ) -> DataFrame:
     """As-of join where BOTH sides are disjoint predicates over ONE
     source - the common market-data case (trades and quotes arrive in
@@ -80,16 +80,16 @@ def asof_join_same_source(
     exchange, one sort, where the two-input form pays two scans plus a
     right-side pre-aggregation exchange when right ties need resolving.
     Tie resolution moves into the WINDOW ORDER: right rows at equal
-    (keys, ts) sort by ``right_tiebreak`` and the carried ``last_value``
-    picks the greatest - deterministic iff each tied row's
-    ``right_payload`` is a function of (keys, ts, right_tiebreak).
-    ``left_tiebreak`` orders left rows (cast to double with the right
-    tiebreak; left-left order never affects the carry). Predicates must
-    be disjoint (left wins). Row-identical to the two-input form
-    (test_metrics; A/B numbers: OPTIMIZATION_r20.md).
+    (keys, ts) sort by the NATIVE-typed ``right_tiebreak`` (r20 ADVICE:
+    a double cast collides int64 tiebreaks above 2^53) and the carried
+    ``last_value`` picks the greatest - deterministic iff each tied
+    row's ``right_payload`` is a function of (keys, ts, right_tiebreak).
+    Left rows take a null tiebreak: left-left order never affects the
+    carry (their payload slots are null and ``last`` skips them).
+    Predicates must be disjoint (left wins). Row-identical to the
+    two-input form (test_metrics; A/B numbers: OPTIMIZATION_r20.md).
     """
-    tb = F.when(left_pred, F.col(left_tiebreak).cast("double")).otherwise(
-        F.col(right_tiebreak).cast("double"))
+    tb = F.when(right_pred, F.col(right_tiebreak))
     both = events.where(left_pred | right_pred).select(
         *keys, *left_cols, F.col(ts_col),
         left_pred.cast("int").alias("_side"), tb.alias("_tb"),

@@ -89,6 +89,15 @@ def minhash_wide(
     sh = word_shingles(toks, shingle_n)
     exploded = spread_for_fanout(docs).select(
         "doc_id", F.explode(sh).alias("shingle"))
+    return _minhash_agg(exploded, num_hashes)
+
+
+def _minhash_agg(exploded: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signature aggregation over (doc_id, shingle) rows: k
+    codegen'd seed-hash ``min`` aggregates, map-side combined. ``min``
+    is duplicate-insensitive, so a DISTINCT shingle stream (r21: the
+    shared-set form in ``lsh_jaccard_dedup``) yields signatures
+    bit-identical to the raw stream's."""
     return exploded.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig{j}")
           for j in range(num_hashes)])
@@ -137,6 +146,13 @@ def lsh_bucket_table(
     reference implementation in tests/_reference_impls.py.
     """
     wide = minhash_wide(docs, text_col, num_hashes, shingle_n)
+    return _band_explode(wide, num_hashes, band_rows)
+
+
+def _band_explode(wide: DataFrame, num_hashes: int, band_rows: int) -> DataFrame:
+    """Signature matrix -> (doc_id, band, bucket): the pure-projection
+    banding explode shared by ``lsh_bucket_table`` and the shared-set
+    form in ``lsh_jaccard_dedup``."""
     bands = F.array(*[
         F.struct(
             F.lit(b).cast("int").alias("band"),
@@ -331,13 +347,31 @@ def lsh_jaccard_dedup(
     fall back to hash-shuffles on doc_a/doc_b, which scale unboundedly at the
     cost of two exchanges. The count() is one extra tiny job over the
     persisted pair list, not a recompute of the minhash agg.
+
+    r21: the distinct-shingle SETS are computed once and persisted for
+    the query's duration: minhash consumes them exploded (``min`` per
+    seed over distinct shingles is bit-identical - duplicates never
+    win a min), and both verify sides read them directly. The previous
+    form tokenized + shingled the corpus THREE times (minhash pass,
+    verify-a, verify-b); at 100 TB the persist is guide §8's
+    "materialize the proxy once" - it spills to disk and replaces two
+    full corpus re-scans + re-shingles. ``.release_cache()`` on the
+    returned frame unpersists both intra-query tables; bench/oracle
+    runs clear the session cache between runs instead (r20 VERDICT:
+    CacheManager plan-matched run N+1 onto run N's blocks, making
+    min-of-3 partially warm-cache).
     """
-    cands = lsh_candidate_pairs(
-        lsh_bucket_table(docs, text_col, shingle_n=shingle_n)).persist()
+    sh_sets = _shingle_sets(docs, text_col, shingle_n).persist()
+    buckets = _band_explode(
+        _minhash_agg(sh_sets.select("doc_id", F.explode("sh").alias("shingle")),
+                     DEFAULT_NUM_HASHES),
+        DEFAULT_NUM_HASHES, DEFAULT_BAND_ROWS)
+    cands = lsh_candidate_pairs(buckets).persist()
     try:
         n_cands = cands.count()
     except Exception:
         cands.unpersist()
+        sh_sets.unpersist()
         raise
     # Verify WITHOUT exploding: each doc keeps its distinct-shingle SET
     # as one array row, the (small, LSH-bounded) candidate list
@@ -346,17 +380,18 @@ def lsh_jaccard_dedup(
     # the |docs|x|shingles| distinct shuffle AND the (doc, shingle) join
     # shuffle - the only wide exchange left in the whole pipeline is
     # minhash's own signature aggregation.
-    sh_sets = _shingle_sets(docs, text_col, shingle_n)
     a = sh_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     if n_cands <= broadcast_max_candidates:
         paired = b.join(F.broadcast(a.join(F.broadcast(cands), "doc_a")), "doc_b")
     else:
         paired = b.join(a.join(cands, "doc_a"), "doc_b")
-    return (
+    out = (
         paired.select("doc_a", "doc_b",
                       _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= min_jaccard))
+    out.release_cache = lambda: (cands.unpersist(), sh_sets.unpersist())
+    return out
 
 
 def _shingle_sets(docs: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
@@ -412,6 +447,7 @@ def lsh_index_build(
             "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
     finally:
         kept.unpersist()
+        pairs.release_cache()  # r21: free the dedup's intra-query tables
     _write_meta(docs.sparkSession, index_dir, min_jaccard=float(min_jaccard),
                 shingle_n=shingle_n, num_buckets=num_buckets)
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join
 from ..tables import load, load_events
 from .registry import query
 
@@ -60,7 +59,6 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_pred=F.col("event_type") == "view",
         left_cols=["event_id", "value"],
         right_payload=["qms", "qvalue"],
-        left_tiebreak="event_id",
         right_tiebreak="value",
     )
     return fused.select(

@@ -216,7 +216,7 @@ def test_asof_same_source_matches_two_input_form(spark):
         ev, keys=["key"], ts_col="ms",
         left_pred=F.col("kind") == "L", right_pred=F.col("kind") == "R",
         left_cols=["event_id", "px"], right_payload=["qms", "qvalue"],
-        left_tiebreak="event_id", right_tiebreak="px",
+        right_tiebreak="px",
     ).select("key", "event_id", "ms", "px", "asof_qms", "asof_qvalue")
     left = ev.where(F.col("kind") == "L").select("key", "event_id", "ms", "px")
     right = (

@@ -387,12 +387,16 @@ def test_heavy_projections_spread_compact_inputs(spark):
     from real_time_crypto_market_data_pipeline_spark.tables import load
 
     docs = load(spark, SF, "documents")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pin the OPERATOR's gate, not the fixture geometry (r20 ADVICE):
+    # the spread fires iff the scan arrives narrower than shuffle width
+    n_in = docs.rdd.getNumPartitions()
     for op in (T.fingerprint, T.scrub_text):
         narrow = op(docs)
-        assert "REPARTITION_BY_NUM" in physical(narrow)
+        want = 1 if n_in < target else 0
+        assert physical(narrow).count("REPARTITION_BY_NUM") == want
         wide_rows = sorted(map(tuple, op(docs.repartition(7, "doc_id")).collect()))
         assert sorted(map(tuple, narrow.collect())) == wide_rows
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pre_spread = docs.repartition(target, "doc_id")
     # already shuffle-width: the operator must not add a SECOND
     # exchange (the one in the plan is the caller's own repartition)

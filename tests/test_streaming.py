@@ -1450,23 +1450,51 @@ def test_streaming_realized_vol_state_survives_restart(spark, tmp_path):
 
     def start():
         # memory sink cannot recover from a checkpoint; foreachBatch
-        # can, and appends every update-mode emission to parquet
+        # can, and appends every update-mode emission to parquet.
+        # coalesce(1): one file per emission batch - the stateful
+        # shuffle width otherwise appends hundreds of near-empty files
+        # per batch, whose commit/list churn was the likely r20 flake.
         stream = spark.readStream.schema(ev.schema).parquet(src)
         return (
             streaming_realized_vol(stream)
             .writeStream.foreachBatch(
-                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+                lambda df, _eid: df.coalesce(1).write.mode("append").parquet(out_dir)
             )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .start()
         )
 
+    def process_available(q, attempts=3):
+        """processAllAvailable with restart-on-transient-failure: every
+        retry resumes from the SAME checkpoint, i.e. it exercises the
+        exact recovery path this test pins, so a retry cannot mask a
+        state-loss bug - only an environment flake (the r20 driver run
+        failed here with an opaque Py4JJavaError that never reproduced
+        at the same HEAD). The final failure keeps the Java stack."""
+        last = None
+        for _ in range(attempts):
+            try:
+                q.processAllAvailable()
+                return q
+            except Exception as e:  # Py4JJavaError / StreamingQueryException
+                last = e
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+                q = start()
+        q.stop()
+        raise AssertionError(
+            "streaming restart kept failing after "
+            f"{attempts} attempts: {getattr(last, 'java_exception', last)}"
+        ) from last
+
     q = start()
     try:
         chunk = ev.where((F.col("ms") >= cuts[0]) & (F.col("ms") < cuts[1]))
         chunk.coalesce(1).write.mode("append").parquet(src)
-        q.processAllAvailable()
+        q = process_available(q)
     finally:
         q.stop()
 
@@ -1475,7 +1503,7 @@ def test_streaming_realized_vol_state_survives_restart(spark, tmp_path):
         for a, b in zip(cuts[1:], cuts[2:]):
             chunk = ev.where((F.col("ms") >= a) & (F.col("ms") < b))
             chunk.coalesce(1).write.mode("append").parquet(src)
-            q.processAllAvailable()
+            q = process_available(q)
     finally:
         q.stop()
 
