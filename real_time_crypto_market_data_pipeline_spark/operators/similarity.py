@@ -614,6 +614,60 @@ def _codes_query_topk(e, q, k: int, id_col: str) -> DataFrame:
             .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
+class _LocalKMeansModel:
+    """Minimal stand-in for MLlib's KMeansModel: the trained centers are
+    its ONLY consumed surface (``ivf_kmeans_probe_cells`` and the
+    layout-invariance test call ``clusterCenters()``; assignment always
+    went through ``assign_cells``, never ``model.transform``)."""
+
+    def __init__(self, centers):
+        self._centers = centers
+
+    def clusterCenters(self):  # noqa: N802 - MLlib's casing, kept for parity
+        return self._centers
+
+
+def _lloyd_kmeans(X, k: int, seed: int, max_iter: int = 20):
+    """Driver-side deterministic k-means (k-means++ init + Lloyd) over
+    the cap-bounded training sample. r21, guide §1.2 "algorithm first":
+    MLlib's ``KMeans.fit`` on a <= ``training_cap`` sample spends its
+    wall time on JOB COUNT - k-means|| init rounds plus one distributed
+    pass per Lloyd iteration (~5 s of scheduling at sf0.1) - to
+    distribute O(cap * k * dim) flops that numpy does in milliseconds.
+    The sample is collected-size BY CONSTRUCTION (100k x 64 dims =
+    51 MB), so local training removes every training job and nothing
+    changes at 100 TB: the cap, not the corpus, bounds what the driver
+    holds. Deterministic: seeded generator + the sample's stable-hash
+    order. Empty clusters keep their previous center - the trained
+    model only has to be SOME fixed k-point codebook (the full-probe =
+    brute-force oracle invariant holds for ANY centers; pytest pins
+    partial-probe recall against THIS model's own cell membership)."""
+    import numpy as np
+
+    n = X.shape[0]
+    rng = np.random.default_rng(seed)
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[int(rng.integers(n))]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = float(d2.sum())
+        idx = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.integers(n))
+        centers[i] = X[idx]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dist = (-2.0 * (X @ centers.T)) + (centers * centers).sum(axis=1)[None, :]
+        assign = dist.argmin(axis=1)  # ||x||^2 is constant per row: drop it
+        new = centers.copy()
+        for i in range(k):
+            m = assign == i
+            if m.any():
+                new[i] = X[m].mean(axis=0)
+        if np.array_equal(new, centers):
+            break
+        centers = new
+    return _LocalKMeansModel(list(centers))
+
+
 def ivf_kmeans_index(
     embeddings: DataFrame, num_cells: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -625,19 +679,20 @@ def ivf_kmeans_index(
     Training input: the ``training_cap`` rows with smallest ``xxhash64(id)`` -
     a deterministic pseudo-random sample compiling to TakeOrderedAndProject,
     reproducible across partition layouts (a bare ``limit`` is not); zero
-    norms guarded by greatest(norm, eps). Assignment does NOT use
-    model.transform (an n x C euclidean pass): the trained centroids feed
-    ``assign_cells``. Returns ``(model, assigned)``; ``assigned`` partitions
-    on cell_id at scale (bucketed past ~1e3). ``codes_col`` (r13): the input
-    is ``sq8_encode`` output - only the cap-bounded training sample
-    dequantizes (one narrow mapInPandas), the trained centers re-quantize
-    driver-side onto the same wire, and assignment + downstream stay
-    codes-resident: the corpus-wide float column never exists.
+    norms guarded by greatest(norm, eps). Training runs driver-side on the
+    collected sample (``_lloyd_kmeans``, r21 - the sample is cap-bounded by
+    construction; MLlib's fit paid ~25 scheduler jobs for the same flops).
+    Assignment does NOT use a model transform (an n x C euclidean pass): the
+    trained centroids feed ``assign_cells``. Returns ``(model, assigned)``;
+    ``assigned`` partitions on cell_id at scale (bucketed past ~1e3).
+    ``codes_col`` (r13): the input is ``sq8_encode`` output - only the
+    cap-bounded training sample dequantizes (one narrow mapInPandas), the
+    trained centers re-quantize driver-side onto the same wire, and
+    assignment + downstream stay codes-resident: the corpus-wide float
+    column never exists.
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     samp = embeddings.orderBy(
         F.xxhash64(F.col(id_col)), F.col(id_col)).limit(training_cap)
@@ -654,8 +709,9 @@ def ivf_kmeans_index(
 
         unit = samp.select(F.col(codes_col).alias("__q8"), F.col(amax_col)
                            .alias("__amax")).mapInPandas(deq, "__unit array<double>")
-    model = KMeans(k=num_cells, seed=seed, maxIter=20).fit(
-        unit.select(array_to_vector("__unit").alias("features")))
+    X = np.asarray([r[0] for r in unit.select("__unit").collect()],
+                   dtype=np.float64)
+    model = _lloyd_kmeans(X, num_cells, seed)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     if codes_col is None:
         cents = embeddings.sparkSession.createDataFrame(
@@ -691,10 +747,11 @@ def ivf_kmeans_topk(
     training_cap: int = 100_000,
     codes_col: str | None = None, amax_col: str = "__amax",
 ) -> DataFrame:
-    """X3: IVF with a REAL k-means training pass (MLlib), n-cell probing.
+    """X3: IVF with a REAL k-means training pass, n-cell probing.
 
     Vectors unit-normalize (euclidean k-means then clusters by cosine
-    geometry), MLlib KMeans learns ``num_cells`` centroids, the search
+    geometry), k-means (driver-side Lloyd's over the cap-bounded
+    sample, r21) learns ``num_cells`` centroids, the search
     scans only the ``n_probe`` most-cosine-similar cells; at ``n_probe
     == num_cells`` the result is EXACTLY brute force for ANY trained
     model - the driver-oracle invariant (pytest pins partial-probe

@@ -636,7 +636,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: k-means-trained IVF at full probe width.
 
-    MLlib training is not SQL-expressible, but at n_probe == num_cells
+    k-means training is not SQL-expressible, but at n_probe == num_cells
     the result equals exact brute-force top-k FOR ANY trained model -
     the oracle checks that invariant (and the whole normalize -> train
     -> assign -> probe -> score plumbing); pytest pins partial-probe
@@ -682,7 +682,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 (measurement, r15): recall@10 of the deterministic IVF at
     n_probe in {1, 2, 4} vs brute-force ground truth - the quantified
     form of the docstrings' "usual recall trade". The kmeans-trained
-    curve is model-dependent (MLlib is not SQL-expressible) and is
+    curve is model-dependent (k-means is not SQL-expressible) and is
     pytest-pinned instead: monotone in n_probe, 1.0 at full probe.
     r16: the sweep rides ONE persisted ``ivf_assign`` shared by ground
     truth, centroid ranking, and every width (``ivf_recall_sweep``)."""

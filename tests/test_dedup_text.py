@@ -300,6 +300,27 @@ def test_lsh_matches_exact_and_mllib(spark):
     assert mllib == exact
 
 
+def test_lsh_jaccard_shared_shingle_sets_and_release(spark):
+    """r21: the distinct-shingle sets are computed ONCE and shared by
+    minhash and both verify sides (the old form shingled the corpus
+    three times), and ``.release_cache()`` frees every block the query
+    persisted - no corpus-sized storage accumulates across calls."""
+    from real_time_crypto_market_data_pipeline_spark.tables import load
+
+    spark.catalog.clearCache()
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = D.lsh_jaccard_dedup(docs, min_jaccard=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # three readers of the one persisted set table: minhash's explode
+    # plus the two verify sides
+    assert plan.count("InMemoryTableScan") >= 3
+    assert out.count() > 0
+    sc = spark.sparkContext
+    assert len(sc._jsc.sc().getRDDStorageInfo()) > 0  # sets + candidates live
+    out.release_cache()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0  # both released
+
+
 def test_lsh_jaccard_size_gate_both_branches(spark):
     """The verify join must produce identical pairs whether the
     candidate list broadcasts (small corpus) or falls back to shuffle

@@ -1,4 +1,4 @@
-"""Dump `.explain("formatted")` plans into plans/r20/ (optimization
+"""Dump `.explain("formatted")` plans into plans/r21/ (optimization
 round before/after evidence). Usage:
 python tools/plan_snapshot.py before|after [sf_dir] [query ...]
 Default queries = BENCH_KEYS, captured at the bench SF so the
@@ -17,7 +17,7 @@ if __name__ == "__main__":
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = sys.argv[3:] or list(BENCH_KEYS)
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "plans", "r20")
+                           "plans", "r21")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan_snapshot")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
