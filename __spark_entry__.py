@@ -24,33 +24,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/selfcheck.py --evidence-age mechanizes the check; past
 # allocations are reconstructible from CORRECTNESS_r0N.json prefixes).
 #
-# Round-20 allocation: (1) the 28 r17-evidence queries (oldest, age 2;
-# tools/selfcheck.py --evidence-age pins the set); (2) round-20
-# changed-code re-checks - the single-job compaction rewrite (both
-# incremental probes) plus the optimization round's plan rewrites
-# (q_tpch_q21, q_asof_join, q_scrub_text, q_boilerplate; the also-
-# changed q_fingerprint / q_quantize_int8 already sit in cohort 1);
-# (3) r18-evidence fill to 50 (the four fill keys displaced by the
-# re-checks stay at age 2, in-bound, and lead the r21 rotation).
+# Round-21 allocation: (1) the 31 r18-evidence queries (oldest, age 2;
+# tools/selfcheck.py --evidence-age pins the set - the four fill keys
+# displaced in r20 lead, per that round's plan); (2) round-21
+# changed-code re-checks - the shared-shingle-set lsh rewrite
+# (q_dedup_lsh_jaccard; q_dedup_near and both incremental probes
+# touch the refactored minhash/index-build path), the native-typed
+# as-of tiebreak (q_asof_join); the driver-side k-means trainer's
+# q_ann_ivf_kmeans already sits in cohort 1; (3) r19-evidence fill to
+# 50, registry order.
 _PRIORITY = [
-    # --- 1: r17-evidence cohort (28; age-2 per the ledger, registry order) ---
-    "q_count_by_key", "q_grouped_stats", "q_dedup_near",
-    "q_token_count_bpe", "q_lang_id", "q_repetition_stats",
-    "q_fingerprint", "q_media_summary", "q_media_features",
-    "q_chunk_documents", "q_pack_sequences", "q_corpus_split",
-    "q_corpus_sample", "q_ann_lsh_buckets", "q_mix_temperature",
-    "q_shuffle_shard", "q_quality_topp", "q_quantize_int8",
-    "q_tpch_q13", "q_tpch_q16", "q_first_last_value", "q_interval_count",
-    "q_ohlc_bars", "q_ohlc_rollup", "q_salted_stats", "q_merge_upsert",
-    "q_scd2_history", "q_pit_read",
-    # --- 2: code changed in round 20 (compaction rewrite + optimization) ---
+    # --- 1: r18-evidence cohort (31; age-2 per the ledger, registry order) ---
+    "q_stale_stats", "q_window_range", "q_unpivot_percentiles",
+    "q_dedup_jaccard", "q_dedup_jaccard_pruned", "q_dedup_embed",
+    "q_cosine_topk", "q_cosine_topk_arrow_highdim", "q_ann_ivf",
+    "q_ann_ivf_kmeans", "q_ann_recall", "q_token_stats",
+    "q_quality_score", "q_tfidf", "q_dedup_clusters", "q_sketch_distinct",
+    "q_semdedup", "q_tpch_q1", "q_topk_per_group", "q_tpch_q6",
+    "q_supplier_region", "q_part_brand_stats", "q_tpch_q5", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q10", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4",
+    "q_tpch_q9", "q_profile_columns",
+    # --- 2: code changed in round 21 (lsh shared sets, asof tiebreak) ---
+    "q_dedup_lsh_jaccard", "q_asof_join", "q_dedup_near",
     "q_dedup_near_incremental", "q_semdedup_incremental",
-    "q_tpch_q21", "q_asof_join", "q_scrub_text", "q_boilerplate",
-    # --- 3: r18-evidence fill to 50, registry order ---
-    "q_sessionize", "q_grouping_sets", "q_realized_vol", "q_zorder_key",
-    "q_correlation", "q_funnel", "q_retention_cohort", "q_session_stats",
-    "q_json_decode", "q_invariant_check", "q_filter_isin", "q_null_guard",
-    "q_channel_split", "q_try_cast", "q_struct_project", "q_lag_diff",
+    # --- 3: r19-evidence fill to 50, registry order ---
+    "q_pivot", "q_rollup", "q_set_ops", "q_cube", "q_semi_anti",
+    "q_above_customer_avg", "q_twap", "q_rollup_merge", "q_drawdown",
+    "q_interval_join", "q_element_at", "q_explode", "q_array_transform",
+    "q_best_levels",
 ]
 
 # A typo here would silently shift the driver-verified prefix (the
