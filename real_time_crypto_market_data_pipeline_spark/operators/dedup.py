@@ -442,9 +442,12 @@ def lsh_index_build(
         if num_buckets is None:  # ~2k band rows per bucket dir
             num_buckets = min(IDX_BUCKETS, max(8, kept.count() * (
                 DEFAULT_NUM_HASHES // DEFAULT_BAND_ROWS) // 2000))
-        _lsh_rows(kept, text_col, shingle_n, num_buckets).repartition(
-            "bkt").write.mode(
-            "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
+        rows = _lsh_rows(kept, text_col, shingle_n, num_buckets)
+        try:
+            rows.repartition("bkt").write.mode(
+                "overwrite").partitionBy("bkt").parquet(f"{index_dir}/kept")
+        finally:
+            rows.release_sets()
     finally:
         kept.unpersist()
         pairs.release_cache()  # r21: free the dedup's intra-query tables
@@ -455,11 +458,23 @@ def lsh_index_build(
 def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
               num_buckets: int = IDX_BUCKETS) -> DataFrame:
     """Index-layout rows: (doc_id, band, bucket, sh, bkt) - band
-    buckets joined with the doc's shingle set, bucket-dir key attached."""
-    return lsh_bucket_table(docs, text_col, shingle_n=shingle_n).join(
-        _shingle_sets(docs, text_col, shingle_n), "doc_id").withColumns(
+    buckets joined with the doc's shingle set, bucket-dir key attached.
+
+    r21: ONE shingle pass. The distinct-shingle sets persist for the
+    call and both legs (the minhash banding aggregation and the
+    inline-sh join) read them; the previous form tokenized + shingled
+    ``docs`` twice. Every caller materializes the rows promptly (write
+    / localCheckpoint) and must then call ``.release_sets()``."""
+    sets = _shingle_sets(docs, text_col, shingle_n).persist()
+    buckets = _band_explode(
+        _minhash_agg(sets.select("doc_id", F.explode("sh").alias("shingle")),
+                     DEFAULT_NUM_HASHES),
+        DEFAULT_NUM_HASHES, DEFAULT_BAND_ROWS)
+    out = buckets.join(sets, "doc_id").withColumns(
         {"doc_id": F.col("doc_id").cast("long"),
          "bkt": (F.crc32("bucket") % num_buckets).cast("int")})
+    out.release_sets = sets.unpersist
+    return out
 
 
 def _heal_kept_swap(index_dir: str) -> None:
@@ -624,7 +639,9 @@ def lsh_dedup_incremental(
                                 {"min_jaccard": 0.5})["min_jaccard"]
     shingle_n, nb = int(meta["shingle_n"]), int(meta["num_buckets"])
     _heal_kept_swap(index_dir)  # a torn compaction swap repairs before the read
-    bt = _lsh_rows(batch, text_col, shingle_n, nb).localCheckpoint()
+    rows = _lsh_rows(batch, text_col, shingle_n, nb)
+    bt = rows.localCheckpoint()  # materialized: the sets release right away
+    rows.release_sets()
     # probed dirs: bounded by min(num_buckets, |batch| x bands)
     bkts = sorted(r[0] for r in bt.select("bkt").distinct().collect())
     seen = spark.read.schema(  # fixed layout: no footer read at planning
@@ -678,11 +695,13 @@ def lsh_index_member(batch: DataFrame, index_dir: str,
     if meta is None:
         raise ValueError(f"{index_dir}/meta is missing: not a built index")
     _heal_kept_swap(index_dir)  # like every kept/ reader (r16 review)
-    ids = (lsh_rows.select("doc_id", "bkt")  # shared pass: already pinned
-           if lsh_rows is not None  # r17 ADVICE: recompute pins the NARROW
-           else _lsh_rows(batch, text_col, int(meta["shingle_n"]),  # form -
-           int(meta["num_buckets"]))  # never the wide shingle-set arrays
-           .select("doc_id", "bkt").localCheckpoint())
+    if lsh_rows is not None:
+        ids = lsh_rows.select("doc_id", "bkt")  # shared pass: already pinned
+    else:  # r17 ADVICE: recompute pins the NARROW (doc_id, bkt) form -
+        rows = _lsh_rows(batch, text_col, int(meta["shingle_n"]),
+                         int(meta["num_buckets"]))  # - never the wide sets
+        ids = rows.select("doc_id", "bkt").localCheckpoint()
+        rows.release_sets()
     bkts = sorted(r[0] for r in ids.select("bkt").distinct().collect())
     kept_ids = spark.read.schema(
         "doc_id long, band int, bucket string, sh array<string>, bkt int"
@@ -746,22 +765,30 @@ def connected_components(
         .withColumn("component", F.col("doc_id"))
     )
     for _ in range(max_iterations):
-        # candidate labels: own label plus every neighbor's label
+        # candidate labels: own label plus every neighbor's label. The
+        # own-label rows also CARRY the previous component (r21), so
+        # convergence is read off the checkpointed round itself - the
+        # old form re-joined new vs old labels per round, a second
+        # broadcast build + join whose only output was a boolean.
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .select(F.col("src").alias("doc_id"), F.col("component")))
+            .select(F.col("src").alias("doc_id"), F.col("component"),
+                    F.lit(None).cast(labels.schema["component"].dataType)
+                    .alias("_old")))
         new_labels = _persist_round(
-            labels.select("doc_id", "component")
+            labels.select("doc_id", "component",
+                          F.col("component").alias("_old"))
             .unionByName(neighbor_labels)
             .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"),
+                 F.min("_old").alias("_old"))  # exactly one non-null per doc
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
-            .where(F.col("component") != F.col("old")).limit(1).count())
-        labels = new_labels
+        changed = (new_labels.where(F.col("component") != F.col("_old"))
+                   .limit(1).count())  # checkpoint scan: no join, no shuffle
+        labels = new_labels.select("doc_id", "component")
         if changed == 0:
             break
+    edges.unpersist()  # labels are checkpointed: lineage no longer needs edges
     return labels
 
 
@@ -917,9 +944,14 @@ def semantic_dedup(
 def _write_meta(spark, index_dir: str, **params) -> None:
     """Persist index build parameters as a one-row parquet under
     ``{index_dir}/meta`` (filesystem-agnostic - no driver-local open)
-    so probe time can default/validate against them."""
-    spark.createDataFrame([tuple(params.values())], list(params)).coalesce(
-        1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    so probe time can default/validate against them. No ``coalesce(1)``
+    (r21): a Python-built local relation parallelizes to
+    defaultParallelism Python-RDD slices, and coalesce funnels ALL of
+    them through ONE task's worker round-trips - measured 6 s per call
+    at local[32] vs 0.6 s without; empty partitions write no files, so
+    the one-row write already lands exactly one part file."""
+    spark.createDataFrame([tuple(params.values())], list(params)).write.mode(
+        "overwrite").parquet(f"{index_dir}/meta")
 
 
 def _read_meta(spark, index_dir: str):

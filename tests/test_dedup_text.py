@@ -315,10 +315,13 @@ def test_lsh_jaccard_shared_shingle_sets_and_release(spark):
     # plus the two verify sides
     assert plan.count("InMemoryTableScan") >= 3
     assert out.count() > 0
-    sc = spark.sparkContext
-    assert len(sc._jsc.sc().getRDDStorageInfo()) > 0  # sets + candidates live
+    # CacheManager (DataFrame persists only - localCheckpoint blocks from
+    # other tests in the shared session do not show here) holds the two
+    # intra-query tables until the release handle drops them
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()  # sets + candidates live
     out.release_cache()
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0  # both released
+    assert cm.isEmpty()  # both released
 
 
 def test_lsh_jaccard_size_gate_both_branches(spark):
