@@ -85,11 +85,9 @@ def main(keys=None, metric="headline_total", extra_keys=None) -> None:
             run_to_completion(QUERIES[name](spark, sf_dir))
             samples = []
             for _ in range(n_runs):
-                # r20 VERDICT: drop persisted blocks a previous run left
-                # behind - CacheManager plan-matches the next identical
-                # run onto them (the "Asked to cache already cached
-                # data" warnings), silently making min-of-N partially
-                # warm-cache. Outside the clock: hygiene, not workload.
+                # r20 VERDICT: CacheManager plan-matched identical runs
+                # onto the previous run's persisted blocks, making
+                # min-of-N partially warm-cache. Outside the clock.
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 run_to_completion(QUERIES[name](spark, sf_dir))

@@ -93,11 +93,8 @@ def minhash_wide(
 
 
 def _minhash_agg(exploded: DataFrame, num_hashes: int) -> DataFrame:
-    """MinHash signature aggregation over (doc_id, shingle) rows: k
-    codegen'd seed-hash ``min`` aggregates, map-side combined. ``min``
-    is duplicate-insensitive, so a DISTINCT shingle stream (r21: the
-    shared-set form in ``lsh_jaccard_dedup``) yields signatures
-    bit-identical to the raw stream's."""
+    """k seed-hash ``min`` aggregates over (doc_id, shingle) rows;
+    duplicate-insensitive, so distinct and raw streams agree (r21)."""
     return exploded.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig{j}")
           for j in range(num_hashes)])
@@ -150,9 +147,7 @@ def lsh_bucket_table(
 
 
 def _band_explode(wide: DataFrame, num_hashes: int, band_rows: int) -> DataFrame:
-    """Signature matrix -> (doc_id, band, bucket): the pure-projection
-    banding explode shared by ``lsh_bucket_table`` and the shared-set
-    form in ``lsh_jaccard_dedup``."""
+    """Signature matrix -> (doc_id, band, bucket) banding projection."""
     bands = F.array(*[
         F.struct(
             F.lit(b).cast("int").alias("band"),
@@ -348,18 +343,12 @@ def lsh_jaccard_dedup(
     cost of two exchanges. The count() is one extra tiny job over the
     persisted pair list, not a recompute of the minhash agg.
 
-    r21: the distinct-shingle SETS are computed once and persisted for
-    the query's duration: minhash consumes them exploded (``min`` per
-    seed over distinct shingles is bit-identical - duplicates never
-    win a min), and both verify sides read them directly. The previous
-    form tokenized + shingled the corpus THREE times (minhash pass,
-    verify-a, verify-b); at 100 TB the persist is guide §8's
-    "materialize the proxy once" - it spills to disk and replaces two
-    full corpus re-scans + re-shingles. ``.release_cache()`` on the
-    returned frame unpersists both intra-query tables; bench/oracle
-    runs clear the session cache between runs instead (r20 VERDICT:
-    CacheManager plan-matched run N+1 onto run N's blocks, making
-    min-of-3 partially warm-cache).
+    r21: the distinct-shingle SETS compute once and persist for the
+    query's duration - minhash consumes them exploded (min over
+    distinct shingles is bit-identical) and both verify sides read them
+    directly, where the old form shingled the corpus THREE times
+    (guide §8 "materialize the proxy once"; A/B: OPTIMIZATION_r21.md).
+    ``.release_cache()`` frees both intra-query tables.
     """
     sh_sets = _shingle_sets(docs, text_col, shingle_n).persist()
     buckets = _band_explode(
@@ -460,11 +449,9 @@ def _lsh_rows(docs: DataFrame, text_col: str, shingle_n: int,
     """Index-layout rows: (doc_id, band, bucket, sh, bkt) - band
     buckets joined with the doc's shingle set, bucket-dir key attached.
 
-    r21: ONE shingle pass. The distinct-shingle sets persist for the
-    call and both legs (the minhash banding aggregation and the
-    inline-sh join) read them; the previous form tokenized + shingled
-    ``docs`` twice. Every caller materializes the rows promptly (write
-    / localCheckpoint) and must then call ``.release_sets()``."""
+    r21: ONE shingle pass - the persisted sets feed both legs (minhash
+    banding + the inline-sh join; the old form shingled twice). Callers
+    materialize promptly, then call ``.release_sets()``."""
     sets = _shingle_sets(docs, text_col, shingle_n).persist()
     buckets = _band_explode(
         _minhash_agg(sets.select("doc_id", F.explode("sh").alias("shingle")),
@@ -765,11 +752,9 @@ def connected_components(
         .withColumn("component", F.col("doc_id"))
     )
     for _ in range(max_iterations):
-        # candidate labels: own label plus every neighbor's label. The
-        # own-label rows also CARRY the previous component (r21), so
-        # convergence is read off the checkpointed round itself - the
-        # old form re-joined new vs old labels per round, a second
-        # broadcast build + join whose only output was a boolean.
+        # own label plus every neighbor's label; the own-label rows also
+        # CARRY the previous component (r21), so convergence reads off
+        # the checkpointed round - no per-round new-vs-old label re-join.
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), F.col("component"),
@@ -945,11 +930,9 @@ def _write_meta(spark, index_dir: str, **params) -> None:
     """Persist index build parameters as a one-row parquet under
     ``{index_dir}/meta`` (filesystem-agnostic - no driver-local open)
     so probe time can default/validate against them. No ``coalesce(1)``
-    (r21): a Python-built local relation parallelizes to
-    defaultParallelism Python-RDD slices, and coalesce funnels ALL of
-    them through ONE task's worker round-trips - measured 6 s per call
-    at local[32] vs 0.6 s without; empty partitions write no files, so
-    the one-row write already lands exactly one part file."""
+    (r21): it funneled 32 Python-RDD slices through ONE task's worker
+    round-trips (6 s/call vs 0.6 s); empty partitions write no files,
+    so the one-row write already lands exactly one part file."""
     spark.createDataFrame([tuple(params.values())], list(params)).write.mode(
         "overwrite").parquet(f"{index_dir}/meta")
 

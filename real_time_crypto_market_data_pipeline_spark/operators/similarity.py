@@ -615,10 +615,8 @@ def _codes_query_topk(e, q, k: int, id_col: str) -> DataFrame:
 
 
 class _LocalKMeansModel:
-    """Minimal stand-in for MLlib's KMeansModel: the trained centers are
-    its ONLY consumed surface (``ivf_kmeans_probe_cells`` and the
-    layout-invariance test call ``clusterCenters()``; assignment always
-    went through ``assign_cells``, never ``model.transform``)."""
+    """Centers-only stand-in for MLlib's KMeansModel (its one consumed
+    surface: ``clusterCenters()``; assignment rides ``assign_cells``)."""
 
     def __init__(self, centers):
         self._centers = centers
@@ -628,20 +626,12 @@ class _LocalKMeansModel:
 
 
 def _lloyd_kmeans(X, k: int, seed: int, max_iter: int = 20):
-    """Driver-side deterministic k-means (k-means++ init + Lloyd) over
-    the cap-bounded training sample. r21, guide §1.2 "algorithm first":
-    MLlib's ``KMeans.fit`` on a <= ``training_cap`` sample spends its
-    wall time on JOB COUNT - k-means|| init rounds plus one distributed
-    pass per Lloyd iteration (~5 s of scheduling at sf0.1) - to
-    distribute O(cap * k * dim) flops that numpy does in milliseconds.
-    The sample is collected-size BY CONSTRUCTION (100k x 64 dims =
-    51 MB), so local training removes every training job and nothing
-    changes at 100 TB: the cap, not the corpus, bounds what the driver
-    holds. Deterministic: seeded generator + the sample's stable-hash
-    order. Empty clusters keep their previous center - the trained
-    model only has to be SOME fixed k-point codebook (the full-probe =
-    brute-force oracle invariant holds for ANY centers; pytest pins
-    partial-probe recall against THIS model's own cell membership)."""
+    """Driver-side deterministic k-means++ init + Lloyd over the
+    cap-bounded sample (r21, guide §1.2): MLlib's fit paid ~25 scheduler
+    jobs to distribute O(cap*k*dim) flops numpy does in ms; the
+    stable-hash sample (<= 51 MB) bounds the collect at ANY corpus
+    size. Empty clusters keep their center; any fixed codebook
+    satisfies the full-probe = brute-force invariant."""
     import numpy as np
 
     n = X.shape[0]
@@ -680,9 +670,8 @@ def ivf_kmeans_index(
     a deterministic pseudo-random sample compiling to TakeOrderedAndProject,
     reproducible across partition layouts (a bare ``limit`` is not); zero
     norms guarded by greatest(norm, eps). Training runs driver-side on the
-    collected sample (``_lloyd_kmeans``, r21 - the sample is cap-bounded by
-    construction; MLlib's fit paid ~25 scheduler jobs for the same flops).
-    Assignment does NOT use a model transform (an n x C euclidean pass): the
+    collected sample (``_lloyd_kmeans``, r21). Assignment does NOT use a
+    model transform (an n x C euclidean pass): the
     trained centroids feed ``assign_cells``. Returns ``(model, assigned)``;
     ``assigned`` partitions on cell_id at scale (bucketed past ~1e3).
     ``codes_col`` (r13): the input is ``sq8_encode`` output - only the

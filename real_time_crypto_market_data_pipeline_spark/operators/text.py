@@ -37,12 +37,18 @@ def spread_for_fanout(
     default is 0 (always spread a narrow input) and each call site
     chooses. Measured at 594 KB / 1 partition (r6, SCALING.md "Bench
     drift A/B"): cheap-per-row token_stats is 0.45 s unspread vs
-    0.68 s spread (stage barrier dominates), so it passes 8 MB; the
+    0.68 s spread (stage barrier dominates), so it passes 2 MB (r21:
+    at 6.1 MB the unspread form LOSES 2.9x - crossover bracketed); the
     minhash/shingle/n-gram operators are 3-6x SLOWER single-partition
     even at this size and keep the unconditional default.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= target:
+    # exact physical width via the JVM internal-row RDD (r21: df.rdd
+    # also built the javaToPython plan; 42 -> 32 ms/call). A stats-only
+    # gate was rejected: size estimates cannot see a CALLER's existing
+    # repartition, so it would stack the second exchange test_plans
+    # pins against. Already-wide inputs reuse this QueryExecution.
+    if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
         return df
     if min_bytes > 0:
         try:
@@ -87,7 +93,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     aggregation makes the shuffle proportional to vocabulary size, not
     corpus size - the right shape at 100 TB.
     """
-    toks = spread_for_fanout(docs, min_bytes=8 << 20).select(
+    # spread crossover re-measured r21: unspread wins at 594 KB (r6,
+    # 0.45 vs 0.68 s) but LOSES 2.9x at 6.1 MB (2.10 vs 0.71 s, x10
+    # corpus) - the old 8 MB gate sat above the crossover and left the
+    # x10 fan-out on one task. 2 MB preserves both measured winners.
+    toks = spread_for_fanout(docs, min_bytes=2 << 20).select(
         F.col("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token"))
     return toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
